@@ -1,0 +1,238 @@
+"""Paged KV-cache manager.
+
+The reference has no cache manager — cache tensors are owned by the caller
+and passed into flash_attn_with_kvcache (interface.py:95-124); the only
+"paging" machinery is the block_table indirection inside the kernels. For a
+serving engine that owns continuous batching, the cache must be a
+first-class component (SURVEY.md §5 checkpoint/resume note: "cache manager
+owns paged buffers"). This module provides it, TPU-style:
+
+- Device state is a pytree of fixed-shape arrays (pages, optional scales,
+  block tables, lengths) so every mutation is a jittable functional update.
+- Page *allocation* is host-side bookkeeping (a free list) — allocation
+  decisions are control flow, not compute, and on TPU they must be resolved
+  before dispatch; only page *contents* live on device.
+- Page layout is the kernel-native [num_kv_heads, num_pages, page_size,
+  head_dim] (contiguous (page_size x head_dim) chunks per head per page —
+  the DMA-friendly shape), not the reference's [num_blocks, page_size,
+  kv_heads, head_dim] (api.cpp:242-257).
+- Optional INT8/FP8 storage quantizes rows on append (mfa_tpu.kernels.quant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mfa_tpu.kernels.quant import quantize_rows, storage_dtype
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Device-side paged KV state (a pytree; safe to pass through jit)."""
+
+    k_pages: jax.Array  # [hkv, num_pages, page, d] (maybe quantized)
+    v_pages: jax.Array
+    k_scales: Optional[jax.Array]  # [hkv, num_pages, page] fp32 or None
+    v_scales: Optional[jax.Array]
+    block_tables: jax.Array  # [max_seqs, pages_per_seq] int32
+    lengths: jax.Array  # [max_seqs] int32
+    page_size: int = dataclasses.field(metadata=dict(static=True))
+    quant_dtype: Optional[str] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k_pages.shape[0]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+    @property
+    def head_dim(self) -> int:
+        return self.k_pages.shape[-1]
+
+    @property
+    def max_seqs(self) -> int:
+        return self.block_tables.shape[0]
+
+    @property
+    def pages_per_seq(self) -> int:
+        return self.block_tables.shape[1]
+
+
+def create_cache(
+    num_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    max_seqs: int,
+    pages_per_seq: int,
+    dtype=jnp.bfloat16,
+    quant_dtype: Optional[str] = None,
+) -> PagedKVCache:
+    store = storage_dtype(quant_dtype) if quant_dtype else dtype
+    shape = (num_kv_heads, num_pages, page_size, head_dim)
+    scales = (
+        jnp.ones((num_kv_heads, num_pages, page_size), jnp.float32)
+        if quant_dtype
+        else None
+    )
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, store),
+        v_pages=jnp.zeros(shape, store),
+        k_scales=scales,
+        v_scales=None if scales is None else scales,
+        block_tables=jnp.zeros((max_seqs, pages_per_seq), jnp.int32),
+        lengths=jnp.zeros((max_seqs,), jnp.int32),
+        page_size=page_size,
+        quant_dtype=quant_dtype,
+    )
+
+
+class PageAllocator:
+    """Host-side free-list page allocator (page 0 is reserved as the null
+    page so uninitialized block-table entries stay in bounds)."""
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(
+                f"paged KV cache out of pages: need {n}, have {len(self._free)}"
+            )
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages: Sequence[int]) -> None:
+        for p in pages:
+            if p != 0:
+                self._free.append(int(p))
+
+
+def _maybe_quant(cache: PagedKVCache, x: jax.Array):
+    """-> (payload, scales|None) with payload in cache storage dtype."""
+    if cache.quant_dtype is None:
+        return x.astype(cache.k_pages.dtype), None
+    return quantize_rows(x, cache.quant_dtype)
+
+
+@jax.jit
+def append_token(
+    cache: PagedKVCache,
+    seq_slots: jax.Array,  # [n] int32 — rows of block_tables/lengths
+    new_k: jax.Array,  # [n, hkv, d]
+    new_v: jax.Array,  # [n, hkv, d]
+) -> PagedKVCache:
+    """Append one token per active sequence (decode step).
+
+    Pages for the write position must already be mapped in block_tables
+    (host allocator's job). Functional scatter; jit-safe.
+    """
+    lens = cache.lengths[seq_slots]  # [n]
+    page_ids = cache.block_tables[seq_slots, lens // cache.page_size]  # [n]
+    offs = lens % cache.page_size  # [n]
+
+    kq, ks = _maybe_quant(cache, jnp.swapaxes(new_k, 0, 1))  # [hkv, n, d]
+    vq, vs = _maybe_quant(cache, jnp.swapaxes(new_v, 0, 1))
+
+    k_pages = cache.k_pages.at[:, page_ids, offs, :].set(kq)
+    v_pages = cache.v_pages.at[:, page_ids, offs, :].set(vq)
+    k_scales = cache.k_scales
+    v_scales = cache.v_scales
+    if ks is not None:
+        k_scales = cache.k_scales.at[:, page_ids, offs].set(ks)
+        v_scales = cache.v_scales.at[:, page_ids, offs].set(vs)
+    lengths = cache.lengths.at[seq_slots].set(lens + 1)
+    return dataclasses.replace(
+        cache,
+        k_pages=k_pages,
+        v_pages=v_pages,
+        k_scales=k_scales,
+        v_scales=v_scales,
+        lengths=lengths,
+    )
+
+
+def write_prompt(
+    cache: PagedKVCache,
+    seq_slot: int,
+    pages: Sequence[int],
+    k_prompt: jax.Array,  # [seqlen, hkv, d]
+    v_prompt: jax.Array,
+) -> PagedKVCache:
+    """Write a full prompt's KV into freshly allocated pages (prefill).
+
+    `pages` is the host-allocated page list for this sequence (>=
+    ceil(seqlen/page_size) entries). Padded to whole pages with zeros.
+    """
+    seqlen = k_prompt.shape[0]
+    page = cache.page_size
+    n_pages = -(-seqlen // page)
+    assert len(pages) >= n_pages, "not enough pages allocated for prompt"
+    pad = n_pages * page - seqlen
+    if pad:
+        k_prompt = jnp.pad(k_prompt, ((0, pad), (0, 0), (0, 0)))
+        v_prompt = jnp.pad(v_prompt, ((0, pad), (0, 0), (0, 0)))
+    # [hkv, n_pages, page, d]
+    kq, ks = _maybe_quant(cache, jnp.swapaxes(k_prompt, 0, 1))
+    vq, vs = _maybe_quant(cache, jnp.swapaxes(v_prompt, 0, 1))
+    kq = kq.reshape(cache.num_kv_heads, n_pages, page, cache.head_dim)
+    vq = vq.reshape(cache.num_kv_heads, n_pages, page, cache.head_dim)
+    page_ids = jnp.asarray(list(pages[:n_pages]), jnp.int32)
+
+    k_pages = cache.k_pages.at[:, page_ids].set(kq)
+    v_pages = cache.v_pages.at[:, page_ids].set(vq)
+    k_scales = cache.k_scales
+    v_scales = cache.v_scales
+    if ks is not None:
+        k_scales = k_scales.at[:, page_ids].set(
+            ks.reshape(cache.num_kv_heads, n_pages, page)
+        )
+        v_scales = v_scales.at[:, page_ids].set(
+            vs.reshape(cache.num_kv_heads, n_pages, page)
+        )
+    table_row = jnp.zeros((cache.pages_per_seq,), jnp.int32)
+    table_row = table_row.at[: n_pages].set(page_ids)
+    if len(pages) > n_pages:
+        table_row = table_row.at[n_pages : len(pages)].set(
+            jnp.asarray(list(pages[n_pages:]), jnp.int32)
+        )
+    block_tables = cache.block_tables.at[seq_slot].set(table_row)
+    lengths = cache.lengths.at[seq_slot].set(seqlen)
+    return dataclasses.replace(
+        cache,
+        k_pages=k_pages,
+        v_pages=v_pages,
+        k_scales=k_scales,
+        v_scales=v_scales,
+        block_tables=block_tables,
+        lengths=lengths,
+    )
+
+
+def map_page(cache: PagedKVCache, seq_slot: int, page_index: int,
+             page_id: int) -> PagedKVCache:
+    """Map one allocated physical page into a sequence's block table."""
+    return dataclasses.replace(
+        cache,
+        block_tables=cache.block_tables.at[seq_slot, page_index].set(page_id),
+    )
+
+
+def release_slot(cache: PagedKVCache, seq_slot: int) -> PagedKVCache:
+    """Clear a finished sequence's table row + length (pages freed on host)."""
+    return dataclasses.replace(
+        cache,
+        block_tables=cache.block_tables.at[seq_slot].set(0),
+        lengths=cache.lengths.at[seq_slot].set(0),
+    )

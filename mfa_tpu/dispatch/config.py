@@ -1,0 +1,163 @@
+"""Trace-time kernel configuration.
+
+Plays the role of the reference's compile-time dispatch machinery
+(csrc/mfa/static_switch.h runtime->template switches, csrc/mfa/traits.h
+ForwardKernelTraits, and the split heuristic csrc/mfa/api.cpp:269-302).
+On TPU, specialization is just Python branching at trace time — JAX retraces
+per (shape, dtype, static-arg) combination, which is the exact analog of the
+reference's template instantiation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Head-dim buckets the reference instantiates (static_switch.h:25-52). We pad
+# any head_dim up to the next lane-friendly size instead of erroring.
+SUPPORTED_HEAD_DIMS = (32, 64, 96, 128, 160, 192, 224, 256)
+MAX_HEAD_DIM = 256
+
+# TPU lane count: the minimum useful last-dim tile; all block sizes are
+# multiples of this (MXU is 128x128, VPU lanes = 128).
+LANES = 128
+SUBLANES_F32 = 8
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def backend_platform() -> str:
+    return jax.devices()[0].platform
+
+
+def default_interpret() -> bool:
+    """Pallas interpret mode when not on real TPU (CPU test mesh etc.).
+
+    This is the TPU rebuild's 'CPU-runnable minimal config' mechanism
+    (SURVEY.md section 4: Pallas interpret=True replaces CUDA-only testing).
+    """
+    return backend_platform() != "tpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class PrefillConfig:
+    """Tile configuration for the prefill kernel.
+
+    The reference only ever instantiates kBlockM=64, kBlockN=64, 4 warps
+    (flash.cu:78,89); on TPU the MXU is 128-wide so we default to 128x128
+    q x kv tiles and scale the kv tile down for very large head dims to
+    respect VMEM.
+    """
+
+    block_q: int = 128
+    block_k: int = 128
+
+    def vmem_bytes(self, head_dim: int, itemsize: int) -> int:
+        # q + k + v tiles + fp32 scores + m/l/acc scratch
+        return (
+            self.block_q * head_dim * itemsize
+            + 2 * self.block_k * head_dim * itemsize
+            + self.block_q * self.block_k * 4
+            + self.block_q * LANES * 4 * 2
+            + self.block_q * head_dim * 4
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Tile configuration for the split-KV decode kernel."""
+
+    block_k: int = 512  # tokens of KV streamed per inner step
+    num_splits: int = 1
+
+
+def choose_prefill_config(
+    seqlen_q: int, seqlen_k: int, head_dim: int, itemsize: int
+) -> PrefillConfig:
+    block_q = 128 if seqlen_q >= 128 else round_up(max(seqlen_q, 8), 8)
+    block_k = 128
+    # Larger kv tiles amortize grid overhead for long sequences when VMEM allows.
+    if seqlen_k >= 512 and head_dim <= 128:
+        block_k = 256
+    if seqlen_k >= 2048 and head_dim <= 64:
+        block_k = 512
+    cfg = PrefillConfig(block_q=block_q, block_k=block_k)
+    # VMEM guard: stay under ~8MB so double buffering fits in 16MB/core.
+    while cfg.vmem_bytes(head_dim, itemsize) > 8 * 1024 * 1024 and cfg.block_k > 128:
+        cfg = PrefillConfig(block_q=cfg.block_q, block_k=cfg.block_k // 2)
+    return cfg
+
+
+# Parallel work units per chip used by the split heuristic. The reference
+# doubles the SM count (api.cpp:274); the TPU analog is the number of
+# independent compute cores (megacores) per chip — decode splits exist to
+# keep them and the DMA engines busy when batch*kv_heads is small.
+TPU_PARALLEL_UNITS = {
+    "tpu": 2,  # v4/v5p megacores; v5e has 1 tensor core but 2 is a safe target
+    "cpu": 2,
+    "axon": 2,
+}
+
+
+def num_splits_heuristic(
+    batch: int,
+    num_kv_heads: int,
+    seqlen_k: int,
+    block_k: int,
+    max_splits: int = 16,
+    parallel_units: Optional[int] = None,
+) -> int:
+    """Pick a split count for flash decoding.
+
+    TPU-native rework of csrc/mfa/api.cpp:269-302: instead of SM wave
+    efficiency, target enough (batch x kv_head x split) grid cells to cover
+    the chip's parallel units, capped by the number of KV blocks so every
+    split has work. Pure arithmetic — static at trace time.
+    """
+    if parallel_units is None:
+        parallel_units = TPU_PARALLEL_UNITS.get(backend_platform(), 2)
+    n_blocks = cdiv(seqlen_k, block_k)
+    if n_blocks <= 1:
+        return 1
+    work = batch * num_kv_heads
+    if work >= parallel_units:
+        return 1
+    splits = min(max_splits, n_blocks, cdiv(parallel_units, work))
+    return max(1, splits)
+
+
+def validate_attention_inputs(q, k, v, *, api_name: str) -> None:
+    """Shape/dtype validation mirroring csrc/mfa/api.cpp:126-162."""
+    if q.dtype not in (jnp.float16, jnp.bfloat16, jnp.float32):
+        raise ValueError(f"{api_name}: dtype must be fp16/bf16/fp32, got {q.dtype}")
+    if k.dtype != q.dtype or v.dtype != q.dtype:
+        raise ValueError(f"{api_name}: q/k/v dtypes must match")
+    if q.shape[-1] != k.shape[-1] or q.shape[-1] != v.shape[-1]:
+        raise ValueError(f"{api_name}: head_dim mismatch")
+    if q.shape[-1] > MAX_HEAD_DIM:
+        raise ValueError(f"{api_name}: head_dim must be <= {MAX_HEAD_DIM}")
+    num_heads = q.shape[-2]
+    num_kv_heads = k.shape[-2]
+    if v.shape[-2] != num_kv_heads:
+        raise ValueError(f"{api_name}: k/v head count mismatch")
+    if num_heads % num_kv_heads != 0:
+        raise ValueError(
+            f"{api_name}: num_heads ({num_heads}) must be divisible by "
+            f"num_kv_heads ({num_kv_heads})"
+        )
+
+
+def softmax_scale_default(head_dim: int) -> float:
+    return 1.0 / math.sqrt(head_dim)

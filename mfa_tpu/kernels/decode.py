@@ -1,0 +1,279 @@
+"""Pallas TPU flash-decoding kernels (seqlen_q == 1).
+
+TPU-native re-design of the reference decode kernels
+(csrc/mfa/decode.cuh:523-662 split-KV kernel, decode.cuh:665-755 combine).
+
+Capabilities reproduced:
+- seqlen_q == 1 specialization: instead of the reference's per-warp
+  vector x matrix dot products (decode.cuh:290-313), all q heads sharing one
+  kv head are batched into a [group, head_dim] tile so the contraction still
+  feeds the MXU (GQA "commute" trick); decode remains HBM-bandwidth-bound.
+- Split-KV ("flash decoding"): the KV length is partitioned over a parallel
+  grid axis (reference grid (splits, heads, batch), flash.cu:43-45); each
+  split emits a normalized fp32 partial O plus a log-sum-exp, combined by a
+  max-normalized LSE reduction (fixing the reference's non-max-normalized
+  combine hazard at decode.cuh:723-726, per SURVEY.md §2.5).
+- Per-batch KV lengths from an int32 tensor (reference seqlens_k,
+  decode.cuh:26,34) — scalar-prefetched so block skipping and DMA clamping
+  happen before the kernel body.
+- -inf-split skipping in the combine (decode.cuh:610-614, 721-724).
+
+The combine step is pure jnp: it touches O(batch*heads*splits*head_dim)
+fp32 values — noise next to streaming the KV cache — and XLA fuses it.
+The same combine is reused across chips for context-parallel decode
+(mfa_tpu/shard): split-KV within a chip and KV-shards across chips are the
+same algebra (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfa_tpu.dispatch.config import (
+    LANES,
+    cdiv,
+    default_interpret,
+    num_splits_heuristic,
+    round_up,
+    softmax_scale_default,
+)
+
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+_MASK = -1e30
+
+
+def _decode_kernel(
+    lens_ref,  # scalar prefetch: [batch] int32
+    q_ref,  # [1, 1, group_p, d]
+    k_ref,  # [1, 1, block_k, d]
+    v_ref,  # [1, 1, block_k, d]
+    o_ref,  # [1, 1, 1, group_p, d] fp32 partial
+    lse_ref,  # [1, 1, 1, group_p, LANES] fp32
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale_log2e: float,
+    block_k: int,
+    blocks_per_split: int,
+):
+    b = pl.program_id(0)
+    n = pl.program_id(3)
+    s = pl.program_id(2)
+
+    @pl.when(n == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _MASK)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = lens_ref[b]
+    global_blk = s * blocks_per_split + n
+    run = global_blk * block_k < length
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]  # [group_p, d]
+        k = k_ref[0, 0]  # [block_k, d]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sc = sc * scale_log2e
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1) + global_blk * block_k
+        )
+        sc = jnp.where(col < length, sc, _MASK)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(sc, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(sc - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+
+        v = v_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(n == blocks_per_split - 1)
+    def _store():
+        l = l_scr[:, :1]
+        empty = l == 0.0
+        l_safe = jnp.where(empty, 1.0, l)
+        o_ref[0, 0, 0] = acc_scr[...] / l_safe
+        lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)
+        lse = jnp.where(empty, -jnp.inf, lse)
+        lse_ref[0, 0, 0] = jnp.broadcast_to(lse, lse_ref.shape[3:])
+
+
+def combine_splits(o_parts: jax.Array, lse: jax.Array, axis: int = 2):
+    """Max-normalized LSE combine over a splits (or shard) axis.
+
+    o_parts: [..., splits, ..., d] normalized partial outputs (fp32)
+    lse:     matching log-sum-exp per partial (-inf = empty split)
+
+    Re-derivation of the reference combine kernel (decode.cuh:729-747) with
+    the max subtracted first (SURVEY.md §2.5 hazard note).
+    """
+    m = jnp.max(lse, axis=axis, keepdims=True)
+    m = jnp.where(jnp.isinf(m) & (m < 0), 0.0, m)  # all-empty guard
+    w = jnp.exp(lse - m)
+    w = jnp.where(jnp.isnan(w), 0.0, w)
+    denom = jnp.sum(w, axis=axis, keepdims=True)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    out = jnp.sum(o_parts * jnp.expand_dims(w, -1), axis=axis)
+    return out / jnp.squeeze(denom, axis)[..., None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softmax_scale", "num_splits", "block_k", "interpret"),
+)
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    cache_seqlens: jax.Array,
+    *,
+    softmax_scale: Optional[float] = None,
+    num_splits: int = 0,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Decode attention against a contiguous per-batch KV cache.
+
+    q: [batch, num_heads, head_dim]
+    k_cache/v_cache: [batch, num_kv_heads, max_seqlen, head_dim]
+    cache_seqlens: [batch] int32 valid lengths.
+    Returns [batch, num_heads, head_dim] in q dtype.
+    """
+    batch, num_heads, head_dim = q.shape
+    _, num_kv_heads, max_s, _ = k_cache.shape
+    group = num_heads // num_kv_heads
+    if softmax_scale is None:
+        softmax_scale = softmax_scale_default(head_dim)
+    if interpret is None:
+        interpret = default_interpret()
+
+    block_k = min(block_k, round_up(max_s, 128))
+    s_p = round_up(max_s, block_k)
+    if s_p != max_s:
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, s_p - max_s), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, s_p - max_s), (0, 0)))
+    num_blocks = s_p // block_k
+
+    if num_splits <= 0:
+        num_splits = num_splits_heuristic(batch, num_kv_heads, max_s, block_k)
+    num_splits = min(num_splits, num_blocks)
+    blocks_per_split = cdiv(num_blocks, num_splits)
+    # Re-balance: the last split may be empty if splits don't divide evenly.
+    num_splits = cdiv(num_blocks, blocks_per_split)
+
+    group_p = max(8, round_up(group, 8))
+    qg = q.reshape(batch, num_kv_heads, group, head_dim)
+    if group_p != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+
+    def kv_index_map(b, h, s, n, lens_ref):
+        blk = s * blocks_per_split + n
+        last_valid = jnp.maximum(0, (lens_ref[b] + block_k - 1) // block_k - 1)
+        return (b, h, jnp.minimum(blk, last_valid), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, num_kv_heads, num_splits, blocks_per_split),
+        in_specs=[
+            pl.BlockSpec((1, 1, group_p, head_dim), lambda b, h, s, n, lens: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, group_p, head_dim), lambda b, h, s, n, lens: (b, h, s, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, group_p, LANES), lambda b, h, s, n, lens: (b, h, s, 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((group_p, LANES), jnp.float32),
+            pltpu.VMEM((group_p, LANES), jnp.float32),
+            pltpu.VMEM((group_p, head_dim), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_kernel,
+        scale_log2e=float(softmax_scale) * _LOG2E,
+        block_k=block_k,
+        blocks_per_split=blocks_per_split,
+    )
+
+    o_parts, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, num_kv_heads, num_splits, group_p, head_dim), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, num_kv_heads, num_splits, group_p, LANES), jnp.float32
+            ),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * batch * num_heads * max_s * head_dim),
+            bytes_accessed=int((k_cache.size + v_cache.size) * k_cache.dtype.itemsize),
+            transcendentals=int(batch * num_heads * max_s),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(cache_seqlens, jnp.int32), qg, k_cache, v_cache)
+
+    out = combine_splits(o_parts, lse[..., 0], axis=2)  # [b, hkv, group_p, d]
+    out = out[:, :, :group].reshape(batch, num_heads, head_dim)
+    return out.astype(q.dtype)
+
+
+def paged_decode_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    cache_seqlens: jax.Array,
+    block_table: jax.Array,
+    *,
+    softmax_scale: Optional[float] = None,
+    num_splits: int = 0,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Paged decode attention — see mfa_tpu.kernels.paged for the kernel.
+
+    q: [batch, num_heads, head_dim]
+    k_pages/v_pages: [num_kv_heads, num_pages, page_size, head_dim]
+    block_table: [batch, pages_per_seq] int32; cache_seqlens: [batch] int32.
+    """
+    from mfa_tpu.kernels.paged import paged_attention
+
+    return paged_attention(
+        q,
+        k_pages,
+        v_pages,
+        cache_seqlens,
+        block_table,
+        softmax_scale=softmax_scale,
+        interpret=interpret,
+    )

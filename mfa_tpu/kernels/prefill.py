@@ -1,0 +1,283 @@
+"""Pallas TPU flash-attention prefill (forward) kernel.
+
+TPU-native re-design of the reference CUDA prefill kernel
+(csrc/mfa/prefill.cuh:711-803). Capabilities reproduced:
+
+- Tiled Q-block x KV-block online-softmax loop (reference hot loop
+  prefill.cuh:760-791) — here the KV loop is the innermost ("arbitrary")
+  grid dimension with fp32 m/l/acc scratch carried across iterations.
+- exp2-based softmax with the scale pre-multiplied by log2(e)
+  (reference: csrc/mfa/api.cpp:99-100).
+- Causal masking with whole-block skipping (reference n_block_max pruning,
+  prefill.cuh:749-752). On TPU the grid is static, so skipping is done with
+  `pl.when` on the compute plus *clamped KV index maps* so that skipped
+  iterations re-address the previous block and trigger no new DMA.
+- GQA/MQA head folding kv_head = q_head // group (prefill.cuh:49) done in
+  the K/V BlockSpec index maps — no KV duplication in HBM.
+- Arbitrary (non-tile-multiple) sequence lengths via in-kernel column
+  masking (replaces the reference's per-CTA early exit + zero-fill
+  predication, prefill.cuh:142-153, 724-726).
+- Sliding-window masking (the reference carries window params but never
+  exposes them, _C.pyi:4-41; here they are first-class).
+- expsum==0 / NaN guard on the final normalization (prefill.cuh:599-612).
+
+The MMA/ldmatrix/swizzle machinery of the reference (prefill.cuh:317-364,
+traits.h:39-47) has no hand-written analog here: tiles are fed to the MXU
+with `jax.lax.dot_general` and Mosaic owns layout.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfa_tpu.dispatch.config import (
+    LANES,
+    cdiv,
+    choose_prefill_config,
+    default_interpret,
+    round_up,
+    softmax_scale_default,
+)
+
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+# Large negative, safe in fp32 exp2 (exp2(x - m) flushes to 0, never NaN).
+_MASK = -1e30
+
+
+def _prefill_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale_log2e: float,
+    block_q: int,
+    block_k: int,
+    seqlen_k: int,
+    num_kv_blocks: int,
+    window_left: int,
+    window_right: int,
+    with_lse: bool,
+):
+    i = pl.program_id(2)  # q block index
+    j = pl.program_id(3)  # kv block index
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _MASK)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    first_j, last_j = _kv_block_bounds(
+        i, block_q, block_k, num_kv_blocks, window_left, window_right
+    )
+    run = jnp.logical_and(j >= first_j, j <= last_j)
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]  # [block_q, d]
+        k = k_ref[0, 0]  # [block_k, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale_log2e  # scores in log2 domain
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + i * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + j * block_k
+        mask = col < seqlen_k
+        if window_right >= 0:
+            mask = jnp.logical_and(mask, col <= row + window_right)
+        if window_left >= 0:
+            mask = jnp.logical_and(mask, col >= row - window_left)
+        s = jnp.where(mask, s, _MASK)
+
+        m_prev = m_scr[...]  # [block_q, LANES]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_cur)  # lane-broadcast
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0]  # [block_k, d]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(j == last_j)
+    def _store():
+        l = l_scr[:, :1]
+        # expsum==0/NaN guard (reference prefill.cuh:599-612): fully-masked
+        # rows produce zeros instead of NaN.
+        l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        if with_lse:
+            lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)
+            lse = jnp.where(l == 0.0, -jnp.inf, lse)
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_right):
+    """Range of KV blocks intersecting q block i's visible window."""
+    if window_right >= 0:
+        last = jnp.minimum(
+            num_kv_blocks - 1, ((i + 1) * block_q - 1 + window_right) // block_k
+        )
+    else:
+        last = num_kv_blocks - 1
+    if window_left >= 0:
+        first = jnp.maximum(0, (i * block_q - window_left) // block_k)
+    else:
+        first = 0
+    return first, last
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "softmax_scale",
+        "window_size",
+        "block_q",
+        "block_k",
+        "return_lse",
+        "interpret",
+    ),
+)
+def prefill_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: tuple[int, int] = (-1, -1),
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Flash-attention forward on [batch, heads, seq, head_dim] layout.
+
+    q: [b, hq, sq, d]; k/v: [b, hkv, sk, d] with hq % hkv == 0.
+    Returns [b, hq, sq, d] (and lse [b, hq, sq] fp32 if return_lse).
+
+    Causal is top-left aligned (col > row masked), matching the reference
+    (csrc/mfa/prefill.cuh:393-421); causal == window (-1, 0).
+    """
+    batch, num_heads, sq, head_dim = q.shape
+    _, num_kv_heads, sk, _ = k.shape
+    group = num_heads // num_kv_heads
+    if softmax_scale is None:
+        softmax_scale = softmax_scale_default(head_dim)
+    if interpret is None:
+        interpret = default_interpret()
+    window_left, window_right = window_size
+    if causal:
+        window_right = 0
+
+    cfg = choose_prefill_config(sq, sk, head_dim, q.dtype.itemsize)
+    bq = block_q or cfg.block_q
+    bk = block_k or cfg.block_k
+    bq = min(bq, round_up(sq, 8))
+    bk = min(bk, round_up(sk, 128))
+
+    sq_p = round_up(sq, bq)
+    sk_p = round_up(sk, bk)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+
+    num_q_blocks = sq_p // bq
+    num_kv_blocks = sk_p // bk
+
+    def kv_index_map(b, h, i, j):
+        first, last = _kv_block_bounds(i, bq, bk, num_kv_blocks, window_left, window_right)
+        return (b, h // group, jnp.clip(j, first, last), 0)
+
+    kernel = functools.partial(
+        _prefill_kernel,
+        scale_log2e=float(softmax_scale) * _LOG2E,
+        block_q=bq,
+        block_k=bk,
+        seqlen_k=sk,
+        num_kv_blocks=num_kv_blocks,
+        window_left=window_left,
+        window_right=window_right,
+        with_lse=return_lse,
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((batch, num_heads, sq_p, head_dim), q.dtype),
+        jax.ShapeDtypeStruct((batch, num_heads, sq_p, LANES), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, i, j: (b, h, i, 0)),
+    ]
+    if not return_lse:
+        out_shapes = out_shapes[:1]
+        out_specs = out_specs[:1]
+
+    flops_mult = 0.5 if window_right == 0 and sq == sk else 1.0
+    outs = pl.pallas_call(
+        kernel if return_lse else _drop_lse_arg(kernel),
+        grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * batch * num_heads * sq * sk * head_dim * flops_mult),
+            bytes_accessed=int(
+                q.size * q.dtype.itemsize
+                + (k.size + v.size) * k.dtype.itemsize * num_q_blocks * flops_mult
+            ),
+            transcendentals=int(batch * num_heads * sq * sk * flops_mult),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+    if return_lse:
+        out, lse = outs
+        return out[:, :, :sq], lse[:, :, :sq, 0]
+    out = outs[0] if isinstance(outs, (list, tuple)) else outs
+    return out[:, :, :sq]
+
+
+def _drop_lse_arg(kernel):
+    """Adapt the 5-ref kernel signature when no LSE output exists."""
+
+    def wrapped(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+        return kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr)
+
+    return wrapped

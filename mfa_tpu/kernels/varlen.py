@@ -1,0 +1,291 @@
+"""Pallas TPU varlen (packed / continuous-batching) attention.
+
+TPU-native re-design of the reference varlen path
+(csrc/mfa/api.cpp:189-267; per-CTA sequence resolution prefill.cuh:19-33).
+
+The reference sizes its CUDA grid for max_seqlen and lets CTAs past a
+sequence's real length exit early (prefill.cuh:724-726). A TPU grid is
+static and has no early exit, so the design is inverted (SURVEY.md §7 "hard
+parts"): the packed token axis is tiled directly, sequence membership is a
+*segment-id mask*, and per-q-block KV block bounds are scalar-prefetched so
+out-of-segment KV tiles are skipped via `pl.when` with clamped index maps
+(no compute, no new DMA).
+
+Masks:
+- segment mask: q token and kv token must belong to the same cu_seqlens
+  interval (replaces per-CTA base-pointer arithmetic, prefill.cuh:19-33).
+- causal: per-sequence-local `col > row` (top-left, prefill.cuh:393-421),
+  with local positions carried as side arrays.
+
+Paged K/V (block_table): gathered to packed layout with an XLA gather
+before the kernel. Correct for any page size (the reference instead
+requires page_block_size >= kBlockN, SURVEY.md §2.4 warning). Prefill is
+MXU-bound so the gather copy is off the critical path; an in-kernel DMA
+paged variant can replace it later without API change.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfa_tpu.dispatch.config import (
+    LANES,
+    cdiv,
+    default_interpret,
+    round_up,
+    softmax_scale_default,
+)
+
+_LOG2E = math.log2(math.e)
+_MASK = -1e30
+
+
+def _varlen_kernel(
+    kv_first_ref,  # scalar prefetch: [n_q_blocks] int32
+    kv_last_ref,  # scalar prefetch: [n_q_blocks] int32
+    q_ref,  # [1, bq, d]
+    k_ref,  # [1, bk, d]
+    v_ref,  # [1, bk, d]
+    seg_q_ref,  # [bq, 1] int32
+    pos_q_ref,  # [bq, 1] int32
+    seg_k_ref,  # [1, bk] int32
+    pos_k_ref,  # [1, bk] int32
+    o_ref,  # [1, bq, d]
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale_log2e: float,
+    causal: bool,
+):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _MASK)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    first_j = kv_first_ref[i]
+    last_j = kv_last_ref[i]
+    run = jnp.logical_and(j >= first_j, j <= last_j)
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale_log2e
+
+        mask = seg_q_ref[...] == seg_k_ref[...]  # [bq, bk] via broadcast
+        if causal:
+            mask = jnp.logical_and(mask, pos_k_ref[...] <= pos_q_ref[...])
+        s = jnp.where(mask, s, _MASK)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+
+        v = v_ref[0]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(j == last_j)
+    def _store():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+def _segments_from_cu(cu: jax.Array, total: int, pad_to: int, fill: int):
+    """Segment ids and in-sequence positions from cumulative lengths.
+
+    Padded tail rows get segment id `fill` (never matches a real segment).
+    """
+    idx = jnp.arange(pad_to, dtype=jnp.int32)
+    seg = jnp.searchsorted(cu[1:-1], idx, side="right").astype(jnp.int32)
+    seg = jnp.where(idx < total, seg, fill)
+    pos = idx - cu[seg.clip(0, cu.shape[0] - 2)]
+    return seg, pos
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_seqlen_q",
+        "max_seqlen_k",
+        "causal",
+        "softmax_scale",
+        "block_q",
+        "block_k",
+        "interpret",
+    ),
+)
+def varlen_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: jax.Array,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    causal: bool = False,
+    block_table: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Packed varlen attention.
+
+    q: [total_q, num_heads, head_dim]
+    k/v: [total_k, num_kv_heads, head_dim], or with block_table a paged pool
+         [num_pages, page_size, num_kv_heads, head_dim].
+    Returns [total_q, num_heads, head_dim].
+    """
+    total_q, num_heads, head_dim = q.shape
+    if softmax_scale is None:
+        softmax_scale = softmax_scale_default(head_dim)
+    if interpret is None:
+        interpret = default_interpret()
+    batch = cu_seqlens_q.shape[0] - 1
+
+    if block_table is not None:
+        # Gather paged pool -> strided-packed [batch * span, hkv, d] where
+        # span = pages_per_seq * page_size and sequence b occupies
+        # [b*span, b*span + len_b); the tail of each span is a gap.
+        num_pages, page_size, num_kv_heads, _ = k.shape
+        pages_per_seq = block_table.shape[1]
+        span = pages_per_seq * page_size
+        total_k = batch * span
+        flat_pages = block_table.reshape(-1)  # [batch*pages_per_seq]
+        k = k[flat_pages].reshape(total_k, num_kv_heads, head_dim)
+        v = v[flat_pages].reshape(total_k, num_kv_heads, head_dim)
+        lens_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
+        k_start = jnp.arange(batch, dtype=jnp.int32) * span
+    else:
+        total_k, num_kv_heads, _ = k.shape
+        span = None
+        lens_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
+        k_start = jnp.asarray(cu_seqlens_k[:-1], jnp.int32)
+
+    group = num_heads // num_kv_heads
+    bq = min(block_q, round_up(total_q, 8))
+    bk = min(block_k, round_up(total_k, 128))
+    tq_p = round_up(total_q, bq)
+    tk_p = round_up(total_k, bk)
+
+    qt = jnp.swapaxes(q, 0, 1)  # [h, total_q, d]
+    kt = jnp.swapaxes(k, 0, 1)
+    vt = jnp.swapaxes(v, 0, 1)
+    if tq_p != total_q:
+        qt = jnp.pad(qt, ((0, 0), (0, tq_p - total_q), (0, 0)))
+    if tk_p != total_k:
+        kt = jnp.pad(kt, ((0, 0), (0, tk_p - total_k), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, tk_p - total_k), (0, 0)))
+
+    n_q_blocks = tq_p // bq
+    n_kv_blocks = tk_p // bk
+
+    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+
+    seg_q, pos_q = _segments_from_cu(cu_q, total_q, tq_p, fill=-1)
+    if block_table is not None:
+        # Strided-gathered layout: token t is in sequence t // span at
+        # position t % span, valid iff that position < the sequence length.
+        idx = jnp.arange(tk_p, dtype=jnp.int32)
+        seg_k = jnp.minimum(idx // span, batch - 1)
+        pos_k = idx - seg_k * span
+        seg_k = jnp.where(
+            jnp.logical_and(idx < total_k, pos_k < lens_k[seg_k]), seg_k, -2
+        )
+    else:
+        cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+        seg_k, pos_k = _segments_from_cu(cu_k, total_k, tk_p, fill=-2)
+
+    # Per-q-block KV block bounds from the spanned sequences.
+    qb_start = jnp.arange(n_q_blocks, dtype=jnp.int32) * bq
+    qb_end = jnp.minimum(qb_start + bq - 1, max(total_q - 1, 0))
+    seg_first = seg_q[qb_start].clip(0, batch - 1)
+    seg_last = seg_q[qb_end].clip(0, batch - 1)
+    kv_first = k_start[seg_first] // bk
+    if causal:
+        # Last kv token needed by row r is pos_q(r) within its sequence;
+        # bound with the block's last row in its (last) sequence.
+        last_pos = pos_q[qb_end]
+        kv_last_tok = k_start[seg_last] + jnp.minimum(
+            last_pos, lens_k[seg_last] - 1
+        )
+    else:
+        kv_last_tok = k_start[seg_last] + lens_k[seg_last] - 1
+    kv_last = jnp.clip(kv_last_tok, 0, max(total_k - 1, 0)) // bk
+    kv_last = jnp.maximum(kv_last, kv_first)
+
+    def kv_index_map(h, i, j, kv_first_ref, kv_last_ref):
+        return (h // group, jnp.clip(j, kv_first_ref[i], kv_last_ref[i]), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_heads, n_q_blocks, n_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, head_dim), lambda h, i, j, f, l: (h, i, 0)),
+            pl.BlockSpec((1, bk, head_dim), kv_index_map),
+            pl.BlockSpec((1, bk, head_dim), kv_index_map),
+            pl.BlockSpec((bq, 1), lambda h, i, j, f, l: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda h, i, j, f, l: (i, 0)),
+            pl.BlockSpec((1, bk), lambda h, i, j, f, l: (0, j)),
+            pl.BlockSpec((1, bk), lambda h, i, j, f, l: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, head_dim), lambda h, i, j, f, l: (h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, head_dim), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _varlen_kernel,
+        scale_log2e=float(softmax_scale) * _LOG2E,
+        causal=causal,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_heads, tq_p, head_dim), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        kv_first.astype(jnp.int32),
+        kv_last.astype(jnp.int32),
+        qt,
+        kt,
+        vt,
+        seg_q[:, None],
+        pos_q[:, None],
+        seg_k[None, :],
+        pos_k[None, :],
+    )
+
+    return jnp.swapaxes(out[:, :total_q], 0, 1)

@@ -1,0 +1,63 @@
+"""Causal masking parity (reference: tests/test_causal.py).
+
+Checks top-left-aligned causal semantics and block-skipping correctness at
+sequence lengths spanning multiple KV tiles.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mfa_tpu import flash_attn_func
+from mfa_tpu.kernels.prefill import prefill_attention
+from mfa_tpu.ref.oracle import attention_ref
+from tests.utils import assert_close, make_qkv
+
+
+@pytest.mark.parametrize("seqlen", [128, 256, 512, 1024])
+def test_causal(seqlen):
+    q, k, v = make_qkv(jax.random.key(0), 2, seqlen, seqlen, 4, 4, 64)
+    out = flash_attn_func(q, k, v, causal=True)
+    ref = attention_ref(q, k, v, causal=True)
+    assert_close(out, ref, msg=f"causal s={seqlen}")
+
+
+def test_causal_block_skipping_matches_full():
+    # Multi-tile case: skipped blocks must not change numerics.
+    q, k, v = make_qkv(jax.random.key(1), 1, 1024, 1024, 2, 2, 64)
+    out = flash_attn_func(q, k, v, causal=True)
+    ref = attention_ref(q, k, v, causal=True)
+    assert_close(out, ref, msg="causal block skip")
+
+
+def test_causal_cross_seqlen_topleft():
+    # seqlen_q < seqlen_k with top-left alignment: row i sees cols <= i.
+    q, k, v = make_qkv(jax.random.key(2), 1, 64, 256, 2, 2, 64)
+    out = flash_attn_func(q, k, v, causal=True)
+    ref = attention_ref(q, k, v, causal=True)
+    assert_close(out, ref, msg="causal cross-seqlen")
+
+
+@pytest.mark.parametrize("window", [(64, 0), (32, 32), (128, -1), (-1, 16)])
+def test_sliding_window(window):
+    q, k, v = make_qkv(jax.random.key(3), 1, 256, 256, 2, 2, 64)
+    out = flash_attn_func(q, k, v, window_size=window)
+    ref = attention_ref(q, k, v, window_size=window)
+    assert_close(out, ref, msg=f"window {window}")
+
+
+def test_causal_bf16():
+    q, k, v = make_qkv(jax.random.key(4), 2, 256, 256, 4, 4, 128, dtype=jnp.bfloat16)
+    out = flash_attn_func(q, k, v, causal=True)
+    ref = attention_ref(q, k, v, causal=True)
+    assert_close(out, ref, dtype=jnp.bfloat16, msg="causal bf16")
+
+
+def test_prefill_lse():
+    # LSE output used by the context-parallel combine path.
+    q, k, v = make_qkv(jax.random.key(5), 1, 128, 128, 2, 2, 64)
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    out, lse = prefill_attention(qt, kt, vt, return_lse=True)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(64.0)
+    ref_lse = jax.nn.logsumexp(scores, axis=-1)
+    assert_close(lse, ref_lse, tol=1e-4, msg="prefill lse")

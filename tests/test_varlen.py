@@ -1,0 +1,139 @@
+"""Varlen (packed continuous batching) tests (reference: tests/test_varlen.py
+and tests/test_varlen_block_table.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfa_tpu import flash_attn_varlen_func
+from mfa_tpu.ref.oracle import varlen_attention_ref
+from tests.utils import assert_close
+
+
+def _pack(key, seqlens_q, seqlens_k, heads, kv_heads, d, dtype=jnp.float32):
+    tq, tk = sum(seqlens_q), sum(seqlens_k)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (tq, heads, d), dtype)
+    k = jax.random.normal(kk, (tk, kv_heads, d), dtype)
+    v = jax.random.normal(kv, (tk, kv_heads, d), dtype)
+    cu_q = np.concatenate([[0], np.cumsum(seqlens_q)]).astype(np.int32)
+    cu_k = np.concatenate([[0], np.cumsum(seqlens_k)]).astype(np.int32)
+    return q, k, v, cu_q, cu_k
+
+
+@pytest.mark.parametrize("seqlens", [[128, 256, 512], [128, 128], [64, 100, 30, 200]])
+def test_varlen_uniform_and_ragged(seqlens):
+    q, k, v, cu_q, cu_k = _pack(jax.random.key(0), seqlens, seqlens, 4, 4, 64)
+    out = flash_attn_varlen_func(q, k, v, cu_q, cu_k, max(seqlens), max(seqlens))
+    ref = varlen_attention_ref(q, k, v, cu_q, cu_k)
+    assert_close(out, ref, msg=f"varlen {seqlens}")
+
+
+@pytest.mark.parametrize("seqlens", [[128, 256], [100, 37, 300]])
+def test_varlen_causal(seqlens):
+    q, k, v, cu_q, cu_k = _pack(jax.random.key(1), seqlens, seqlens, 4, 4, 64)
+    out = flash_attn_varlen_func(
+        q, k, v, cu_q, cu_k, max(seqlens), max(seqlens), causal=True
+    )
+    ref = varlen_attention_ref(q, k, v, cu_q, cu_k, causal=True)
+    assert_close(out, ref, msg=f"varlen causal {seqlens}")
+
+
+def test_varlen_gqa():
+    # BASELINE.json config 3: cu_seqlens [128,256,512], 32 q / 8 kv heads
+    seqlens = [128, 256, 512]
+    q, k, v, cu_q, cu_k = _pack(jax.random.key(2), seqlens, seqlens, 32, 8, 64)
+    out = flash_attn_varlen_func(
+        q, k, v, cu_q, cu_k, max(seqlens), max(seqlens), causal=True
+    )
+    ref = varlen_attention_ref(q, k, v, cu_q, cu_k, causal=True)
+    assert_close(out, ref, msg="varlen gqa 32:8")
+
+
+def test_varlen_short_sequences():
+    seqlens = [8, 16, 48, 24]
+    q, k, v, cu_q, cu_k = _pack(jax.random.key(3), seqlens, seqlens, 2, 2, 64)
+    out = flash_attn_varlen_func(q, k, v, cu_q, cu_k, max(seqlens), max(seqlens))
+    ref = varlen_attention_ref(q, k, v, cu_q, cu_k)
+    assert_close(out, ref, msg="varlen short")
+
+
+def test_varlen_bf16():
+    seqlens = [128, 200]
+    q, k, v, cu_q, cu_k = _pack(
+        jax.random.key(4), seqlens, seqlens, 4, 4, 64, dtype=jnp.bfloat16
+    )
+    out = flash_attn_varlen_func(q, k, v, cu_q, cu_k, 200, 200, causal=True)
+    ref = varlen_attention_ref(q, k, v, cu_q, cu_k, causal=True)
+    assert_close(out, ref, dtype=jnp.bfloat16, msg="varlen bf16")
+
+
+def test_varlen_cross_lengths():
+    # decode-like: 1 q token per seq against longer KV (mixed with prefill)
+    seqlens_q = [1, 64, 1]
+    seqlens_k = [200, 64, 37]
+    q, k, v, cu_q, cu_k = _pack(jax.random.key(5), seqlens_q, seqlens_k, 4, 4, 64)
+    out = flash_attn_varlen_func(q, k, v, cu_q, cu_k, 64, 200)
+    ref = varlen_attention_ref(q, k, v, cu_q, cu_k)
+    assert_close(out, ref, msg="varlen cross")
+
+
+# ---------------- paged (block_table) varlen ----------------
+
+
+def _paged_varlen(key, seqlens_q, seqlens_k, heads, kv_heads, d, page, shuffle=True):
+    batch = len(seqlens_q)
+    pages_per_seq = max(-(-l // page) for l in seqlens_k)
+    num_pages = batch * pages_per_seq + 2
+    kq, kk, kv, kt = jax.random.split(key, 4)
+    tq = sum(seqlens_q)
+    q = jax.random.normal(kq, (tq, heads, d), jnp.float32)
+    k_pages = jax.random.normal(kk, (num_pages, page, kv_heads, d), jnp.float32)
+    v_pages = jax.random.normal(kv, (num_pages, page, kv_heads, d), jnp.float32)
+    ids = (jax.random.permutation(kt, num_pages)[: batch * pages_per_seq]
+           if shuffle else jnp.arange(batch * pages_per_seq))
+    table = np.asarray(ids.reshape(batch, pages_per_seq), np.int32)
+    cu_q = np.concatenate([[0], np.cumsum(seqlens_q)]).astype(np.int32)
+    cu_k = np.concatenate([[0], np.cumsum(seqlens_k)]).astype(np.int32)
+    # Oracle: gather pages to packed K/V
+    kg, vg = [], []
+    for b, L in enumerate(seqlens_k):
+        rows_k, rows_v = [], []
+        for t in range(L):
+            pid = table[b, t // page]
+            rows_k.append(np.asarray(k_pages[pid, t % page]))
+            rows_v.append(np.asarray(v_pages[pid, t % page]))
+        kg.append(np.stack(rows_k))
+        vg.append(np.stack(rows_v))
+    k_packed = jnp.asarray(np.concatenate(kg))
+    v_packed = jnp.asarray(np.concatenate(vg))
+    return q, k_pages, v_pages, table, cu_q, cu_k, k_packed, v_packed
+
+
+@pytest.mark.parametrize("page", [16, 64, 128])
+def test_varlen_block_table(page):
+    seqlens = [100, 256]
+    q, kp, vp, table, cu_q, cu_k, k_packed, v_packed = _paged_varlen(
+        jax.random.key(6), seqlens, seqlens, 4, 2, 64, page
+    )
+    out = flash_attn_varlen_func(
+        q, kp, vp, cu_q, cu_k, max(seqlens), max(seqlens),
+        causal=True, block_table=jnp.asarray(table),
+    )
+    ref = varlen_attention_ref(q, k_packed, v_packed, cu_q, cu_k, causal=True)
+    assert_close(out, ref, msg=f"varlen paged page={page}")
+
+
+def test_varlen_block_table_mixed_decode_prefill():
+    # Mixed decode (q len 1) + prefill (reference: test_varlen_block_table.py:157)
+    seqlens_q = [1, 128]
+    seqlens_k = [200, 128]
+    q, kp, vp, table, cu_q, cu_k, k_packed, v_packed = _paged_varlen(
+        jax.random.key(7), seqlens_q, seqlens_k, 4, 4, 64, 64
+    )
+    out = flash_attn_varlen_func(
+        q, kp, vp, cu_q, cu_k, 128, 200, block_table=jnp.asarray(table)
+    )
+    ref = varlen_attention_ref(q, k_packed, v_packed, cu_q, cu_k)
+    assert_close(out, ref, msg="varlen paged mixed")
