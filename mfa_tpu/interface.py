@@ -16,6 +16,7 @@ who own their layouts should use mfa_tpu.kernels directly.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Union
 
 import jax
@@ -31,6 +32,9 @@ __all__ = [
 ]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("causal", "softmax_scale", "window_size")
+)
 def flash_attn_func(
     q: jax.Array,
     k: jax.Array,
@@ -72,6 +76,10 @@ def flash_attn_func(
     return jnp.swapaxes(out, 1, 2)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_seqlen_q", "max_seqlen_k", "causal", "softmax_scale"),
+)
 def flash_attn_varlen_func(
     q: jax.Array,
     k: jax.Array,
@@ -127,8 +135,6 @@ def flash_attn_with_kvcache(
     here a python int is broadcast for convenience.
     num_splits: 0 = heuristic (api.cpp:320-322).
     """
-    from mfa_tpu.kernels.decode import decode_attention, paged_decode_attention
-
     if q.shape[1] != 1:
         raise ValueError(
             "flash_attn_with_kvcache currently only supports seqlen_q=1 for decoding"
@@ -145,6 +151,16 @@ def flash_attn_with_kvcache(
         cache_seqlens = jnp.full((batch,), cache_seqlens, jnp.int32)
     else:
         cache_seqlens = jnp.asarray(cache_seqlens, jnp.int32)
+    return _kvcache_jit(
+        q, k_cache, v_cache, cache_seqlens, block_table, num_splits, softmax_scale
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_splits", "softmax_scale"))
+def _kvcache_jit(
+    q, k_cache, v_cache, cache_seqlens, block_table, num_splits, softmax_scale
+):
+    from mfa_tpu.kernels.decode import decode_attention, paged_decode_attention
 
     q3 = q[:, 0]  # [batch, nheads, d]
     if block_table is not None:

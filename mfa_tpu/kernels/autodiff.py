@@ -1,0 +1,127 @@
+"""Differentiable flash attention (custom VJP).
+
+The reference is inference-only — no backward pass exists anywhere
+(SURVEY.md §0). The TPU framework still needs gradients so the flagship
+model has a real training step (and so users can fine-tune with the same
+attention op they serve with). Forward is the Pallas prefill kernel;
+backward is the standard flash-attention VJP math evaluated in fp32 jnp —
+XLA fuses it into a handful of matmuls. It materializes the (block-free)
+score matrix, so it is O(seq^2) memory per head: correct and fast enough
+for training at moderate sequence lengths; a tiled Pallas backward (dKV/dQ
+kernels) is the planned replacement and will slot in behind the same
+custom_vjp signature.
+
+Math (top-left causal, GQA folding as in the forward):
+  S = scale * Q K^T (masked),  P = softmax(S),  O = P V
+  dV = P^T dO
+  dP = dO V^T
+  dS = P * (dP - rowsum(dO * O))
+  dQ = scale * dS K;  dK = scale * dS^T Q  (dK/dV summed over the q-head group)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mfa_tpu.dispatch.config import softmax_scale_default
+from mfa_tpu.kernels.prefill import prefill_attention
+
+_MASK = -1e30
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
+)
+def flash_attention_grad(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: tuple[int, int] = (-1, -1),
+) -> jax.Array:
+    """Differentiable attention on [batch, heads, seq, head_dim] layout."""
+    return prefill_attention(
+        q, k, v, causal=causal, softmax_scale=softmax_scale,
+        window_size=window_size,
+    )
+
+
+def _fwd(q, k, v, causal, softmax_scale, window_size):
+    out = prefill_attention(
+        q, k, v, causal=causal, softmax_scale=softmax_scale,
+        window_size=window_size,
+    )
+    return out, (q, k, v, out)
+
+
+def _mask(sq, sk, causal, window_size):
+    row = jnp.arange(sq)[:, None]
+    col = jnp.arange(sk)[None, :]
+    m = jnp.ones((sq, sk), bool)
+    wl, wr = window_size
+    if causal:
+        wr = 0
+    if wr >= 0:
+        m = m & (col <= row + wr)
+    if wl >= 0:
+        m = m & (col >= row - wl)
+    return m
+
+
+def _bwd(causal, softmax_scale, window_size, res, do):
+    q, k, v, out = res
+    b, hq, sq, d = q.shape
+    hkv = k.shape[1]
+    group = hq // hkv
+    scale = softmax_scale or softmax_scale_default(d)
+
+    qf = q.astype(jnp.float32)
+    kf = jnp.repeat(k.astype(jnp.float32), group, axis=1)
+    vf = jnp.repeat(v.astype(jnp.float32), group, axis=1)
+    dof = do.astype(jnp.float32)
+    of = out.astype(jnp.float32)
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    mask = _mask(sq, k.shape[2], causal, window_size)
+    s = jnp.where(mask, s, _MASK)
+    p = jax.nn.softmax(s, axis=-1)
+
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
+    delta = jnp.sum(dof * of, axis=-1, keepdims=True)  # [b,h,q,1]
+    ds = p * (dp - delta)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    # Fold GQA: sum grads over the q-head group back onto kv heads.
+    dk = dk.reshape(b, hkv, group, *dk.shape[2:]).sum(axis=2)
+    dv = dv.reshape(b, hkv, group, *dv.shape[2:]).sum(axis=2)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention_grad.defvjp(_fwd, _bwd)
+
+
+def flash_attn_func_grad(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: tuple[int, int] = (-1, -1),
+) -> jax.Array:
+    """Differentiable flash_attn_func on the public [b, s, h, d] layout."""
+    out = flash_attention_grad(
+        jnp.swapaxes(q, 1, 2),
+        jnp.swapaxes(k, 1, 2),
+        jnp.swapaxes(v, 1, 2),
+        causal,
+        softmax_scale,
+        tuple(window_size),
+    )
+    return jnp.swapaxes(out, 1, 2)

@@ -119,7 +119,8 @@ def _decode_kernel(
         lse_ref[0, 0, 0] = jnp.broadcast_to(lse, lse_ref.shape[3:])
 
 
-def combine_splits(o_parts: jax.Array, lse: jax.Array, axis: int = 2):
+def combine_splits(o_parts: jax.Array, lse: jax.Array, axis: int = 2,
+                   return_lse: bool = False):
     """Max-normalized LSE combine over a splits (or shard) axis.
 
     o_parts: [..., splits, ..., d] normalized partial outputs (fp32)
@@ -135,12 +136,21 @@ def combine_splits(o_parts: jax.Array, lse: jax.Array, axis: int = 2):
     denom = jnp.sum(w, axis=axis, keepdims=True)
     denom = jnp.where(denom == 0.0, 1.0, denom)
     out = jnp.sum(o_parts * jnp.expand_dims(w, -1), axis=axis)
-    return out / jnp.squeeze(denom, axis)[..., None]
+    out = out / jnp.squeeze(denom, axis)[..., None]
+    if return_lse:
+        lse_g = jnp.squeeze(m, axis) + jnp.log(jnp.squeeze(denom, axis))
+        lse_g = jnp.where(
+            jnp.all(jnp.isinf(lse) & (lse < 0), axis=axis), -jnp.inf, lse_g
+        )
+        return out, lse_g
+    return out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softmax_scale", "num_splits", "block_k", "interpret"),
+    static_argnames=(
+        "softmax_scale", "num_splits", "block_k", "return_lse", "interpret"
+    ),
 )
 def decode_attention(
     q: jax.Array,
@@ -151,14 +161,16 @@ def decode_attention(
     softmax_scale: Optional[float] = None,
     num_splits: int = 0,
     block_k: int = 512,
+    return_lse: bool = False,
     interpret: Optional[bool] = None,
-) -> jax.Array:
+):
     """Decode attention against a contiguous per-batch KV cache.
 
     q: [batch, num_heads, head_dim]
     k_cache/v_cache: [batch, num_kv_heads, max_seqlen, head_dim]
     cache_seqlens: [batch] int32 valid lengths.
-    Returns [batch, num_heads, head_dim] in q dtype.
+    Returns [batch, num_heads, head_dim] in q dtype (plus, if return_lse,
+    a fp32 [batch, num_heads] log-sum-exp for cross-chip combines).
     """
     batch, num_heads, head_dim = q.shape
     _, num_kv_heads, max_s, _ = k_cache.shape
@@ -244,8 +256,15 @@ def decode_attention(
         interpret=interpret,
     )(jnp.asarray(cache_seqlens, jnp.int32), qg, k_cache, v_cache)
 
-    out = combine_splits(o_parts, lse[..., 0], axis=2)  # [b, hkv, group_p, d]
-    out = out[:, :, :group].reshape(batch, num_heads, head_dim)
+    combined = combine_splits(
+        o_parts, lse[..., 0], axis=2, return_lse=return_lse
+    )  # [b, hkv, group_p, d]
+    if return_lse:
+        out, lse_g = combined
+        out = out[:, :, :group].reshape(batch, num_heads, head_dim)
+        lse_g = lse_g[:, :, :group].reshape(batch, num_heads)
+        return out.astype(q.dtype), lse_g
+    out = combined[:, :, :group].reshape(batch, num_heads, head_dim)
     return out.astype(q.dtype)
 
 

@@ -1,0 +1,112 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed layer (SURVEY.md §2.8); these validate the
+TPU-native scaling story: TP over heads, DP over batch, CP over KV length
+with the cross-chip LSE combine.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfa_tpu.kernels.quant import quantize_rows
+from mfa_tpu.ref.oracle import attention_ref, decode_ref, paged_decode_ref
+from mfa_tpu.shard.attention import (
+    context_parallel_decode,
+    sharded_flash_attn,
+    sharded_paged_decode,
+)
+from mfa_tpu.shard.mesh import make_mesh
+from tests.utils import assert_close
+
+
+def test_mesh_construction():
+    mesh = make_mesh({"data": 2, "model": 4})
+    assert mesh.shape == {"data": 2, "model": 4}
+
+
+def test_sharded_prefill_tp_dp():
+    mesh = make_mesh({"data": 2, "model": 4})
+    f = sharded_flash_attn(mesh, causal=True)
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (4, 256, 8, 64))  # batch 4 over data=2, heads 8 over model=4
+    k = jax.random.normal(jax.random.key(1), (4, 256, 4, 64))  # 4 kv heads over model=4
+    v = jax.random.normal(jax.random.key(2), (4, 256, 4, 64))
+    out = f(q, k, v)
+    ref = attention_ref(q, k, v, causal=True)
+    assert_close(out, ref, msg="sharded prefill")
+
+
+def test_sharded_paged_decode_tp():
+    mesh = make_mesh({"data": 2, "model": 4})
+    f = sharded_paged_decode(mesh)
+    batch, heads, kvh, d, page, pps = 4, 8, 4, 64, 16, 4
+    key = jax.random.key(3)
+    num_pages = batch * pps + 2
+    q = jax.random.normal(key, (batch, heads, d))
+    kp = jax.random.normal(jax.random.key(4), (kvh, num_pages, page, d))
+    vp = jax.random.normal(jax.random.key(5), (kvh, num_pages, page, d))
+    table = jax.random.permutation(jax.random.key(6), num_pages)[
+        : batch * pps
+    ].reshape(batch, pps).astype(jnp.int32)
+    lens = jnp.asarray([64, 30, 17, 50], jnp.int32)
+    out = f(q, kp, vp, lens, table)
+    ref = paged_decode_ref(
+        q[:, None], jnp.transpose(kp, (1, 2, 0, 3)), jnp.transpose(vp, (1, 2, 0, 3)),
+        lens, table,
+    )[:, 0]
+    assert_close(out, ref, msg="sharded paged decode")
+
+
+def test_sharded_paged_decode_quantized():
+    mesh = make_mesh({"data": 1, "model": 2})
+    f = sharded_paged_decode(mesh, quantized=True)
+    batch, heads, kvh, d, page, pps = 2, 4, 2, 64, 16, 2
+    q = jax.random.normal(jax.random.key(7), (batch, heads, d), jnp.bfloat16)
+    kp = jax.random.normal(jax.random.key(8), (kvh, 8, page, d))
+    vp = jax.random.normal(jax.random.key(9), (kvh, 8, page, d))
+    kq, ks = quantize_rows(kp, "int8")
+    vq, vs = quantize_rows(vp, "int8")
+    table = jnp.arange(batch * pps, dtype=jnp.int32).reshape(batch, pps)
+    lens = jnp.asarray([32, 20], jnp.int32)
+    out = f(q, kq, vq, lens, table, ks, vs)
+    ref = paged_decode_ref(
+        q[:, None].astype(jnp.float32),
+        jnp.transpose(kp, (1, 2, 0, 3)), jnp.transpose(vp, (1, 2, 0, 3)),
+        lens, table,
+    )[:, 0]
+    assert_close(out, ref, tol=0.06, msg="sharded quant paged decode")
+
+
+@pytest.mark.parametrize("ctx", [2, 8])
+def test_context_parallel_decode(ctx):
+    mesh = make_mesh({"ctx": ctx})
+    f = context_parallel_decode(mesh)
+    batch, heads, kvh, d, max_s = 2, 4, 2, 64, 512
+    q = jax.random.normal(jax.random.key(10), (batch, heads, d))
+    k = jax.random.normal(jax.random.key(11), (batch, kvh, max_s, d))
+    v = jax.random.normal(jax.random.key(12), (batch, kvh, max_s, d))
+    lens = jnp.asarray([512, 100], jnp.int32)  # seq 2 lives entirely on shard 0/1
+    out = f(q, k, v, lens)
+    ref = decode_ref(
+        q[:, None], jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), lens
+    )[:, 0]
+    assert_close(out, ref, tol=1e-4, msg=f"cp decode ctx={ctx}")
+
+
+def test_context_parallel_matches_single_device():
+    # CP result must equal the single-chip kernel bit-for-bit-ish
+    from mfa_tpu.kernels.decode import decode_attention
+
+    mesh = make_mesh({"ctx": 4})
+    f = context_parallel_decode(mesh)
+    q = jax.random.normal(jax.random.key(13), (1, 2, 64))
+    k = jax.random.normal(jax.random.key(14), (1, 2, 256, 64))
+    v = jax.random.normal(jax.random.key(15), (1, 2, 256, 64))
+    lens = jnp.asarray([256], jnp.int32)
+    out_cp = f(q, k, v, lens)
+    out_1 = decode_attention(q, k, v, lens)
+    np.testing.assert_allclose(
+        np.asarray(out_cp), np.asarray(out_1), atol=2e-5, rtol=0
+    )
