@@ -1,0 +1,113 @@
+"""Continuous-batching scheduler.
+
+The reference exposes the *mechanisms* for continuous batching (cu_seqlens
+varlen, paged block tables) but has no scheduler — callers assemble batches
+by hand in tests (SURVEY.md §2.1). This is the missing policy layer:
+
+- a FIFO admission queue with page-budget admission control (a request is
+  admitted only when a sequence slot AND enough pages for its prompt plus
+  one decode page are free — no mid-flight OOM),
+- per-step page mapping for sequences crossing a page boundary,
+- slot/page recycling on completion.
+
+All decisions are host-side (they're control flow; TPU work is dispatched
+per step from the chosen batch). The scheduler is deterministic given the
+request arrival order, so in multi-host SPMD serving every host runs an
+identical copy and stays in lockstep without coordination traffic — the
+DCN-friendly design (SURVEY.md §7 "cross-host overlap").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Deque, Dict, List, Optional, Sequence
+
+from mfa_tpu.cache.paged_cache import PageAllocator
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: List[int]
+    max_new_tokens: int
+    eos_token: Optional[int] = None
+    # filled during execution
+    generated: List[int] = dataclasses.field(default_factory=list)
+    slot: int = -1
+    pages: List[int] = dataclasses.field(default_factory=list)
+
+    @property
+    def done(self) -> bool:
+        if len(self.generated) >= self.max_new_tokens:
+            return True
+        return bool(
+            self.generated
+            and self.eos_token is not None
+            and self.generated[-1] == self.eos_token
+        )
+
+    @property
+    def total_len(self) -> int:
+        return len(self.prompt) + len(self.generated)
+
+
+class Scheduler:
+    """Admission + page bookkeeping for one model replica."""
+
+    def __init__(self, max_seqs: int, pages_per_seq: int, page_size: int,
+                 num_pages: int):
+        self.max_seqs = max_seqs
+        self.pages_per_seq = pages_per_seq
+        self.page_size = page_size
+        self.allocator = PageAllocator(num_pages)
+        self.waiting: Deque[Request] = deque()
+        self.active: Dict[int, Request] = {}  # slot -> request
+        self._free_slots = list(range(max_seqs - 1, -1, -1))
+
+    def submit(self, req: Request) -> None:
+        if len(req.prompt) + req.max_new_tokens > self.pages_per_seq * self.page_size:
+            raise ValueError(
+                f"request {req.uid} longer than pages_per_seq*page_size"
+            )
+        self.waiting.append(req)
+
+    def admit(self) -> List[Request]:
+        """Admit waiting requests while slots + prompt pages are available.
+        Returns the newly admitted requests (caller runs prefill on them)."""
+        admitted = []
+        while self.waiting and self._free_slots:
+            req = self.waiting[0]
+            n_pages = -(-len(req.prompt) // self.page_size) or 1
+            # one page headroom so the first decode token can't OOM
+            if self.allocator.free_pages < n_pages + 1:
+                break
+            self.waiting.popleft()
+            req.slot = self._free_slots.pop()
+            req.pages = self.allocator.alloc(n_pages)
+            self.active[req.slot] = req
+            admitted.append(req)
+        return admitted
+
+    def ensure_decode_page(self, req: Request) -> Optional[int]:
+        """Map a new page if the next decode token crosses a page boundary.
+        Returns the new physical page id (to be mapped into the block table)
+        or None."""
+        pos = req.total_len  # position the next token will occupy
+        page_index = pos // self.page_size
+        if page_index < len(req.pages):
+            return None
+        new_page = self.allocator.alloc(1)[0]
+        req.pages.append(new_page)
+        return new_page
+
+    def finish(self, req: Request) -> None:
+        self.allocator.free(req.pages)
+        req.pages = []
+        self.active.pop(req.slot, None)
+        self._free_slots.append(req.slot)
+        req.slot = -1
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.active)
