@@ -9,29 +9,33 @@ with INT8 KV-cache at KV length 8192, Llama-3-8B-shaped heads (32 q / 8 kv,
 head_dim 128). vs_baseline is the achieved fraction of that 85% target, so
 1.0 = target met, >1.0 = beaten.
 
-Timing is pipelined (N async dispatches, one block) so the tunnel/dispatch
-latency of this environment doesn't pollute the kernel measurement — the
-same way a serving loop keeps the device queue full. Secondary numbers
-(bf16 decode, prefill TFLOP/s) go to stderr.
+Timing methodology (this environment tunnels to the TPU and
+block_until_ready does not truly block; per-sync RTT is ~25ms): each
+benchmark runs ITERS chained iterations inside ONE jitted lax.scan (the
+carry feeds each step so nothing is CSE'd or overlapped away), reads back a
+scalar (a real device->host sync), and subtracts the separately measured
+round-trip time of a trivial jitted op. Secondary numbers (bf16 decode,
+prefill TFLOP/s) go to stderr.
 """
 
 from __future__ import annotations
 
+import functools
 import json
-import math
 import sys
 import time
 
 import jax
+import jax.lax as lax
 import jax.numpy as jnp
 
 # Public HBM bandwidth per chip, bytes/s.
 HBM_BW = {
+    "TPU v6 lite": 1640e9,  # Trillium
     "TPU v5 lite": 819e9,  # v5e
+    "TPU v5p": 2765e9,
     "TPU v5": 819e9,
     "TPU v4": 1228e9,
-    "TPU v5p": 2765e9,
-    "TPU v6 lite": 1640e9,  # Trillium
 }
 
 
@@ -43,26 +47,52 @@ def device_bw() -> float:
     return 819e9
 
 
-def timeit(fn, *args, iters=30, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _readback(x) -> float:
+    return float(jax.tree.leaves(x)[0].reshape(-1)[0])
 
 
-def bench_decode_int8(batch=24, heads=32, kv_heads=8, d=128, kv_len=8192,
+def measure_rtt() -> float:
+    triv = jax.jit(lambda c: c + 1.0)
+    _ = _readback(triv(jnp.float32(0)))
+    ts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        _ = _readback(triv(jnp.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def scan_timeit(step_fn, carry0, iters: int = 32, rtt: float = 0.0) -> float:
+    """Per-iteration seconds of step_fn, measured inside one device program."""
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(c, n):
+        return lax.scan(lambda c, _: (step_fn(c), ()), c, None, length=n)[0]
+
+    _ = _readback(run(carry0, iters))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = _readback(run(carry0, iters))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 1e-9) / iters
+
+
+def _chain(q, out):
+    """Data-depend q on out without changing its value in bf16/f32 ulps
+    enough to matter, and without letting XLA fold the dependency away."""
+    return q + (out.astype(jnp.float32) * 1e-7).astype(q.dtype)
+
+
+def bench_decode_int8(rtt, batch=24, heads=32, kv_heads=8, d=128, kv_len=8192,
                       page=128):
     from mfa_tpu.kernels.paged import paged_attention
     from mfa_tpu.kernels.quant import quantize_rows
 
     pps = kv_len // page
     num_pages = batch * pps + 1
-    key = jax.random.key(0)
-    q = jax.random.normal(key, (batch, heads, d), jnp.bfloat16)
+    q0 = jax.random.normal(jax.random.key(0), (batch, heads, d), jnp.bfloat16)
     k_pages = jax.random.normal(jax.random.key(1), (kv_heads, num_pages, page, d))
     v_pages = jax.random.normal(jax.random.key(2), (kv_heads, num_pages, page, d))
     kq, ks = quantize_rows(k_pages, "int8")
@@ -71,65 +101,71 @@ def bench_decode_int8(batch=24, heads=32, kv_heads=8, d=128, kv_len=8192,
         jax.random.permutation(jax.random.key(3), num_pages - 1)[: batch * pps] + 1
     ).reshape(batch, pps).astype(jnp.int32)
     lens = jnp.full((batch,), kv_len, jnp.int32)
+    jax.block_until_ready((kq, vq, ks, vs))
 
-    fn = jax.jit(
-        lambda q, kq, vq, lens, table, ks, vs: paged_attention(
-            q, kq, vq, lens, table, k_scales=ks, v_scales=vs
-        )
-    )
-    dt = timeit(fn, q, kq, vq, lens, table, ks, vs)
+    def step(q):
+        out = paged_attention(q, kq, vq, lens, table, k_scales=ks, v_scales=vs)
+        return _chain(q, out)
 
-    payload = 2 * batch * kv_heads * kv_len * d * 1  # int8 K+V
+    dt = scan_timeit(step, q0, iters=16, rtt=rtt)
+
+    payload = 2 * batch * kv_heads * kv_len * d  # int8 K+V
     scales = 2 * batch * kv_heads * kv_len * 4  # fp32 row scales
-    qo = batch * heads * d * (2 + 4)  # q in + o out (rough)
+    qo = batch * heads * d * (2 + 4)
     bytes_moved = payload + scales + qo
     gbps = bytes_moved / dt / 1e9
     pct = 100.0 * bytes_moved / dt / device_bw()
     return dt, gbps, pct
 
 
-def bench_decode_bf16(batch=24, heads=24, kv_heads=24, d=128, kv_len=8192):
+def bench_decode_bf16(rtt, batch=24, heads=24, kv_heads=24, d=128, kv_len=8192):
     from mfa_tpu.kernels.decode import decode_attention
 
-    key = jax.random.key(0)
-    q = jax.random.normal(key, (batch, heads, d), jnp.bfloat16)
+    q0 = jax.random.normal(jax.random.key(0), (batch, heads, d), jnp.bfloat16)
     k = jax.random.normal(jax.random.key(1), (batch, kv_heads, kv_len, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.key(2), (batch, kv_heads, kv_len, d), jnp.bfloat16)
     lens = jnp.full((batch,), kv_len, jnp.int32)
-    fn = jax.jit(lambda *a: decode_attention(*a))
-    dt = timeit(fn, q, k, v, lens)
+
+    def step(q):
+        return _chain(q, decode_attention(q, k, v, lens))
+
+    dt = scan_timeit(step, q0, iters=8, rtt=rtt)
     bytes_moved = 2 * batch * kv_heads * kv_len * d * 2
-    return dt, bytes_moved / dt / 1e9
+    return dt, bytes_moved / dt / 1e9, 100.0 * bytes_moved / dt / device_bw()
 
 
-def bench_prefill(batch=8, seq=2048, heads=24, d=128):
-    from mfa_tpu import flash_attn_func
+def bench_prefill(rtt, batch=8, seq=2048, heads=24, d=128):
+    from mfa_tpu.kernels.prefill import prefill_attention
 
-    key = jax.random.key(0)
-    q = jax.random.normal(key, (batch, seq, heads, d), jnp.bfloat16)
-    k = jax.random.normal(jax.random.key(1), (batch, seq, heads, d), jnp.bfloat16)
-    v = jax.random.normal(jax.random.key(2), (batch, seq, heads, d), jnp.bfloat16)
-    fn = lambda q, k, v: flash_attn_func(q, k, v, True)
-    dt = timeit(fn, q, k, v, iters=10)
+    q0 = jax.random.normal(jax.random.key(0), (batch, heads, seq, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(1), (batch, heads, seq, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (batch, heads, seq, d), jnp.bfloat16)
+
+    def step(q):
+        return _chain(q, prefill_attention(q, k, v, causal=True))
+
+    dt = scan_timeit(step, q0, iters=8, rtt=rtt)
     flops = 4 * batch * heads * seq * seq * d * 0.5  # causal
     return dt, flops / dt / 1e12
 
 
 def main():
-    dt, gbps, pct = bench_decode_int8()
+    rtt = measure_rtt()
+    print(f"[bench] measured sync RTT: {rtt*1e3:.1f} ms", file=sys.stderr)
+    dt, gbps, pct = bench_decode_int8(rtt)
     print(
-        f"[bench] int8 paged decode kv=8192: {dt*1e3:.3f} ms, {gbps:.0f} GB/s, "
-        f"{pct:.1f}% of HBM roofline",
+        f"[bench] int8 paged decode kv=8192 (b24 32q/8kv d128): {dt*1e3:.3f} ms, "
+        f"{gbps:.0f} GB/s, {pct:.1f}% of HBM roofline",
         file=sys.stderr,
     )
     try:
-        dtb, gbpsb = bench_decode_bf16()
+        dtb, gbpsb, pctb = bench_decode_bf16(rtt)
         print(
-            f"[bench] bf16 decode kv=8192 (b24 h24): {dtb*1e3:.3f} ms, "
-            f"{gbpsb:.0f} GB/s",
+            f"[bench] bf16 decode kv=8192 (b24 h24 MHA): {dtb*1e3:.3f} ms, "
+            f"{gbpsb:.0f} GB/s, {pctb:.1f}% roofline",
             file=sys.stderr,
         )
-        dtp, tflops = bench_prefill()
+        dtp, tflops = bench_prefill(rtt)
         print(
             f"[bench] bf16 causal prefill b8 s2048 h24 d128: {dtp*1e3:.3f} ms, "
             f"{tflops:.1f} TFLOP/s",

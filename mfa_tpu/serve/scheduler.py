@@ -26,6 +26,19 @@ from typing import Deque, Dict, List, Optional, Sequence
 from mfa_tpu.cache.paged_cache import PageAllocator
 
 
+def _make_allocator(num_pages: int, use_native: bool):
+    """Prefer the C++ runtime allocator (csrc/runtime.cpp) when built;
+    fall back to the pure-Python free list."""
+    if use_native:
+        try:
+            from mfa_tpu.utils.native import NativeAllocator
+
+            return NativeAllocator(num_pages)
+        except (RuntimeError, OSError, ImportError):
+            pass
+    return PageAllocator(num_pages)
+
+
 @dataclasses.dataclass
 class Request:
     uid: int
@@ -56,11 +69,11 @@ class Scheduler:
     """Admission + page bookkeeping for one model replica."""
 
     def __init__(self, max_seqs: int, pages_per_seq: int, page_size: int,
-                 num_pages: int):
+                 num_pages: int, use_native: bool = True):
         self.max_seqs = max_seqs
         self.pages_per_seq = pages_per_seq
         self.page_size = page_size
-        self.allocator = PageAllocator(num_pages)
+        self.allocator = _make_allocator(num_pages, use_native)
         self.waiting: Deque[Request] = deque()
         self.active: Dict[int, Request] = {}  # slot -> request
         self._free_slots = list(range(max_seqs - 1, -1, -1))
@@ -74,15 +87,21 @@ class Scheduler:
 
     def admit(self) -> List[Request]:
         """Admit waiting requests while slots + prompt pages are available.
-        Returns the newly admitted requests (caller runs prefill on them)."""
+        Returns the newly admitted requests (caller runs prefill on them).
+        The admission decision runs in the native runtime when built
+        (csrc/runtime.cpp mfa_admit), with identical Python fallback."""
+        from mfa_tpu.utils.native import admit as native_admit
+
+        if not self.waiting or not self._free_slots:
+            return []
+        lens = [len(r.prompt) for r in self.waiting]
+        n, pages_needed = native_admit(
+            lens, len(self._free_slots), self.allocator.free_pages,
+            self.page_size,
+        )
         admitted = []
-        while self.waiting and self._free_slots:
-            req = self.waiting[0]
-            n_pages = -(-len(req.prompt) // self.page_size) or 1
-            # one page headroom so the first decode token can't OOM
-            if self.allocator.free_pages < n_pages + 1:
-                break
-            self.waiting.popleft()
+        for n_pages in pages_needed:
+            req = self.waiting.popleft()
             req.slot = self._free_slots.pop()
             req.pages = self.allocator.alloc(n_pages)
             self.active[req.slot] = req
