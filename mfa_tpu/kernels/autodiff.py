@@ -3,20 +3,10 @@
 The reference is inference-only — no backward pass exists anywhere
 (SURVEY.md §0). The TPU framework still needs gradients so the flagship
 model has a real training step (and so users can fine-tune with the same
-attention op they serve with). Forward is the Pallas prefill kernel;
-backward is the standard flash-attention VJP math evaluated in fp32 jnp —
-XLA fuses it into a handful of matmuls. It materializes the (block-free)
-score matrix, so it is O(seq^2) memory per head: correct and fast enough
-for training at moderate sequence lengths; a tiled Pallas backward (dKV/dQ
-kernels) is the planned replacement and will slot in behind the same
-custom_vjp signature.
-
-Math (top-left causal, GQA folding as in the forward):
-  S = scale * Q K^T (masked),  P = softmax(S),  O = P V
-  dV = P^T dO
-  dP = dO V^T
-  dS = P * (dP - rowsum(dO * O))
-  dQ = scale * dS K;  dK = scale * dS^T Q  (dK/dV summed over the q-head group)
+attention op they serve with). Forward is the Pallas prefill kernel with
+LSE residuals; backward is the tiled Pallas dKV/dQ recomputation kernels
+(mfa_tpu/kernels/backward.py) — O(seq) memory, flash-style. A dense jnp
+backward (`_bwd_jnp_reference`) is kept as the numerical oracle for tests.
 """
 
 from __future__ import annotations
@@ -53,11 +43,21 @@ def flash_attention_grad(
 
 
 def _fwd(q, k, v, causal, softmax_scale, window_size):
-    out = prefill_attention(
+    out, lse = prefill_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
-        window_size=window_size,
+        window_size=window_size, return_lse=True,
     )
-    return out, (q, k, v, out)
+    return out, (q, k, v, out, lse)
+
+
+def _bwd(causal, softmax_scale, window_size, res, do):
+    from mfa_tpu.kernels.backward import flash_attention_bwd
+
+    q, k, v, out, lse = res
+    return flash_attention_bwd(
+        q, k, v, out, lse, do,
+        causal=causal, softmax_scale=softmax_scale, window_size=window_size,
+    )
 
 
 def _mask(sq, sk, causal, window_size):
@@ -74,7 +74,9 @@ def _mask(sq, sk, causal, window_size):
     return m
 
 
-def _bwd(causal, softmax_scale, window_size, res, do):
+def _bwd_jnp_reference(causal, softmax_scale, window_size, res, do):
+    """O(seq^2)-memory jnp backward — kept as the numerical reference for
+    tests of the Pallas backward (mfa_tpu/kernels/backward.py)."""
     q, k, v, out = res
     b, hq, sq, d = q.shape
     hkv = k.shape[1]

@@ -1,0 +1,341 @@
+"""Pallas TPU flash-attention backward kernels (dQ, dK, dV).
+
+No reference counterpart — the CUDA reference is forward-only (SURVEY.md
+§0) — but a training-grade framework needs a memory-efficient backward.
+This is the standard FlashAttention-2 VJP recomputation scheme as two
+Pallas kernels (the same split as the public JAX implementation: a dKV
+kernel iterating Q blocks per KV block, and a dQ kernel iterating KV
+blocks per Q block), never materializing the full score matrix:
+
+  delta = rowsum(dO * O)                      (jnp, one fused pass)
+  p     = exp2(scale_log2e * (Q K^T) - LSE_2) (recomputed per tile)
+  dV   += P^T dO
+  dS    = P * (dO V^T - delta) * scale
+  dK   += dS^T Q
+  dQ   += dS K
+
+GQA: the dKV kernel's grid carries an explicit group axis per kv head and
+accumulates dK/dV across the q-head group in VMEM scratch (the sequential
+TPU grid makes this race-free by construction — the analog of the
+reference's "correctness by __syncthreads discipline" note, SURVEY.md §5).
+Causal/window block skipping mirrors the forward: `pl.when` + clamped
+index maps so skipped tiles trigger no DMA.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfa_tpu.dispatch.config import (
+    cdiv,
+    default_interpret,
+    round_up,
+    softmax_scale_default,
+)
+from mfa_tpu.kernels.prefill import _kv_block_bounds
+
+_LOG2E = math.log2(math.e)
+_MASK = -1e30
+
+
+def _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k, window_left,
+               window_right):
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + i * block_q
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + j * block_k
+    mask = jnp.logical_and(row < seqlen_q, col < seqlen_k)
+    if window_right >= 0:
+        mask = jnp.logical_and(mask, col <= row + window_right)
+    if window_left >= 0:
+        mask = jnp.logical_and(mask, col >= row - window_left)
+    return mask
+
+
+def _recompute_p(q, k, lse, mask, scale_log2e):
+    """P tile from saved LSE. lse: [bq, 1] natural-log."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s2 = s * scale_log2e - lse * _LOG2E  # log2 domain
+    p = jnp.exp2(s2)
+    return jnp.where(mask, p, 0.0), s
+
+
+def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
+                    window_right):
+    """Q blocks that see kv block j (transpose of _kv_block_bounds)."""
+    if window_right >= 0:
+        first = jnp.maximum(0, (j * block_k - window_right) // block_q)
+    else:
+        first = 0
+    if window_left >= 0:
+        last = jnp.minimum(
+            num_q_blocks - 1, ((j + 1) * block_k - 1 + window_left) // block_q
+        )
+    else:
+        last = num_q_blocks - 1
+    return first, last
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    num_q_blocks: int,
+    group: int,
+    window_left: int,
+    window_right: int,
+):
+    j = pl.program_id(2)  # kv block
+    g = pl.program_id(3)  # q-head group member (inner: accumulates per j)
+    i = pl.program_id(4)  # q block
+
+    @pl.when(jnp.logical_and(g == 0, i == 0))
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    first_i, last_i = _q_block_bounds(
+        j, block_q, block_k, num_q_blocks, window_left, window_right
+    )
+    run = jnp.logical_and(i >= first_i, i <= last_i)
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]  # [bq, 1]
+        delta = delta_ref[0, 0]  # [bq, 1]
+        mask = _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
+                          window_left, window_right)
+        p, _ = _recompute_p(q, k, lse, mask, scale * _LOG2E)
+
+        # dV += P^T dO
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dS = P * (dO V^T - delta) * scale
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        # dK += dS^T Q
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jnp.logical_and(g == group - 1, i == num_q_blocks - 1))
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_acc,
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    num_kv_blocks: int,
+    window_left: int,
+    window_right: int,
+):
+    i = pl.program_id(2)  # q block
+    j = pl.program_id(3)  # kv block
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    first_j, last_j = _kv_block_bounds(
+        i, block_q, block_k, num_kv_blocks, window_left, window_right
+    )
+    run = jnp.logical_and(j >= first_j, j <= last_j)
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        mask = _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
+                          window_left, window_right)
+        p, _ = _recompute_p(q, k, lse, mask, scale * _LOG2E)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == last_j)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "softmax_scale", "window_size", "block_q",
+                     "block_k", "interpret"),
+)
+def flash_attention_bwd(
+    q: jax.Array,  # [b, hq, sq, d]
+    k: jax.Array,  # [b, hkv, sk, d]
+    v: jax.Array,
+    out: jax.Array,  # forward output
+    lse: jax.Array,  # [b, hq, sq] natural-log LSE from forward
+    do: jax.Array,
+    *,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: tuple[int, int] = (-1, -1),
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """-> (dq, dk, dv) on the [b, h, s, d] layout."""
+    batch, num_heads, sq, head_dim = q.shape
+    _, num_kv_heads, sk, _ = k.shape
+    group = num_heads // num_kv_heads
+    if softmax_scale is None:
+        softmax_scale = softmax_scale_default(head_dim)
+    if interpret is None:
+        interpret = default_interpret()
+    window_left, window_right = window_size
+    if causal:
+        window_right = 0
+
+    bq = min(block_q, round_up(sq, 8))
+    bk = min(block_k, round_up(sk, 128))
+    sq_p = round_up(sq, bq)
+    sk_p = round_up(sk, bk)
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [b, hq, sq]
+
+    def pad_s(x, target, axis=2):
+        padw = [(0, 0)] * x.ndim
+        padw[axis] = (0, target - x.shape[axis])
+        return jnp.pad(x, padw) if target != x.shape[axis] else x
+
+    qp = pad_s(q, sq_p)
+    dop = pad_s(do, sq_p)
+    kp = pad_s(k, sk_p)
+    vp = pad_s(v, sk_p)
+    lsep = pad_s(lse[..., None], sq_p)  # [b, hq, sq_p, 1]
+    deltap = pad_s(delta[..., None], sq_p)
+
+    num_q_blocks = sq_p // bq
+    num_kv_blocks = sk_p // bk
+
+    # ---------------- dKV ----------------
+    def q_idx_dkv(b, h, j, g, i):
+        first, last = _q_block_bounds(j, bq, bk, num_q_blocks, window_left,
+                                      window_right)
+        return (b, h * group + g, jnp.clip(i, first, last), 0)
+
+    dkv_grid = (batch, num_kv_heads, num_kv_blocks, group, num_q_blocks)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel,
+            scale=float(softmax_scale),
+            block_q=bq, block_k=bk,
+            seqlen_q=sq, seqlen_k=sk,
+            num_q_blocks=num_q_blocks,
+            group=group,
+            window_left=window_left, window_right=window_right,
+        ),
+        grid=dkv_grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
+            pl.BlockSpec((1, 1, bk, head_dim), lambda b, h, j, g, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, head_dim), lambda b, h, j, g, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
+            pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
+            pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, head_dim), lambda b, h, j, g, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, head_dim), lambda b, h, j, g, i: (b, h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim), k.dtype),
+            jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, head_dim), jnp.float32),
+            pltpu.VMEM((bk, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    # ---------------- dQ ----------------
+    def kv_idx_dq(b, h, i, j):
+        first, last = _kv_block_bounds(i, bq, bk, num_kv_blocks, window_left,
+                                       window_right)
+        return (b, h // group, jnp.clip(j, first, last), 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel,
+            scale=float(softmax_scale),
+            block_q=bq, block_k=bk,
+            seqlen_q=sq, seqlen_k=sk,
+            num_kv_blocks=num_kv_blocks,
+            window_left=window_left, window_right=window_right,
+        ),
+        grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_heads, sq_p, head_dim), q.dtype
+        ),
+        scratch_shapes=[pltpu.VMEM((bq, head_dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
