@@ -63,20 +63,39 @@ def measure_rtt() -> float:
     return ts[len(ts) // 2]
 
 
-def scan_timeit(step_fn, carry0, iters: int = 32, rtt: float = 0.0) -> float:
-    """Per-iteration seconds of step_fn, measured inside one device program."""
+def scan_timeit(step_fn, carry0, args=(), iters: int = 0,
+                rtt: float = 0.0, target_s: float = 0.75) -> float:
+    """Per-iteration seconds of step_fn(carry, *args), measured inside one
+    device program. Large arrays MUST be passed via `args`, not closed over
+    — jit-embedded constants are re-shipped through the tunnel at compile.
+
+    Methodology: run the scan at N and 2N iterations and difference the
+    wall times — this cancels the (large, jittery) tunnel RTT exactly. N is
+    auto-sized from a pilot run so device time dominates RTT jitter.
+    """
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def run(c, n):
-        return lax.scan(lambda c, _: (step_fn(c), ()), c, None, length=n)[0]
+    def run(c, n, *a):
+        return lax.scan(lambda c, _: (step_fn(c, *a), ()), c, None, length=n)[0]
 
-    _ = _readback(run(carry0, iters))  # compile + warm
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _ = _readback(run(carry0, iters))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - rtt, 1e-9) / iters
+    def measure(n):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _ = _readback(run(carry0, n, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    if iters <= 0:
+        _ = _readback(run(carry0, 8, *args))  # compile + warm pilot
+        pilot = measure(8)
+        est = max((pilot - rtt) / 8, 1e-6)
+        iters = int(min(512, max(8, target_s / est)))
+    _ = _readback(run(carry0, iters, *args))  # compile N
+    _ = _readback(run(carry0, 2 * iters, *args))  # compile 2N
+    t_n = measure(iters)
+    t_2n = measure(2 * iters)
+    return max(t_2n - t_n, 1e-9) / iters
 
 
 def _chain(q, out):
@@ -103,11 +122,11 @@ def bench_decode_int8(rtt, batch=24, heads=32, kv_heads=8, d=128, kv_len=8192,
     lens = jnp.full((batch,), kv_len, jnp.int32)
     jax.block_until_ready((kq, vq, ks, vs))
 
-    def step(q):
+    def step(q, kq, vq, lens, table, ks, vs):
         out = paged_attention(q, kq, vq, lens, table, k_scales=ks, v_scales=vs)
         return _chain(q, out)
 
-    dt = scan_timeit(step, q0, iters=16, rtt=rtt)
+    dt = scan_timeit(step, q0, args=(kq, vq, lens, table, ks, vs), rtt=rtt)
 
     payload = 2 * batch * kv_heads * kv_len * d  # int8 K+V
     scales = 2 * batch * kv_heads * kv_len * 4  # fp32 row scales
@@ -126,10 +145,10 @@ def bench_decode_bf16(rtt, batch=24, heads=24, kv_heads=24, d=128, kv_len=8192):
     v = jax.random.normal(jax.random.key(2), (batch, kv_heads, kv_len, d), jnp.bfloat16)
     lens = jnp.full((batch,), kv_len, jnp.int32)
 
-    def step(q):
+    def step(q, k, v, lens):
         return _chain(q, decode_attention(q, k, v, lens))
 
-    dt = scan_timeit(step, q0, iters=8, rtt=rtt)
+    dt = scan_timeit(step, q0, args=(k, v, lens), rtt=rtt)
     bytes_moved = 2 * batch * kv_heads * kv_len * d * 2
     return dt, bytes_moved / dt / 1e9, 100.0 * bytes_moved / dt / device_bw()
 
@@ -141,10 +160,10 @@ def bench_prefill(rtt, batch=8, seq=2048, heads=24, d=128):
     k = jax.random.normal(jax.random.key(1), (batch, heads, seq, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.key(2), (batch, heads, seq, d), jnp.bfloat16)
 
-    def step(q):
+    def step(q, k, v):
         return _chain(q, prefill_attention(q, k, v, causal=True))
 
-    dt = scan_timeit(step, q0, iters=8, rtt=rtt)
+    dt = scan_timeit(step, q0, args=(k, v), rtt=rtt)
     flops = 4 * batch * heads * seq * seq * d * 0.5  # causal
     return dt, flops / dt / 1e12
 

@@ -160,7 +160,7 @@ def decode_attention(
     *,
     softmax_scale: Optional[float] = None,
     num_splits: int = 0,
-    block_k: int = 512,
+    block_k: int = 2048,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -247,6 +247,7 @@ def decode_attention(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * batch * num_heads * max_s * head_dim),

@@ -4,26 +4,30 @@ TPU-native re-design of the reference paged decode path
 (csrc/mfa/decode.cuh:47-77 paged addressing; api.cpp:242-257 paged params).
 The reference addresses one 64-row KV tile through a single block-table
 entry (page_block_size >= kBlockN constraint, SURVEY.md §2.4 warning); here
-pages are gathered with one async DMA per page into a double-buffered VMEM
-block, so any page size >= 8 works and non-contiguous tables are free.
+pages are gathered with async DMA into double-buffered VMEM blocks, so any
+page size >= 8 works and non-contiguous tables are free.
 
-Design (cf. the public jax paged_attention pattern, SNIPPETS.md [3]):
-- K/V pages stay in HBM (`pltpu.ANY`); the kernel issues per-page
-  `pltpu.make_async_copy` into `(2, pages_per_block, page, d)` VMEM buffers
-  — all pages of a block in flight concurrently, next block prefetched
-  while the current one is computed (the cp.async double-buffer pipeline of
-  prefill.cuh:755-791, done with explicit DMA instead of BlockSpecs because
-  the addressing is data-dependent).
-- `lengths` and the flattened `block_table` are scalar-prefetched so DMA
+Performance shape (measured on v5e): decode is DMA-issue-latency-bound, so
+the kernel minimizes descriptor count, not just bytes:
+
+- One grid cell per (sequence, KV compute block) handles **all kv heads**:
+  each page is fetched with a single strided DMA covering every head
+  (src `pages.at[:, page_id]`, dst head-major VMEM `buf.at[slot, :, j]`),
+  so a block of P pages costs 2P descriptors total instead of
+  2P * num_kv_heads.
+- VMEM buffers are head-major `(2, hkv, pages, page, d)` so each head's
+  tokens are contiguous and reshape to [block_tokens, d] for the MXU with
+  no relayout.
+- The next block (possibly of the next sequence) is prefetched while the
+  current one is computed (the cp.async double-buffer pipeline of
+  prefill.cuh:755-791 with data-dependent addressing).
+- `lengths` + flattened `block_table` are scalar-prefetched so DMA
   addresses are known before the body runs.
 - Quantized KV (INT8 / FP8, no reference counterpart — BASELINE.json north
-  star): pages are stored quantized with one fp32 scale per (kv_head,
-  token-row). Dequantization never touches the payload: K row scales are
-  applied to score *columns* after QK^T and V row scales are folded into
-  the probabilities before PV, so the MXU consumes the raw converted
-  payload and the VPU does O(tokens) extra work, not O(tokens*d).
-- Per-batch output is written once, at that sequence's last valid block
-  (data-dependent; replaces the reference's grid-wide combine for splits).
+  star): one fp32 scale per (kv_head, token-row); K scales multiply score
+  *columns* after QK^T and V scales fold into the probabilities, so the
+  MXU consumes raw converted payload and dequant is O(tokens) VPU work.
+- Per-sequence output is written once, at that sequence's last valid block.
 """
 
 from __future__ import annotations
@@ -50,13 +54,17 @@ _MASK = -1e30
 _LANES = 128
 
 
-def _make_page_copy(pages_hbm, buf, sems, table_ref, *, h, table_base, j, slot,
-                    num_pages):
-    """Async copy of one KV page: HBM[h, page_id] -> buf[slot, j]."""
+def _page_copy(pages_hbm, buf, sems, table_ref, *, table_base, j, slot,
+               num_pages):
+    """One strided DMA: page `table[table_base+j]` for ALL kv heads.
+
+    src [hkv, page, d] (strided over heads) -> dst buf[slot, :, j] (head-
+    major). One descriptor per page instead of one per (page, head).
+    """
     page_id = jnp.clip(table_ref[table_base + j], 0, num_pages - 1)
     return pltpu.make_async_copy(
-        pages_hbm.at[h, page_id],
-        buf.at[slot, j],
+        pages_hbm.at[:, page_id],
+        buf.at[slot, :, j],
         sems.at[slot, j],
     )
 
@@ -64,21 +72,21 @@ def _make_page_copy(pages_hbm, buf, sems, table_ref, *, h, table_base, j, slot,
 def _paged_kernel_body(
     lens_ref,
     table_ref,
-    q_ref,
-    k_scale_ref,
+    q_ref,  # [1, hkv, group_p, d]
+    k_scale_ref,  # [1, hkv, 1, bt] or None
     v_scale_ref,
-    k_pages,
+    k_pages,  # HBM [hkv, P, page, d]
     v_pages,
-    o_ref,
-    lse_ref,
-    m_scr,
+    o_ref,  # [1, hkv, group_p, d] fp32
+    lse_ref,  # [1, hkv, group_p, LANES] fp32
+    m_scr,  # [hkv, group_p, LANES]
     l_scr,
-    acc_scr,
-    k_buf,
+    acc_scr,  # [hkv, group_p, d]
+    k_buf,  # [2, hkv, ppb, page, d]
     v_buf,
-    k_sems,
+    k_sems,  # [2, ppb]
     v_sems,
-    state_ref,
+    state_ref,  # SMEM [2]: (pipeline armed, current slot)
     *,
     scale_log2e: float,
     page_size: int,
@@ -90,50 +98,61 @@ def _paged_kernel_body(
     max_blocks: int,
     quantized: bool,
 ):
-    b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    bt = page_size * pages_per_block  # tokens per compute block
+    b, i = pl.program_id(0), pl.program_id(1)
+    bt = page_size * pages_per_block
     length = lens_ref[b]
 
-    @pl.when(jnp.logical_and(b == 0, jnp.logical_and(h == 0, i == 0)))
+    @pl.when(jnp.logical_and(b == 0, i == 0))
     def _init_state():
-        # Scratch is uninitialized at grid start; arm the pipeline flags.
         state_ref[0] = 0
         state_ref[1] = 0
 
-    def start_block(bb, hh, blk, slot):
+    def _page_valid(bb, blk, j):
+        # Page j of block blk holds tokens >= its first token's position.
+        return (blk * bt + j * page_size) < lens_ref[bb]
+
+    def start_block(bb, blk, slot):
         base = bb * pages_per_seq + blk * pages_per_block
         for j in range(pages_per_block):
-            _make_page_copy(
-                k_pages, k_buf, k_sems, table_ref,
-                h=hh, table_base=base, j=j, slot=slot, num_pages=num_pages,
-            ).start()
-            _make_page_copy(
-                v_pages, v_buf, v_sems, table_ref,
-                h=hh, table_base=base, j=j, slot=slot, num_pages=num_pages,
-            ).start()
+            valid = _page_valid(bb, blk, j)
 
-    def wait_block(bb, hh, blk, slot):
+            @pl.when(valid)
+            def _fetch(j=j):
+                _page_copy(k_pages, k_buf, k_sems, table_ref,
+                           table_base=base, j=j, slot=slot,
+                           num_pages=num_pages).start()
+                _page_copy(v_pages, v_buf, v_sems, table_ref,
+                           table_base=base, j=j, slot=slot,
+                           num_pages=num_pages).start()
+
+            @pl.when(jnp.logical_not(valid))
+            def _zero(j=j):
+                # Zero V so masked (weight==0) columns can't inject NaN/Inf
+                # through the PV matmul; K needs nothing (scores are
+                # replaced, not added, under the length mask).
+                v_buf[slot, :, j] = jnp.zeros_like(v_buf[slot, :, j])
+
+    def wait_block(bb, blk, slot):
         base = bb * pages_per_seq + blk * pages_per_block
         for j in range(pages_per_block):
-            _make_page_copy(
-                k_pages, k_buf, k_sems, table_ref,
-                h=hh, table_base=base, j=j, slot=slot, num_pages=num_pages,
-            ).wait()
-            _make_page_copy(
-                v_pages, v_buf, v_sems, table_ref,
-                h=hh, table_base=base, j=j, slot=slot, num_pages=num_pages,
-            ).wait()
+            @pl.when(_page_valid(bb, blk, j))
+            def _wait(j=j):
+                _page_copy(k_pages, k_buf, k_sems, table_ref,
+                           table_base=base, j=j, slot=slot,
+                           num_pages=num_pages).wait()
+                _page_copy(v_pages, v_buf, v_sems, table_ref,
+                           table_base=base, j=j, slot=slot,
+                           num_pages=num_pages).wait()
 
-    def next_valid_cell(bb, hh, blk):
-        """Lexicographic successor, skipping past-length blocks and empty seqs."""
+    def next_valid_cell(bb, blk):
+        """Lexicographic successor, skipping past-length blocks and empty
+        sequences."""
         blk1 = blk + 1
         seq_done = jnp.logical_or(
             blk1 * bt >= lens_ref[bb], blk1 >= max_blocks
         )
-        hh1 = jnp.where(seq_done, hh + 1, hh)
+        bb1 = jnp.where(seq_done, bb + 1, bb)
         blk1 = jnp.where(seq_done, 0, blk1)
-        bb1 = jnp.where(hh1 == num_kv_heads, bb + 1, bb)
-        hh1 = jnp.where(hh1 == num_kv_heads, 0, hh1)
 
         def skip_empty(carry):
             return jnp.logical_and(
@@ -141,14 +160,13 @@ def _paged_kernel_body(
             )
 
         bb2 = jax.lax.while_loop(skip_empty, lambda c: c + 1, bb1)
-        return bb2, hh1, blk1
+        return bb2, blk1
 
     @pl.when(jnp.logical_and(length == 0, i == 0))
     def _zero_out():
-        # Zero-length sequence: defined output (reference writes nothing;
-        # we emit zeros for determinism).
-        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
-        lse_ref[0, 0] = jnp.full_like(lse_ref[0, 0], -jnp.inf)
+        # Zero-length sequence: defined output (reference writes nothing).
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+        lse_ref[0] = jnp.full_like(lse_ref[0], -jnp.inf)
 
     block_valid = i * bt < length
 
@@ -165,65 +183,67 @@ def _paged_kernel_body(
         def _bootstrap():
             state_ref[0] = 1
             state_ref[1] = 0
-            start_block(b, h, i, 0)
+            start_block(b, i, 0)
 
         slot = state_ref[1]
 
-        # Prefetch the next valid block into the other buffer.
-        nb, nh, ni = next_valid_cell(b, h, i)
+        nb, ni = next_valid_cell(b, i)
 
         @pl.when(nb < batch)
         def _prefetch():
-            start_block(nb, nh, ni, 1 - slot)
+            start_block(nb, ni, 1 - slot)
             state_ref[1] = 1 - slot
 
-        wait_block(b, h, i, slot)
+        wait_block(b, i, slot)
 
-        q = q_ref[0, 0]  # [group_p, d]
-        k = k_buf[slot].reshape(bt, -1)  # [bt, d] payload dtype
-        v = v_buf[slot].reshape(bt, -1)
-        if quantized:
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
-
-        sc = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1) + i * bt
         )
-        if quantized:
-            # K row scales apply to score columns: s[g, t] *= k_scale[t]
-            sc = sc * k_scale_ref[0, 0]  # [1, bt] broadcast over rows
-        sc = sc * scale_log2e
-        col = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1) + i * bt
-        sc = jnp.where(col < length, sc, _MASK)
-
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_cur = jnp.max(sc, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(sc - m_next[:, :1])
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-
-        if quantized:
-            # V row scales fold into the probabilities: p[g, t] *= v_scale[t]
-            p = p * v_scale_ref[0, 0]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
-
+        in_len = col < length
         last_block = cdiv(length, bt) - 1
+
+        for h in range(num_kv_heads):  # static unroll over kv heads
+            q = q_ref[0, h]  # [group_p, d]
+            k = k_buf[slot, h].reshape(bt, -1)
+            v = v_buf[slot, h].reshape(bt, -1)
+            if quantized:
+                k = k.astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16)
+
+            sc = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if quantized:
+                sc = sc * k_scale_ref[0, 0, h : h + 1, :]  # [1, bt] K row scales
+            sc = sc * scale_log2e
+            sc = jnp.where(in_len, sc, _MASK)
+
+            m_prev = m_scr[h]
+            l_prev = l_scr[h]
+            m_cur = jnp.max(sc, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(sc - m_next[:, :1])
+            l_scr[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[h] = m_next
+
+            if quantized:
+                p = p * v_scale_ref[0, 0, h : h + 1, :]  # V row scales fold into probs
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[h] = acc_scr[h] * alpha[:, :1] + pv
 
         @pl.when(i == last_block)
         def _store():
-            l = l_scr[:, :1]
+            l = l_scr[...][:, :, :1]
             l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
-            o_ref[0, 0] = acc_scr[...] / l_safe
-            lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)
+            o_ref[0] = acc_scr[...] / l_safe
+            lse = m_scr[...][:, :, :1] * _LN2 + jnp.log(l_safe)
             lse = jnp.where(l == 0.0, -jnp.inf, lse)
-            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def paged_attention(
@@ -263,7 +283,15 @@ def paged_attention(
         interpret = default_interpret()
 
     if pages_per_compute_block is None:
-        pages_per_compute_block = max(1, min(pages_per_seq, 512 // page_size))
+        # Bigger compute blocks = fewer grid cells and fewer, larger DMA
+        # descriptor batches (the kernel is issue-latency-bound; measured
+        # 93% of roofline with whole-sequence blocks at kv=8192). Per-page
+        # DMA skipping makes oversized blocks free for short sequences.
+        # Capped so the double-buffered KV stays within the VMEM budget.
+        budget = 32 * 1024 * 1024  # bytes for the 2x2 KV buffers
+        per_page = 4 * num_kv_heads * page_size * head_dim * k_pages.dtype.itemsize
+        ppb_vmem = max(1, budget // per_page)
+        pages_per_compute_block = max(1, min(pages_per_seq, ppb_vmem))
     ppb = pages_per_compute_block
     bt = ppb * page_size
     max_blocks = cdiv(pages_per_seq, ppb)
@@ -272,42 +300,42 @@ def paged_attention(
     qg = q.reshape(batch, num_kv_heads, group, head_dim)
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
-    if quantized and qg.dtype != jnp.bfloat16:
+    if quantized and qg.dtype not in (jnp.bfloat16, jnp.float32):
         qg = qg.astype(jnp.bfloat16)
 
     lens32 = jnp.asarray(cache_seqlens, jnp.int32)
     table_flat = jnp.asarray(block_table, jnp.int32).reshape(-1)
 
     in_specs = [
-        pl.BlockSpec(
-            (1, 1, group_p, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)
-        ),
+        pl.BlockSpec((1, num_kv_heads, group_p, head_dim),
+                     lambda b, i, *refs: (b, 0, 0, 0)),
     ]
     inputs = [qg]
     if quantized:
         # Gather per-row scales by block table outside the kernel (tiny:
-        # 4 bytes/token vs ~2*head_dim payload bytes/token).
+        # 4 bytes/token vs ~head_dim payload bytes/token).
         def gather_scales(scales):
             g = scales[:, block_table]  # [hkv, b, pages_per_seq, page]
             g = jnp.transpose(g, (1, 0, 2, 3)).reshape(batch, num_kv_heads, -1)
             pad = max_blocks * bt - g.shape[-1]
             if pad:
                 g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
-            return g.reshape(batch, num_kv_heads, 1, max_blocks * bt)
+            # [b, max_blocks, hkv, bt]: the (hkv, bt) trailing dims satisfy
+            # Mosaic's (full, 128-multiple) block tiling rule.
+            return jnp.transpose(
+                g.reshape(batch, num_kv_heads, max_blocks, bt), (0, 2, 1, 3)
+            )
 
         scale_spec = pl.BlockSpec(
-            (1, 1, 1, bt), lambda b, h, i, *refs: (b, h, 0, i)
+            (1, 1, num_kv_heads, bt), lambda b, i, *refs: (b, i, 0, 0)
         )
         in_specs += [scale_spec, scale_spec]
         inputs += [gather_scales(k_scales), gather_scales(v_scales)]
-    else:
-        in_specs += [None, None]  # placeholder — filtered below
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     inputs += [k_pages, v_pages]
-    in_specs = [s for s in in_specs if s is not None]
 
     body = functools.partial(
         _paged_kernel_body,
@@ -329,25 +357,29 @@ def paged_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(batch, num_kv_heads, max_blocks),
+        grid=(batch, max_blocks),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, group_p, head_dim), lambda b, h, i, *refs: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, group_p, _LANES), lambda b, h, i, *refs: (b, h, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, group_p, head_dim),
+                         lambda b, i, *refs: (b, 0, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, group_p, _LANES),
+                         lambda b, i, *refs: (b, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((group_p, _LANES), jnp.float32),
-            pltpu.VMEM((group_p, _LANES), jnp.float32),
-            pltpu.VMEM((group_p, head_dim), jnp.float32),
-            pltpu.VMEM((2, ppb, page_size, head_dim), k_pages.dtype),
-            pltpu.VMEM((2, ppb, page_size, head_dim), v_pages.dtype),
+            pltpu.VMEM((num_kv_heads, group_p, _LANES), jnp.float32),
+            pltpu.VMEM((num_kv_heads, group_p, _LANES), jnp.float32),
+            pltpu.VMEM((num_kv_heads, group_p, head_dim), jnp.float32),
+            pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
+                       k_pages.dtype),
+            pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
+                       v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, ppb)),
             pltpu.SemaphoreType.DMA((2, ppb)),
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
 
-    payload_bytes = 2 * batch * num_kv_heads  # rough: k+v stream per step
+    kv_stream = 2 * batch * num_kv_heads  # K+V per step
     o_parts, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -360,12 +392,14 @@ def paged_attention(
             ),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(4 * batch * num_heads * pages_per_seq * page_size * head_dim),
+            flops=int(4 * batch * num_heads * pages_per_seq * page_size
+                      * head_dim),
             bytes_accessed=int(
-                payload_bytes * pages_per_seq * page_size * head_dim
+                kv_stream * pages_per_seq * page_size * head_dim
                 * k_pages.dtype.itemsize
             ),
             transcendentals=int(batch * num_heads * pages_per_seq * page_size),

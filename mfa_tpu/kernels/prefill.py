@@ -255,6 +255,7 @@ def prefill_attention(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * batch * num_heads * sq * sk * head_dim * flops_mult),

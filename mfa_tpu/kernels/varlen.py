@@ -150,8 +150,8 @@ def varlen_attention(
     causal: bool = False,
     block_table: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Packed varlen attention.
