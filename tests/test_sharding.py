@@ -110,3 +110,22 @@ def test_context_parallel_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out_cp), np.asarray(out_1), atol=2e-5, rtol=0
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_prefill(causal):
+    from mfa_tpu.shard.ring import ring_attention_prefill
+
+    mesh = make_mesh({"ctx": 4})
+    f = ring_attention_prefill(mesh, causal=causal)
+    b, h, s, d = 1, 2, 512, 64  # s sharded 4-way -> 128 per chip
+    q = jax.random.normal(jax.random.key(20), (b, h, s, d))
+    k = jax.random.normal(jax.random.key(21), (b, h, s, d))
+    v = jax.random.normal(jax.random.key(22), (b, h, s, d))
+    out = f(q, k, v)
+    ref = attention_ref(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        causal=causal,
+    )
+    assert_close(out, jnp.swapaxes(ref, 1, 2), tol=1e-4,
+                 msg=f"ring causal={causal}")
