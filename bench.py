@@ -20,88 +20,22 @@ prefill TFLOP/s) go to stderr.
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
-import time
 
 import jax
-import jax.lax as lax
 import jax.numpy as jnp
 
-# Public HBM bandwidth per chip, bytes/s.
-HBM_BW = {
-    "TPU v6 lite": 1640e9,  # Trillium
-    "TPU v5 lite": 819e9,  # v5e
-    "TPU v5p": 2765e9,
-    "TPU v5": 819e9,
-    "TPU v4": 1228e9,
-}
+import sys as _sys
+import os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
-
-def device_bw() -> float:
-    kind = jax.devices()[0].device_kind
-    for k, v in HBM_BW.items():
-        if kind.startswith(k):
-            return v
-    return 819e9
-
-
-def _readback(x) -> float:
-    return float(jax.tree.leaves(x)[0].reshape(-1)[0])
-
-
-def measure_rtt() -> float:
-    triv = jax.jit(lambda c: c + 1.0)
-    _ = _readback(triv(jnp.float32(0)))
-    ts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        _ = _readback(triv(jnp.float32(i)))
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
-
-
-def scan_timeit(step_fn, carry0, args=(), iters: int = 0,
-                rtt: float = 0.0, target_s: float = 0.75) -> float:
-    """Per-iteration seconds of step_fn(carry, *args), measured inside one
-    device program. Large arrays MUST be passed via `args`, not closed over
-    — jit-embedded constants are re-shipped through the tunnel at compile.
-
-    Methodology: run the scan at N and 2N iterations and difference the
-    wall times — this cancels the (large, jittery) tunnel RTT exactly. N is
-    auto-sized from a pilot run so device time dominates RTT jitter.
-    """
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def run(c, n, *a):
-        return lax.scan(lambda c, _: (step_fn(c, *a), ()), c, None, length=n)[0]
-
-    def measure(n):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _ = _readback(run(carry0, n, *args))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    if iters <= 0:
-        _ = _readback(run(carry0, 8, *args))  # compile + warm pilot
-        pilot = measure(8)
-        est = max((pilot - rtt) / 8, 1e-6)
-        iters = int(min(512, max(8, target_s / est)))
-    _ = _readback(run(carry0, iters, *args))  # compile N
-    _ = _readback(run(carry0, 2 * iters, *args))  # compile 2N
-    t_n = measure(iters)
-    t_2n = measure(2 * iters)
-    return max(t_2n - t_n, 1e-9) / iters
-
-
-def _chain(q, out):
-    """Data-depend q on out without changing its value in bf16/f32 ulps
-    enough to matter, and without letting XLA fold the dependency away."""
-    return q + (out.astype(jnp.float32) * 1e-7).astype(q.dtype)
+from mfa_tpu.utils.timing import (  # noqa: E402
+    chain as _chain,
+    device_bw,
+    measure_rtt,
+    scan_timeit,
+)
 
 
 def bench_decode_int8(rtt, batch=24, heads=32, kv_heads=8, d=128, kv_len=8192,

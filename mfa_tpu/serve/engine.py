@@ -30,6 +30,7 @@ class EngineStats:
     prefill_tokens: int = 0
     decode_tokens: int = 0
     steps: int = 0
+    recoveries: int = 0
     wall_s: float = 0.0
 
     @property
@@ -75,11 +76,15 @@ class Engine:
         return req
 
     def _prefill(self, req: Request) -> int:
+        # Resumed requests (after a recovery) re-prefill their prompt plus
+        # all but the last generated token; the last one is replayed through
+        # the normal decode step.
+        tokens = req.prompt + req.generated[:-1]
         self.caches, logits = llama.prefill_step(
             self.params, self.cfg, self.caches, req.slot, req.pages,
-            jnp.asarray(req.prompt, jnp.int32),
+            jnp.asarray(tokens, jnp.int32),
         )
-        self.stats.prefill_tokens += len(req.prompt)
+        self.stats.prefill_tokens += len(tokens)
         return int(jnp.argmax(logits))
 
     def _map_new_pages(self) -> None:
@@ -98,8 +103,9 @@ class Engine:
         """One engine iteration: admit, prefill, batched decode step."""
         for req in self.sched.admit():
             first = self._prefill(req)
-            req.generated.append(first)
-            self.stats.decode_tokens += 1
+            if not req.generated:  # fresh request (not a recovery resume)
+                req.generated.append(first)
+                self.stats.decode_tokens += 1
             if req.done:
                 self._finish(req)
 
@@ -115,13 +121,9 @@ class Engine:
         for i, r in enumerate(active):
             slots[i] = r.slot
             tokens[i] = r.generated[-1]
-        # padding rows reuse slot of row 0 with length... use slot 0's values;
-        # their appended tokens land in a scratch slot: point them at the
-        # last slot row (max_seqs-1 reserved? simpler: mask after). To keep
-        # cache state clean, padding rows re-append to their own slot would
-        # corrupt it — instead pad with the first active slot and roll back
-        # lengths afterwards is messy; we avoid corruption by padding with
-        # dedicated scratch slot max_seqs-1 if free, else run unpadded.
+        # Padding rows must not corrupt live cache rows: point them at a
+        # free scratch slot (its junk append is rolled back below). If every
+        # slot is busy the batch is exactly max_seqs — run unpadded.
         pad_rows = nb - n
         if pad_rows:
             scratch = None
@@ -163,9 +165,38 @@ class Engine:
         self.sched.finish(req)
         self.caches = [release_slot(c, slot) for c in self.caches]
 
-    def run(self) -> EngineStats:
+    def recover(self) -> int:
+        """Reset device state after a failed step and requeue in-flight
+        requests (restartable batches; the reference has no failure
+        handling at all, SURVEY.md §5). Generated tokens are kept; the KV
+        is rebuilt by re-prefilling on re-admission. Returns the number of
+        requeued requests."""
+        active = sorted(self.sched.active.values(), key=lambda r: r.uid)
+        for req in list(active):
+            self.sched.finish(req)
+        # Fresh device cache state (old buffers may hold poisoned data).
+        c0 = self.caches[0]
+        self.caches = llama.build_kv_caches(
+            self.cfg, c0.num_pages, c0.page_size, c0.max_seqs,
+            c0.pages_per_seq, c0.quant_dtype,
+        )
+        for req in reversed(active):
+            self.sched.waiting.appendleft(req)
+        self.stats.recoveries += 1
+        return len(active)
+
+    def run(self, max_retries: int = 0) -> EngineStats:
+        """Drain all work. With max_retries > 0, a failing step triggers
+        recover() and the batch restarts, up to the retry budget."""
         t0 = time.time()
+        retries = 0
         while self.sched.has_work:
-            self.step()
+            try:
+                self.step()
+            except Exception:
+                if retries >= max_retries:
+                    raise
+                retries += 1
+                self.recover()
         self.stats.wall_s = time.time() - t0
         return self.stats

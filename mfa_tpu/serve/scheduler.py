@@ -94,7 +94,9 @@ class Scheduler:
 
         if not self.waiting or not self._free_slots:
             return []
-        lens = [len(r.prompt) for r in self.waiting]
+        # total_len covers resumed requests (prompt + tokens generated
+        # before a recovery re-prefill).
+        lens = [r.total_len for r in self.waiting]
         n, pages_needed = native_admit(
             lens, len(self._free_slots), self.allocator.free_pages,
             self.page_size,

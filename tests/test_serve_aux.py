@@ -1,0 +1,99 @@
+"""Serving auxiliary subsystems: failure recovery, checkpointing, timing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfa_tpu.models import llama
+
+CFG = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4, kv_heads=2,
+                             ffn=128, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(jax.random.key(0), CFG)
+
+
+def test_engine_recovery_preserves_output(params, monkeypatch):
+    """A mid-flight device failure must not change what gets generated."""
+    from mfa_tpu.serve.engine import Engine
+
+    prompt = list(np.random.RandomState(5).randint(0, CFG.vocab_size, 9))
+
+    # Ground truth: no failure.
+    eng0 = Engine(params, CFG, num_pages=32, page_size=8, max_seqs=4,
+                  pages_per_seq=8)
+    r0 = eng0.submit(prompt, 6)
+    eng0.run()
+
+    # Fault injection: decode_step raises once at the 3rd call.
+    real_decode = llama.decode_step
+    calls = {"n": 0}
+
+    def flaky_decode(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected device failure")
+        return real_decode(*args, **kwargs)
+
+    import mfa_tpu.serve.engine as engine_mod
+    monkeypatch.setattr(engine_mod.llama, "decode_step", flaky_decode)
+
+    # Without a retry budget the injected failure surfaces.
+    eng_no_retry = Engine(params, CFG, num_pages=32, page_size=8, max_seqs=4,
+                          pages_per_seq=8)
+    eng_no_retry.submit(prompt, 6)
+    with pytest.raises(RuntimeError):
+        eng_no_retry.run(max_retries=0)
+
+    calls["n"] = 0
+    eng1 = Engine(params, CFG, num_pages=32, page_size=8, max_seqs=4,
+                  pages_per_seq=8)
+    r1 = eng1.submit(prompt, 6)
+    stats = eng1.run(max_retries=2)
+    assert stats.recoveries >= 1
+    assert r1.generated == r0.generated, (r1.generated, r0.generated)
+    # pages fully recycled after recovery + completion
+    assert eng1.sched.allocator.free_pages == 31
+
+
+def test_checkpoint_roundtrip(params, tmp_path):
+    from mfa_tpu.utils.checkpoint import load_params, save_params
+
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_params(path, params)
+    like = llama.init_params(jax.random.key(1), CFG)  # different values
+    restored = load_params(path, like)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # forward parity
+    tokens = jnp.arange(10, dtype=jnp.int32)[None]
+    out1 = llama.forward(params, tokens, CFG)
+    out2 = llama.forward(restored, tokens, CFG)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_checkpoint_structure_mismatch(params, tmp_path):
+    from mfa_tpu.utils.checkpoint import load_params, save_params
+
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_params(path, params)
+    with pytest.raises(ValueError):
+        load_params(path, {"just": jnp.zeros(3)})
+
+
+def test_scan_timeit_cpu_sanity():
+    """The timing harness itself must run on CPU and return sane values."""
+    from mfa_tpu.utils.timing import scan_timeit
+
+    x = jnp.ones((256, 256))
+
+    def step(c, x):
+        return c + 0.0 * jnp.sum(x) + 1.0
+
+    dt = scan_timeit(step, jnp.float32(0), args=(x,), iters=16)
+    assert 0 < dt < 1.0
