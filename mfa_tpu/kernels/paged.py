@@ -332,8 +332,8 @@ def paged_attention(
         in_specs += [scale_spec, scale_spec]
         inputs += [gather_scales(k_scales), gather_scales(v_scales)]
     in_specs += [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs += [k_pages, v_pages]
 
