@@ -94,6 +94,120 @@ def create_cache(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StackedKVCache:
+    """All layers' paged KV state in one pytree, metadata SHARED.
+
+    The serving engine's hot loop mutates cache metadata (map pages,
+    release slots) from the host; with per-layer caches every such change
+    is n_layers eager device ops, and through a remote-dispatch link that
+    dominates the decode step. Stacking the page arrays on a leading layer
+    axis and sharing ONE block table + lengths vector across layers makes
+    every metadata mutation a single O(1)-dispatch op, and lets the model
+    lax.scan over layers (compile time O(1) in depth)."""
+
+    k_pages: jax.Array  # [layers, hkv, num_pages, page, d]
+    v_pages: jax.Array
+    k_scales: Optional[jax.Array]  # [layers, hkv, num_pages, page] fp32
+    v_scales: Optional[jax.Array]
+    block_tables: jax.Array  # [max_seqs, pages_per_seq] int32 (all layers)
+    lengths: jax.Array  # [max_seqs] int32 (all layers)
+    page_size: int = dataclasses.field(metadata=dict(static=True))
+    quant_dtype: Optional[str] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_layers(self) -> int:
+        return self.k_pages.shape[0]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k_pages.shape[1]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def head_dim(self) -> int:
+        return self.k_pages.shape[-1]
+
+    @property
+    def max_seqs(self) -> int:
+        return self.block_tables.shape[0]
+
+    @property
+    def pages_per_seq(self) -> int:
+        return self.block_tables.shape[1]
+
+
+def create_stacked_cache(
+    n_layers: int,
+    num_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    max_seqs: int,
+    pages_per_seq: int,
+    dtype=jnp.bfloat16,
+    quant_dtype: Optional[str] = None,
+) -> StackedKVCache:
+    store = storage_dtype(quant_dtype) if quant_dtype else dtype
+    shape = (n_layers, num_kv_heads, num_pages, page_size, head_dim)
+    scales = (
+        jnp.ones(shape[:-1], jnp.float32) if quant_dtype else None
+    )
+    return StackedKVCache(
+        k_pages=jnp.zeros(shape, store),
+        v_pages=jnp.zeros(shape, store),
+        k_scales=scales,
+        v_scales=None if scales is None else scales,
+        block_tables=jnp.zeros((max_seqs, pages_per_seq), jnp.int32),
+        lengths=jnp.zeros((max_seqs,), jnp.int32),
+        page_size=page_size,
+        quant_dtype=quant_dtype,
+    )
+
+
+def cache_shardings(cache: PagedKVCache, mesh, model_axis: str = "model"):
+    """NamedSharding pytree for tensor-parallel cache placement.
+
+    Pages (and scales) are sharded by KV head on `model_axis` — each chip
+    owns whole kv heads, so decode attention against the cache needs zero
+    communication (the GQA q-head group is co-located, SURVEY.md §2.8).
+    Block tables and lengths are tiny int32 metadata, replicated.
+    Use: ``jax.device_put(cache, cache_shardings(cache, mesh))``.
+    """
+    import dataclasses as _dc
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    size = mesh.shape[model_axis]
+    if cache.num_kv_heads % size != 0:
+        raise ValueError(
+            f"kv heads ({cache.num_kv_heads}) must divide over "
+            f"mesh axis '{model_axis}' ({size})"
+        )
+    rep = NamedSharding(mesh, P())
+    stacked = isinstance(cache, StackedKVCache)
+    head_spec = ((None, model_axis) if stacked else (model_axis,))
+    pages = NamedSharding(mesh, P(*head_spec, None, None, None))
+    scales = (
+        NamedSharding(mesh, P(*head_spec, None, None))
+        if cache.k_scales is not None
+        else None
+    )
+    return _dc.replace(
+        cache,
+        k_pages=pages,
+        v_pages=pages,
+        k_scales=scales,
+        v_scales=scales,
+        block_tables=rep,
+        lengths=rep,
+    )
+
+
 class PageAllocator:
     """Host-side free-list page allocator (page 0 is reserved as the null
     page so uninitialized block-table entries stay in bounds)."""
@@ -226,6 +340,19 @@ def map_page(cache: PagedKVCache, seq_slot: int, page_index: int,
     return dataclasses.replace(
         cache,
         block_tables=cache.block_tables.at[seq_slot, page_index].set(page_id),
+    )
+
+
+def map_pages(cache: PagedKVCache, seq_slots, page_indices, page_ids
+              ) -> PagedKVCache:
+    """Map many pages in ONE scatter (serving-loop hot path: per-op host
+    dispatch costs dominate if pages are mapped one at a time)."""
+    slots = jnp.asarray(seq_slots, jnp.int32)
+    idxs = jnp.asarray(page_indices, jnp.int32)
+    ids = jnp.asarray(page_ids, jnp.int32)
+    return dataclasses.replace(
+        cache,
+        block_tables=cache.block_tables.at[slots, idxs].set(ids),
     )
 
 

@@ -215,98 +215,275 @@ def train_step(params, tokens, cfg, mesh=None, lr=1e-3):
     return params, loss
 
 
+
 # ---------------- serving path (paged cache) ----------------
 
 
 def build_kv_caches(cfg: LlamaConfig, num_pages: int, page_size: int,
                     max_seqs: int, pages_per_seq: int,
                     quant_dtype: Optional[str] = None):
-    """One PagedKVCache per layer (stacked pytree list)."""
-    from mfa_tpu.cache.paged_cache import create_cache
+    """One StackedKVCache covering every layer.
 
-    return [
-        create_cache(
-            num_pages=num_pages, page_size=page_size,
-            num_kv_heads=cfg.n_kv_heads, head_dim=cfg.head_dim,
-            max_seqs=max_seqs, pages_per_seq=pages_per_seq,
-            dtype=cfg.dtype, quant_dtype=quant_dtype,
+    All layers share one block table + lengths vector (a request occupies
+    the same page slots at every layer), so host-side metadata mutations
+    (map/release) are single device ops instead of n_layers of them, and
+    prefill/decode lax.scan over the stacked layer axis — compile time and
+    dispatch overhead O(1) in depth."""
+    from mfa_tpu.cache.paged_cache import create_stacked_cache
+
+    return create_stacked_cache(
+        n_layers=cfg.n_layers, num_pages=num_pages, page_size=page_size,
+        num_kv_heads=cfg.n_kv_heads, head_dim=cfg.head_dim,
+        max_seqs=max_seqs, pages_per_seq=pages_per_seq,
+        dtype=cfg.dtype, quant_dtype=quant_dtype,
+    )
+
+
+def _prefill_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Prefill runs one sequence (batch 1): head-sharding on MODEL_AXIS is
+    usable, but a data axis of size > 1 can't shard batch 1 — in that case
+    fall back to the unsharded attention path (GSPMD still keeps the
+    matmuls sharded; serving meshes should be model-only)."""
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
+        return None
+    if DATA_AXIS in mesh.axis_names and mesh.shape[DATA_AXIS] > 1:
+        return None
+    return mesh
+
+
+def cache_shardings(cfg: LlamaConfig, cache, mesh: Mesh):
+    """Cache shardings (TP by kv head on MODEL_AXIS, layer axis replicated)."""
+    from mfa_tpu.cache.paged_cache import cache_shardings as _cs
+
+    return _cs(cache, mesh, MODEL_AXIS)
+
+
+def _store_rows(quant_dtype: Optional[str], store_dtype, x):
+    """-> (payload in cache storage dtype, per-row scales or None)."""
+    from mfa_tpu.kernels.quant import quantize_rows
+
+    if quant_dtype is None:
+        return x.astype(store_dtype), None
+    return quantize_rows(x, quant_dtype)
+
+
+def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
+                             lengths, tables, mesh: Optional[Mesh],
+                             out_dtype):
+    """Paged decode attention on one layer's pages, TP-sharded by kv head
+    when a mesh with a 'model' axis is active. q3: [n, heads, d].
+
+    Zero-communication shard_map: each chip holds whole kv heads of the
+    page pool plus the co-located GQA q-head group (q head h maps to kv
+    head h // group within the same shard)."""
+    from mfa_tpu.kernels.paged import paged_attention
+
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
+        return paged_attention(
+            q3.astype(out_dtype), k_pages, v_pages, lengths, tables,
+            k_scales=k_scales, v_scales=v_scales,
         )
-        for _ in range(cfg.n_layers)
-    ]
+
+    page_spec = P(MODEL_AXIS, None, None, None)
+    in_specs = [P(None, MODEL_AXIS, None), page_spec, page_spec, P(),
+                P(None, None)]
+    args = [q3.astype(out_dtype), k_pages, v_pages, lengths, tables]
+    if k_scales is not None:
+        in_specs += [P(MODEL_AXIS, None, None)] * 2
+        args += [k_scales, v_scales]
+
+        def _fn(q, kp, vp, lens, tab, ks, vs):
+            return paged_attention(q, kp, vp, lens, tab,
+                                   k_scales=ks, v_scales=vs)
+    else:
+
+        def _fn(q, kp, vp, lens, tab):
+            return paged_attention(q, kp, vp, lens, tab)
+
+    fn = shard_map(
+        _fn, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=P(None, MODEL_AXIS, None), check_vma=False,
+    )
+    return fn(*args)
 
 
-def _layer_params(params: Params, i: int):
-    return jax.tree.map(lambda x: x[i], params["layers"])
+def _cache_xs(cache):
+    """The per-layer-scanned leaves of a StackedKVCache."""
+    return (cache.k_pages, cache.v_pages, cache.k_scales, cache.v_scales)
 
 
-def prefill_step(params, cfg, caches, seq_slot: int, pages, tokens_1d):
-    """Run a prompt through the model, writing K/V into the paged caches.
+def prefill_step(params, cfg, cache, seq_slot: int, pages, tokens_1d,
+                 mesh: Optional[Mesh] = None):
+    """Run a prompt through the model, writing K/V into the paged cache.
 
-    Returns (caches, last_logits [vocab]). Host-side loop over layers
-    (n_layers jitted ops); fine for prompt ingestion.
+    Returns (cache, last_logits [vocab]). Fully jitted: one program scans
+    all layers (the reference's per-layer host loop pattern would cost one
+    dispatch per layer). The prompt is padded to a power-of-two number of
+    pages so the number of distinct compiled programs is O(log max_len);
+    padded positions write into the reserved null page 0 and are never
+    attended (causal mask + true-length logits index).
     """
-    from mfa_tpu.cache.paged_cache import write_prompt
+    tokens_1d = jnp.asarray(tokens_1d, jnp.int32)
+    true_len = tokens_1d.shape[0]
+    page = cache.page_size
+    n_need = -(-true_len // page)
+    n_bucket = 1 << max(n_need - 1, 0).bit_length()
+    n_bucket = min(max(n_bucket, 1), cache.pages_per_seq)
+    assert n_need <= cache.pages_per_seq, "prompt longer than table width"
+    s_pad = n_bucket * page
+    tokens_pad = jnp.pad(tokens_1d, (0, s_pad - true_len))
+    page_ids = jnp.zeros((n_bucket,), jnp.int32).at[:n_need].set(
+        jnp.asarray(list(pages[:n_need]), jnp.int32)
+    )
+    table_row = jnp.zeros((cache.pages_per_seq,), jnp.int32)
+    table_row = table_row.at[: len(pages)].set(
+        jnp.asarray(list(pages), jnp.int32)
+    )
+    return _prefill_jit(
+        params, cfg, cache, jnp.int32(seq_slot), table_row, page_ids,
+        tokens_pad, jnp.int32(true_len), mesh=mesh,
+    )
 
-    s = tokens_1d.shape[0]
-    x = params["embed"][tokens_1d][None]  # [1, s, d]
-    positions = jnp.arange(s, dtype=jnp.int32)[None]
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slot, table_row,
+                 page_ids, tokens, true_len, mesh: Optional[Mesh] = None):
+    import dataclasses as _dc
+
+    s = tokens.shape[0]
     hd = cfg.head_dim
-    new_caches = []
-    for i in range(cfg.n_layers):
-        lp = _layer_params(params, i)
+    page = cache.page_size
+    n_pages = page_ids.shape[0]
+    pmesh = _prefill_mesh(mesh)
+    x = params["embed"][tokens][None]  # [1, s, d]
+    positions = jnp.arange(s, dtype=jnp.int32)[None]
+
+    def layer_fn(x, xs):
+        lp, kp, vp, ksc, vsc = xs
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         q = (h @ lp["wq"]).reshape(1, s, cfg.n_heads, hd)
         k = (h @ lp["wk"]).reshape(1, s, cfg.n_kv_heads, hd)
         v = (h @ lp["wv"]).reshape(1, s, cfg.n_kv_heads, hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        cache = write_prompt(caches[i], seq_slot, pages, k[0], v[0])
-        new_caches.append(cache)
-        attn = _attention_sharded(q, k, v, None)
+        # page writes: [hkv, s, d] -> [hkv, n_pages, page, d]
+        kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
+                                 jnp.swapaxes(k[0], 0, 1))
+        vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
+                                 jnp.swapaxes(v[0], 0, 1))
+        kp = kp.at[:, page_ids].set(
+            kq.reshape(cfg.n_kv_heads, n_pages, page, hd))
+        vp = vp.at[:, page_ids].set(
+            vq.reshape(cfg.n_kv_heads, n_pages, page, hd))
+        if ksc is not None:
+            ksc = ksc.at[:, page_ids].set(
+                ks_new.reshape(cfg.n_kv_heads, n_pages, page))
+            vsc = vsc.at[:, page_ids].set(
+                vs_new.reshape(cfg.n_kv_heads, n_pages, page))
+        attn = _attention_sharded(q, k, v, pmesh)
         x = x + attn.reshape(1, s, cfg.n_heads * hd) @ lp["wo"]
         hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
+        return x, (kp, vp, ksc, vsc)
+
+    x, (kp, vp, ksc, vsc) = jax.lax.scan(
+        layer_fn, x, (params["layers"],) + _cache_xs(cache)
+    )
     x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x[0, -1] @ params["lm_head"]).astype(jnp.float32)
-    return new_caches, logits
+    last = jax.lax.dynamic_index_in_dim(x[0], true_len - 1, axis=0,
+                                        keepdims=False)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    cache = _dc.replace(
+        cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
+        block_tables=cache.block_tables.at[seq_slot].set(table_row),
+        lengths=cache.lengths.at[seq_slot].set(true_len),
+    )
+    return cache, logits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def decode_step(params, cfg: LlamaConfig, caches, seq_slots, tokens):
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
+                mesh: Optional[Mesh] = None):
     """One decode step for the active batch.
 
     seq_slots: [n] int32 cache rows; tokens: [n] int32 current tokens.
-    Returns (caches, logits [n, vocab]). Appends this step's K/V into the
-    caches and attends with the paged kernel.
+    Returns (cache, logits [n, vocab]). Appends this step's K/V into the
+    cache and attends with the paged kernel, scanning the stacked layer
+    axis. With a mesh carrying a 'model' axis, pages and attention are
+    TP-sharded by kv head (zero communication; GSPMD handles the
+    surrounding matmuls from the param shardings).
     """
-    from mfa_tpu.cache.paged_cache import append_token
-    from mfa_tpu.kernels.paged import paged_attention
+    import dataclasses as _dc
 
     n = tokens.shape[0]
     hd = cfg.head_dim
+    page = cache.page_size
+    lens = cache.lengths[seq_slots]  # [n]
+    write_pages = cache.block_tables[seq_slots, lens // page]  # [n]
+    offs = lens % page
+    tables = cache.block_tables[seq_slots]
+    lens_inc = lens + 1
     x = params["embed"][tokens][:, None]  # [n, 1, d]
-    positions = caches[0].lengths[seq_slots][:, None]  # [n, 1]
+    positions = lens[:, None]
 
-    new_caches = []
-    for i in range(cfg.n_layers):
-        lp = _layer_params(params, i)
+    def layer_fn(x, xs):
+        lp, kp, vp, ksc, vsc = xs
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         q = (h @ lp["wq"]).reshape(n, 1, cfg.n_heads, hd)
         k = (h @ lp["wk"]).reshape(n, 1, cfg.n_kv_heads, hd)
         v = (h @ lp["wv"]).reshape(n, 1, cfg.n_kv_heads, hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        cache = append_token(caches[i], seq_slots, k[:, 0], v[:, 0])
-        new_caches.append(cache)
-        attn = paged_attention(
-            q[:, 0].astype(cfg.dtype),
-            cache.k_pages, cache.v_pages,
-            cache.lengths[seq_slots], cache.block_tables[seq_slots],
-            k_scales=cache.k_scales, v_scales=cache.v_scales,
+        kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
+                                 jnp.swapaxes(k[:, 0], 0, 1))  # [hkv, n, d]
+        vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
+                                 jnp.swapaxes(v[:, 0], 0, 1))
+        kp = kp.at[:, write_pages, offs, :].set(kq)
+        vp = vp.at[:, write_pages, offs, :].set(vq)
+        if ksc is not None:
+            ksc = ksc.at[:, write_pages, offs].set(ks_new)
+            vsc = vsc.at[:, write_pages, offs].set(vs_new)
+        attn = _paged_attention_sharded(
+            q[:, 0], kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype
         )  # [n, heads, hd]
         x = x + (attn.reshape(n, 1, cfg.n_heads * hd)).astype(x.dtype) @ lp["wo"]
         hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
+        return x, (kp, vp, ksc, vsc)
+
+    x, (kp, vp, ksc, vsc) = jax.lax.scan(
+        layer_fn, x, (params["layers"],) + _cache_xs(cache)
+    )
     x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
-    return new_caches, logits
+    cache = _dc.replace(
+        cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
+        lengths=cache.lengths.at[seq_slots].set(lens_inc),
+    )
+    return cache, logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh"))
+def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
+                 n_steps: int, mesh: Optional[Mesh] = None):
+    """n_steps greedy decode steps fused on-device (one host round trip).
+
+    The per-step host sync (sample -> feed back) costs a device->host round
+    trip per token; on TPU the idiomatic serving loop amortizes it by
+    scanning N steps on device and reading N tokens back at once. Pages
+    for all n_steps positions must already be mapped in the block tables
+    (Scheduler.ensure_decode_pages). Returns (cache, tokens [n_steps,
+    batch]) — greedy argmax sampling.
+    """
+
+    def body(carry, _):
+        cache, toks = carry
+        cache, logits = decode_step(params, cfg, cache, seq_slots, toks,
+                                    mesh=mesh)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (cache, nxt), nxt
+
+    (cache, _), out = jax.lax.scan(
+        body, (cache, tokens), None, length=n_steps
+    )
+    return cache, out

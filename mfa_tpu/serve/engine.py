@@ -56,13 +56,28 @@ class Engine:
         pages_per_seq: int = 16,
         quant_dtype: Optional[str] = None,
         greedy: bool = True,
+        mesh=None,
     ):
-        self.params = params
+        """mesh: optional jax.sharding.Mesh with a 'model' axis for
+        tensor-parallel serving — params (llama.param_shardings) and the
+        paged caches (llama.cache_shardings) are placed across it, and
+        decode attention runs kv-head-sharded with zero communication.
+        Serving meshes should be model-only; scale-out across hosts is
+        data-parallel at the engine level (one engine replica per host
+        group, each with its own scheduler — requests never share KV)."""
+        self.mesh = mesh
         self.cfg = cfg
         self.page_size = page_size
-        self.caches = llama.build_kv_caches(
+        cache = llama.build_kv_caches(
             cfg, num_pages, page_size, max_seqs, pages_per_seq, quant_dtype
         )
+        if mesh is not None:
+            params = jax.device_put(params, llama.param_shardings(cfg, mesh))
+            cache = jax.device_put(
+                cache, llama.cache_shardings(cfg, cache, mesh)
+            )
+        self.params = params
+        self.cache = cache
         self.sched = Scheduler(max_seqs, pages_per_seq, page_size, num_pages)
         self.greedy = greedy
         self.stats = EngineStats()
@@ -80,24 +95,27 @@ class Engine:
         # all but the last generated token; the last one is replayed through
         # the normal decode step.
         tokens = req.prompt + req.generated[:-1]
-        self.caches, logits = llama.prefill_step(
-            self.params, self.cfg, self.caches, req.slot, req.pages,
-            jnp.asarray(tokens, jnp.int32),
+        self.cache, logits = llama.prefill_step(
+            self.params, self.cfg, self.cache, req.slot, req.pages,
+            jnp.asarray(tokens, jnp.int32), mesh=self.mesh,
         )
         self.stats.prefill_tokens += len(tokens)
         return int(jnp.argmax(logits))
 
-    def _map_new_pages(self) -> None:
-        from mfa_tpu.cache.paged_cache import map_page
+    def _map_new_pages(self, n: int = 1) -> None:
+        """Map pages for the next n decode positions of every active
+        request — ONE scatter for the whole batch (the shared block table
+        makes metadata mutation O(1) device ops)."""
+        from mfa_tpu.cache.paged_cache import map_pages
 
-        for req in list(self.sched.active.values()):
-            new_page = self.sched.ensure_decode_page(req)
-            if new_page is not None:
-                page_index = len(req.pages) - 1
-                self.caches = [
-                    map_page(c, req.slot, page_index, new_page)
-                    for c in self.caches
-                ]
+        m_slots, m_idx, m_ids = [], [], []
+        for req in self.sched.active.values():
+            for page_index, page_id in self.sched.ensure_decode_pages(req, n):
+                m_slots.append(req.slot)
+                m_idx.append(page_index)
+                m_ids.append(page_id)
+        if m_slots:
+            self.cache = map_pages(self.cache, m_slots, m_idx, m_ids)
 
     def step(self) -> None:
         """One engine iteration: admit, prefill, batched decode step."""
@@ -112,7 +130,7 @@ class Engine:
         active = [r for r in self.sched.active.values()]
         if not active:
             return
-        self._map_new_pages()
+        self._map_new_pages(1)
 
         n = len(active)
         nb = _bucket(n)
@@ -140,15 +158,15 @@ class Engine:
                 slots[n:] = scratch
                 tokens[n:] = 0
 
-        self.caches, logits = llama.decode_step(
-            self.params, self.cfg, self.caches,
-            jnp.asarray(slots), jnp.asarray(tokens),
+        self.cache, logits = llama.decode_step(
+            self.params, self.cfg, self.cache,
+            jnp.asarray(slots), jnp.asarray(tokens), mesh=self.mesh,
         )
         if pad_rows:
             # roll back the scratch slot the padded rows appended into
             from mfa_tpu.cache.paged_cache import release_slot
 
-            self.caches = [release_slot(c, int(slots[n])) for c in self.caches]
+            self.cache = release_slot(self.cache, int(slots[n]))
 
         next_tokens = np.asarray(jnp.argmax(logits[:n], axis=-1))
         self.stats.steps += 1
@@ -158,12 +176,86 @@ class Engine:
             if req.done:
                 self._finish(req)
 
+    def step_burst(self, n: int) -> None:
+        """Admit + prefill, then run up to n decode steps fused on-device
+        (llama.decode_burst) with ONE host round trip for all n tokens —
+        the TPU-idiomatic serving loop (per-step host syncs cost a full
+        device->host RTT each). Greedy sampling only. Requests finishing
+        mid-burst (eos) have their outputs truncated at eos; the spare
+        positions' KV appends land in the slot that is released right
+        after, so no live state is corrupted."""
+        from mfa_tpu.cache.paged_cache import release_slot
+
+        for req in self.sched.admit():
+            first = self._prefill(req)
+            if not req.generated:
+                req.generated.append(first)
+                self.stats.decode_tokens += 1
+            if req.done:
+                self._finish(req)
+
+        active = [r for r in self.sched.active.values()]
+        if not active:
+            return
+        # Burst length is bucketed to powers of two so the jitted burst
+        # program retraces O(log n) times, never per remaining-budget value
+        # (a fresh compile inside the serving loop costs seconds). Requests
+        # finishing mid-burst are truncated; their spare KV appends hit
+        # pages owned by the just-released slot, never live state.
+        rem = max(r.max_new_tokens - len(r.generated) for r in active)
+        if rem >= n:
+            n_eff = n
+        else:
+            n_eff = min(n, 1 << max(rem - 1, 0).bit_length())
+        n_eff = max(1, n_eff)
+        self._map_new_pages(n_eff)
+
+        nact = len(active)
+        nb = _bucket(nact)
+        slots = np.zeros((nb,), np.int32)
+        tokens = np.zeros((nb,), np.int32)
+        for i, r in enumerate(active):
+            slots[i] = r.slot
+            tokens[i] = r.generated[-1]
+        pad_rows = nb - nact
+        if pad_rows:
+            scratch = None
+            for s in range(self.sched.max_seqs):
+                if s not in self.sched.active:
+                    scratch = s
+                    break
+            if scratch is None:
+                nb = nact
+                slots = slots[:nact]
+                tokens = tokens[:nact]
+                pad_rows = 0
+            else:
+                slots[nact:] = scratch
+                tokens[nact:] = 0
+
+        self.cache, toks = llama.decode_burst(
+            self.params, self.cfg, self.cache,
+            jnp.asarray(slots), jnp.asarray(tokens), n_eff, mesh=self.mesh,
+        )
+        if pad_rows:
+            self.cache = release_slot(self.cache, int(slots[nact]))
+        toks_np = np.asarray(toks)  # [n_eff, nb]
+        self.stats.steps += n_eff
+        for i, req in enumerate(active):
+            for t in toks_np[:, i]:
+                if req.done:
+                    break
+                req.generated.append(int(t))
+                self.stats.decode_tokens += 1
+            if req.done:
+                self._finish(req)
+
     def _finish(self, req: Request) -> None:
         from mfa_tpu.cache.paged_cache import release_slot
 
         slot = req.slot
         self.sched.finish(req)
-        self.caches = [release_slot(c, slot) for c in self.caches]
+        self.cache = release_slot(self.cache, slot)
 
     def recover(self) -> int:
         """Reset device state after a failed step and requeue in-flight
@@ -175,24 +267,34 @@ class Engine:
         for req in list(active):
             self.sched.finish(req)
         # Fresh device cache state (old buffers may hold poisoned data).
-        c0 = self.caches[0]
-        self.caches = llama.build_kv_caches(
+        c0 = self.cache
+        cache = llama.build_kv_caches(
             self.cfg, c0.num_pages, c0.page_size, c0.max_seqs,
             c0.pages_per_seq, c0.quant_dtype,
         )
+        if self.mesh is not None:
+            cache = jax.device_put(
+                cache, llama.cache_shardings(self.cfg, cache, self.mesh)
+            )
+        self.cache = cache
         for req in reversed(active):
             self.sched.waiting.appendleft(req)
         self.stats.recoveries += 1
         return len(active)
 
-    def run(self, max_retries: int = 0) -> EngineStats:
+    def run(self, max_retries: int = 0, burst: int = 1) -> EngineStats:
         """Drain all work. With max_retries > 0, a failing step triggers
-        recover() and the batch restarts, up to the retry budget."""
+        recover() and the batch restarts, up to the retry budget. With
+        burst > 1, up to `burst` decode steps run fused on-device between
+        host syncs (greedy only; see step_burst)."""
         t0 = time.time()
         retries = 0
         while self.sched.has_work:
             try:
-                self.step()
+                if burst > 1:
+                    self.step_burst(burst)
+                else:
+                    self.step()
             except Exception:
                 if retries >= max_retries:
                     raise

@@ -122,6 +122,22 @@ class Scheduler:
         req.pages.append(new_page)
         return new_page
 
+    def ensure_decode_pages(self, req: Request, n: int):
+        """Map enough pages for the next n decode positions (burst decode).
+        Returns [(page_index, page_id), ...] for newly mapped pages."""
+        last_pos = req.total_len + n - 1
+        # Bursts may overrun a nearly-done request's budget (it finishes
+        # mid-burst and is truncated); never map beyond the table width —
+        # overrun appends clamp into the request's own last page, which is
+        # released with the slot.
+        need = min(last_pos // self.page_size + 1, self.pages_per_seq)
+        mapped = []
+        while len(req.pages) < need:
+            page = self.allocator.alloc(1)[0]
+            req.pages.append(page)
+            mapped.append((len(req.pages) - 1, page))
+        return mapped
+
     def finish(self, req: Request) -> None:
         self.allocator.free(req.pages)
         req.pages = []

@@ -97,3 +97,46 @@ def test_scan_timeit_cpu_sanity():
 
     dt = scan_timeit(step, jnp.float32(0), args=(x,), iters=16)
     assert 0 < dt < 1.0
+
+
+def test_burst_decode_matches_stepwise(params):
+    """run(burst=4) must produce token-for-token the same generations as
+    the per-step loop (decode_burst is the same decode_step scanned
+    on-device; only the host-sync cadence differs)."""
+    from mfa_tpu.serve.engine import Engine
+
+    prompts = [[1, 2, 3], [5] * 11, [7, 8]]
+
+    def run(burst):
+        eng = Engine(params, CFG, num_pages=32, page_size=8, max_seqs=4,
+                     pages_per_seq=8)
+        reqs = [eng.submit(p, 7) for p in prompts]
+        eng.run(burst=burst)
+        assert eng.sched.allocator.free_pages == 31  # pages recycled
+        return [r.generated for r in reqs]
+
+    assert run(burst=4) == run(burst=1)
+
+
+def test_burst_decode_eos_truncates(params):
+    """A request hitting eos mid-burst stops there; outputs match the
+    stepwise loop with the same eos."""
+    from mfa_tpu.serve.engine import Engine
+
+    prompt = [3, 1, 4, 1, 5]
+
+    def run(burst):
+        eng = Engine(params, CFG, num_pages=32, page_size=8, max_seqs=2,
+                     pages_per_seq=8)
+        # pick the token the model actually emits second as eos so the
+        # request ends mid-burst deterministically
+        probe = Engine(params, CFG, num_pages=32, page_size=8, max_seqs=2,
+                       pages_per_seq=8)
+        r = probe.submit(prompt, 3)
+        probe.run()
+        eos = r.generated[1]
+        req = eng.submit(prompt, 7, eos_token=eos)
+        eng.run(burst=burst)
+        return req.generated
+
+    assert run(burst=4) == run(burst=1)
