@@ -312,76 +312,98 @@ def _cache_xs(cache):
     return (cache.k_pages, cache.v_pages, cache.k_scales, cache.v_scales)
 
 
+def prefill_batch(params, cfg, cache, seq_slots, pages_list, token_lists,
+                  mesh: Optional[Mesh] = None):
+    """Prefill n prompts in ONE jitted program (batched prompt ingestion).
+
+    Per-request prefill calls cost a full dispatch each; batching all
+    admitted prompts into one padded [n, s_pad] program keeps the MXU fed
+    and makes prompt ingestion O(1) dispatches per admission wave. Prompts
+    are padded to a shared power-of-two page count (compile count
+    O(log max_len)); padded positions write into the reserved null page 0
+    and are never attended (causal mask + true-length logits gather).
+
+    seq_slots: [n] slot ids; pages_list: per-request page id lists;
+    token_lists: per-request python token lists (or 1-D arrays).
+    Returns (cache, logits [n, vocab]) at each prompt's last position.
+    """
+    import numpy as np
+
+    page = cache.page_size
+    pps = cache.pages_per_seq
+    token_lists = [np.asarray(t, np.int32) for t in token_lists]
+    lens = [int(t.shape[0]) for t in token_lists]
+    n_need = max(-(-l // page) for l in lens)
+    assert n_need <= pps, "prompt longer than table width"
+    n_bucket = min(max(1 << max(n_need - 1, 0).bit_length(), 1), pps)
+    s_pad = n_bucket * page
+    n = len(token_lists)
+    toks = np.zeros((n, s_pad), np.int32)
+    page_ids = np.zeros((n, n_bucket), np.int32)
+    table_rows = np.zeros((n, pps), np.int32)
+    true_lens = np.zeros((n,), np.int32)
+    for i, (t, pgs) in enumerate(zip(token_lists, pages_list)):
+        toks[i, : lens[i]] = t
+        need_i = -(-lens[i] // page)
+        page_ids[i, :need_i] = np.asarray(list(pgs[:need_i]), np.int32)
+        table_rows[i, : len(pgs)] = np.asarray(list(pgs), np.int32)
+        true_lens[i] = lens[i]
+    return _prefill_jit(
+        params, cfg, cache, jnp.asarray(seq_slots, jnp.int32),
+        jnp.asarray(table_rows), jnp.asarray(page_ids), jnp.asarray(toks),
+        jnp.asarray(true_lens), mesh=mesh,
+    )
+
+
 def prefill_step(params, cfg, cache, seq_slot: int, pages, tokens_1d,
                  mesh: Optional[Mesh] = None):
-    """Run a prompt through the model, writing K/V into the paged cache.
-
-    Returns (cache, last_logits [vocab]). Fully jitted: one program scans
-    all layers (the reference's per-layer host loop pattern would cost one
-    dispatch per layer). The prompt is padded to a power-of-two number of
-    pages so the number of distinct compiled programs is O(log max_len);
-    padded positions write into the reserved null page 0 and are never
-    attended (causal mask + true-length logits index).
-    """
-    tokens_1d = jnp.asarray(tokens_1d, jnp.int32)
-    true_len = tokens_1d.shape[0]
-    page = cache.page_size
-    n_need = -(-true_len // page)
-    n_bucket = 1 << max(n_need - 1, 0).bit_length()
-    n_bucket = min(max(n_bucket, 1), cache.pages_per_seq)
-    assert n_need <= cache.pages_per_seq, "prompt longer than table width"
-    s_pad = n_bucket * page
-    tokens_pad = jnp.pad(tokens_1d, (0, s_pad - true_len))
-    page_ids = jnp.zeros((n_bucket,), jnp.int32).at[:n_need].set(
-        jnp.asarray(list(pages[:n_need]), jnp.int32)
+    """Run one prompt through the model, writing K/V into the paged cache.
+    Returns (cache, last_logits [vocab]). Single-request convenience over
+    prefill_batch."""
+    cache, logits = prefill_batch(
+        params, cfg, cache, [seq_slot], [list(pages)], [tokens_1d], mesh=mesh
     )
-    table_row = jnp.zeros((cache.pages_per_seq,), jnp.int32)
-    table_row = table_row.at[: len(pages)].set(
-        jnp.asarray(list(pages), jnp.int32)
-    )
-    return _prefill_jit(
-        params, cfg, cache, jnp.int32(seq_slot), table_row, page_ids,
-        tokens_pad, jnp.int32(true_len), mesh=mesh,
-    )
+    return cache, logits[0]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
-def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slot, table_row,
-                 page_ids, tokens, true_len, mesh: Optional[Mesh] = None):
+def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
+                 page_ids, tokens, true_lens, mesh: Optional[Mesh] = None):
     import dataclasses as _dc
 
-    s = tokens.shape[0]
+    n, s = tokens.shape
     hd = cfg.head_dim
     page = cache.page_size
-    n_pages = page_ids.shape[0]
+    npg = page_ids.shape[1]
     pmesh = _prefill_mesh(mesh)
-    x = params["embed"][tokens][None]  # [1, s, d]
-    positions = jnp.arange(s, dtype=jnp.int32)[None]
+    x = params["embed"][tokens]  # [n, s, d]
+    positions = jnp.arange(s, dtype=jnp.int32)[None]  # broadcast over n
+    flat_ids = page_ids.reshape(-1)  # [n*npg]; duplicates only on null page
 
     def layer_fn(x, xs):
         lp, kp, vp, ksc, vsc = xs
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(1, s, cfg.n_heads, hd)
-        k = (h @ lp["wk"]).reshape(1, s, cfg.n_kv_heads, hd)
-        v = (h @ lp["wv"]).reshape(1, s, cfg.n_kv_heads, hd)
+        q = (h @ lp["wq"]).reshape(n, s, cfg.n_heads, hd)
+        k = (h @ lp["wk"]).reshape(n, s, cfg.n_kv_heads, hd)
+        v = (h @ lp["wv"]).reshape(n, s, cfg.n_kv_heads, hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        # page writes: [hkv, s, d] -> [hkv, n_pages, page, d]
+        # page writes: [n, s, hkv, d] -> [hkv, n*npg, page, d]
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
-                                 jnp.swapaxes(k[0], 0, 1))
+                                 jnp.transpose(k, (2, 0, 1, 3)))
         vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
-                                 jnp.swapaxes(v[0], 0, 1))
-        kp = kp.at[:, page_ids].set(
-            kq.reshape(cfg.n_kv_heads, n_pages, page, hd))
-        vp = vp.at[:, page_ids].set(
-            vq.reshape(cfg.n_kv_heads, n_pages, page, hd))
+                                 jnp.transpose(v, (2, 0, 1, 3)))
+        kp = kp.at[:, flat_ids].set(
+            kq.reshape(cfg.n_kv_heads, n * npg, page, hd))
+        vp = vp.at[:, flat_ids].set(
+            vq.reshape(cfg.n_kv_heads, n * npg, page, hd))
         if ksc is not None:
-            ksc = ksc.at[:, page_ids].set(
-                ks_new.reshape(cfg.n_kv_heads, n_pages, page))
-            vsc = vsc.at[:, page_ids].set(
-                vs_new.reshape(cfg.n_kv_heads, n_pages, page))
+            ksc = ksc.at[:, flat_ids].set(
+                ks_new.reshape(cfg.n_kv_heads, n * npg, page))
+            vsc = vsc.at[:, flat_ids].set(
+                vs_new.reshape(cfg.n_kv_heads, n * npg, page))
         attn = _attention_sharded(q, k, v, pmesh)
-        x = x + attn.reshape(1, s, cfg.n_heads * hd) @ lp["wo"]
+        x = x + attn.reshape(n, s, cfg.n_heads * hd) @ lp["wo"]
         hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
         return x, (kp, vp, ksc, vsc)
@@ -390,13 +412,14 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slot, table_row,
         layer_fn, x, (params["layers"],) + _cache_xs(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    last = jax.lax.dynamic_index_in_dim(x[0], true_len - 1, axis=0,
-                                        keepdims=False)
+    last = jnp.take_along_axis(
+        x, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1
+    )[:, 0]  # [n, d]
     logits = (last @ params["lm_head"]).astype(jnp.float32)
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
-        block_tables=cache.block_tables.at[seq_slot].set(table_row),
-        lengths=cache.lengths.at[seq_slot].set(true_len),
+        block_tables=cache.block_tables.at[seq_slots].set(table_rows),
+        lengths=cache.lengths.at[seq_slots].set(true_lens),
     )
     return cache, logits
 

@@ -90,17 +90,28 @@ class Engine:
         self.sched.submit(req)
         return req
 
-    def _prefill(self, req: Request) -> int:
-        # Resumed requests (after a recovery) re-prefill their prompt plus
-        # all but the last generated token; the last one is replayed through
-        # the normal decode step.
-        tokens = req.prompt + req.generated[:-1]
-        self.cache, logits = llama.prefill_step(
-            self.params, self.cfg, self.cache, req.slot, req.pages,
-            jnp.asarray(tokens, jnp.int32), mesh=self.mesh,
+    def _prefill_admitted(self, reqs: List[Request]) -> None:
+        """Prefill all newly admitted prompts in ONE batched jitted call
+        (llama.prefill_batch) and do the per-request bookkeeping. Resumed
+        requests (after a recovery) re-prefill their prompt plus all but
+        the last generated token; the last one is replayed through the
+        normal decode step."""
+        if not reqs:
+            return
+        token_lists = [r.prompt + r.generated[:-1] for r in reqs]
+        self.cache, logits = llama.prefill_batch(
+            self.params, self.cfg, self.cache,
+            [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
+            mesh=self.mesh,
         )
-        self.stats.prefill_tokens += len(tokens)
-        return int(jnp.argmax(logits))
+        firsts = np.asarray(jnp.argmax(logits, axis=-1))
+        for req, toks, first in zip(reqs, token_lists, firsts):
+            self.stats.prefill_tokens += len(toks)
+            if not req.generated:  # fresh request (not a recovery resume)
+                req.generated.append(int(first))
+                self.stats.decode_tokens += 1
+            if req.done:
+                self._finish(req)
 
     def _map_new_pages(self, n: int = 1) -> None:
         """Map pages for the next n decode positions of every active
@@ -119,13 +130,7 @@ class Engine:
 
     def step(self) -> None:
         """One engine iteration: admit, prefill, batched decode step."""
-        for req in self.sched.admit():
-            first = self._prefill(req)
-            if not req.generated:  # fresh request (not a recovery resume)
-                req.generated.append(first)
-                self.stats.decode_tokens += 1
-            if req.done:
-                self._finish(req)
+        self._prefill_admitted(self.sched.admit())
 
         active = [r for r in self.sched.active.values()]
         if not active:
@@ -186,13 +191,7 @@ class Engine:
         after, so no live state is corrupted."""
         from mfa_tpu.cache.paged_cache import release_slot
 
-        for req in self.sched.admit():
-            first = self._prefill(req)
-            if not req.generated:
-                req.generated.append(first)
-                self.stats.decode_tokens += 1
-            if req.done:
-                self._finish(req)
+        self._prefill_admitted(self.sched.admit())
 
         active = [r for r in self.sched.active.values()]
         if not active:
