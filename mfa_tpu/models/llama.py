@@ -486,27 +486,37 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     return cache, logits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "mesh", "sampling")
+)
 def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
-                 n_steps: int, mesh: Optional[Mesh] = None):
-    """n_steps greedy decode steps fused on-device (one host round trip).
+                 n_steps: int, mesh: Optional[Mesh] = None,
+                 sampling=None, key: Optional[jax.Array] = None):
+    """n_steps decode steps fused on-device (one host round trip).
 
     The per-step host sync (sample -> feed back) costs a device->host round
     trip per token; on TPU the idiomatic serving loop amortizes it by
-    scanning N steps on device and reading N tokens back at once. Pages
-    for all n_steps positions must already be mapped in the block tables
-    (Scheduler.ensure_decode_pages). Returns (cache, tokens [n_steps,
-    batch]) — greedy argmax sampling.
+    scanning N steps on device and reading N tokens back at once — sampling
+    included. Pages for all n_steps positions must already be mapped in the
+    block tables (Scheduler.ensure_decode_pages). Returns (cache, tokens
+    [n_steps, batch]). sampling: a serve.sampling.SamplingParams (static;
+    None/greedy -> argmax); key: PRNG key (required for stochastic
+    sampling), folded per step.
     """
+    from mfa_tpu.serve.sampling import SamplingParams, sample
 
-    def body(carry, _):
+    sampling = sampling or SamplingParams()
+    if key is None:
+        key = jax.random.key(0)
+
+    def body(carry, i):
         cache, toks = carry
         cache, logits = decode_step(params, cfg, cache, seq_slots, toks,
                                     mesh=mesh)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = sample(logits, jax.random.fold_in(key, i), sampling)
         return (cache, nxt), nxt
 
     (cache, _), out = jax.lax.scan(
-        body, (cache, tokens), None, length=n_steps
+        body, (cache, tokens), jnp.arange(n_steps)
     )
     return cache, out

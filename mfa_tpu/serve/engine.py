@@ -57,6 +57,8 @@ class Engine:
         quant_dtype: Optional[str] = None,
         greedy: bool = True,
         mesh=None,
+        sampling=None,
+        seed: int = 0,
     ):
         """mesh: optional jax.sharding.Mesh with a 'model' axis for
         tensor-parallel serving — params (llama.param_shardings) and the
@@ -79,7 +81,12 @@ class Engine:
         self.params = params
         self.cache = cache
         self.sched = Scheduler(max_seqs, pages_per_seq, page_size, num_pages)
-        self.greedy = greedy
+        from mfa_tpu.serve.sampling import SamplingParams
+
+        # `sampling` wins over the legacy `greedy` flag; default is greedy.
+        self.sampling = sampling or SamplingParams()
+        self.greedy = self.sampling.greedy
+        self._key = jax.random.key(seed)
         self.stats = EngineStats()
         self._next_uid = 0
 
@@ -104,7 +111,7 @@ class Engine:
             [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
             mesh=self.mesh,
         )
-        firsts = np.asarray(jnp.argmax(logits, axis=-1))
+        firsts = np.asarray(self._sample(logits))
         for req, toks, first in zip(reqs, token_lists, firsts):
             self.stats.prefill_tokens += len(toks)
             if not req.generated:  # fresh request (not a recovery resume)
@@ -127,6 +134,12 @@ class Engine:
                 m_ids.append(page_id)
         if m_slots:
             self.cache = map_pages(self.cache, m_slots, m_idx, m_ids)
+
+    def _sample(self, logits) -> jnp.ndarray:
+        from mfa_tpu.serve.sampling import sample
+
+        self._key, sub = jax.random.split(self._key)
+        return sample(logits, sub, self.sampling)
 
     def step(self) -> None:
         """One engine iteration: admit, prefill, batched decode step."""
@@ -173,7 +186,7 @@ class Engine:
 
             self.cache = release_slot(self.cache, int(slots[n]))
 
-        next_tokens = np.asarray(jnp.argmax(logits[:n], axis=-1))
+        next_tokens = np.asarray(self._sample(logits[:n]))
         self.stats.steps += 1
         for i, req in enumerate(active):
             req.generated.append(int(next_tokens[i]))
@@ -232,9 +245,11 @@ class Engine:
                 slots[nact:] = scratch
                 tokens[nact:] = 0
 
+        self._key, sub = jax.random.split(self._key)
         self.cache, toks = llama.decode_burst(
             self.params, self.cfg, self.cache,
             jnp.asarray(slots), jnp.asarray(tokens), n_eff, mesh=self.mesh,
+            sampling=self.sampling, key=sub,
         )
         if pad_rows:
             self.cache = release_slot(self.cache, int(slots[nact]))

@@ -1,0 +1,57 @@
+"""Token sampling: greedy, temperature, top-k, top-p (nucleus).
+
+The reference is a kernel library with no sampling; a serving engine needs
+it. Everything here is jit-friendly and runs on-device (inside the decode
+burst scan), so stochastic sampling costs no extra host round trips.
+SamplingParams is a frozen dataclass and is passed as a static argument —
+each distinct configuration compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """temperature == 0 -> greedy argmax (top_k/top_p ignored).
+    top_k == 0 -> no top-k truncation. top_p >= 1 -> no nucleus cut."""
+
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0
+
+
+def sample(logits: jax.Array, key: jax.Array,
+           params: SamplingParams) -> jax.Array:
+    """logits [n, vocab] -> token ids [n] int32.
+
+    Filtering order matches the common convention (vLLM/HF): top-k first,
+    then top-p over the renormalized survivors, then categorical at the
+    given temperature.
+    """
+    if params.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    l = logits.astype(jnp.float32) / params.temperature
+    vocab = l.shape[-1]
+    if params.top_k and params.top_k < vocab:
+        kth = jax.lax.top_k(l, params.top_k)[0][..., -1:]
+        l = jnp.where(l < kth, -jnp.inf, l)
+    if params.top_p < 1.0:
+        sorted_l = jnp.sort(l, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_l, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens while the cumulative mass *before* them is < top_p
+        keep = cum - probs < params.top_p
+        cutoff = jnp.min(
+            jnp.where(keep, sorted_l, jnp.inf), axis=-1, keepdims=True
+        )
+        l = jnp.where(l < cutoff, -jnp.inf, l)
+    return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
