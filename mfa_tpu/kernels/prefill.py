@@ -85,8 +85,22 @@ def _prefill_kernel(
     )
     run = jnp.logical_and(j >= first_j, j <= last_j)
 
-    @pl.when(run)
-    def _step():
+    # Mask only the blocks that need it (reference prefill.cuh:774-778):
+    # the flash inner loop is VPU-bound at d=128, and the iota/compare/
+    # select chain is a large share of the per-block vector work. A block
+    # is mask-free iff it is fully inside the sequence AND fully inside
+    # the visibility window of every row it covers.
+    needs_tail = (j + 1) * block_k > seqlen_k
+    needs_diag = jnp.bool_(False)
+    if window_right >= 0:
+        needs_diag = (j + 1) * block_k - 1 > i * block_q + window_right
+    if window_left >= 0:
+        needs_diag = jnp.logical_or(
+            needs_diag, j * block_k < (i + 1) * block_q - 1 - window_left
+        )
+    needs_mask = jnp.logical_or(needs_tail, needs_diag)
+
+    def _step(masked: bool):
         q = q_ref[0, 0]  # [block_q, d]
         k = k_ref[0, 0]  # [block_k, d]
         s = jax.lax.dot_general(
@@ -94,14 +108,17 @@ def _prefill_kernel(
         )
         s = s * scale_log2e  # scores in log2 domain
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + i * block_q
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + j * block_k
-        mask = col < seqlen_k
-        if window_right >= 0:
-            mask = jnp.logical_and(mask, col <= row + window_right)
-        if window_left >= 0:
-            mask = jnp.logical_and(mask, col >= row - window_left)
-        s = jnp.where(mask, s, _MASK)
+        if masked:
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0) + i * block_q
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1) + j * block_k
+            mask = col < seqlen_k
+            if window_right >= 0:
+                mask = jnp.logical_and(mask, col <= row + window_right)
+            if window_left >= 0:
+                mask = jnp.logical_and(mask, col >= row - window_left)
+            s = jnp.where(mask, s, _MASK)
 
         m_prev = m_scr[...]  # [block_q, LANES]
         l_prev = l_scr[...]
@@ -119,6 +136,10 @@ def _prefill_kernel(
             preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    pl.when(jnp.logical_and(run, needs_mask))(lambda: _step(True))
+    pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))(
+        lambda: _step(False))
 
     @pl.when(j == last_j)
     def _store():
