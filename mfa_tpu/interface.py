@@ -122,6 +122,7 @@ def flash_attn_with_kvcache(
     block_table: Optional[jax.Array] = None,
     num_splits: int = 0,
     softmax_scale: Optional[float] = None,
+    window_size: tuple[int, int] = (-1, -1),
 ) -> jax.Array:
     """Decode attention against a KV cache (reference: interface.py:95-124).
 
@@ -134,6 +135,10 @@ def flash_attn_with_kvcache(
     requires the tensor form in practice (api.cpp:427-433, decode.cuh:26);
     here a python int is broadcast for convenience.
     num_splits: 0 = heuristic (api.cpp:320-322).
+    window_size: (left, right) sliding window; only `left` is meaningful
+    for decode (the query is the last token) — attend to the final left+1
+    tokens. The reference carries these params but never exposes them
+    (_C.pyi:4-41); here they are first-class.
     """
     if q.shape[1] != 1:
         raise ValueError(
@@ -152,13 +157,17 @@ def flash_attn_with_kvcache(
     else:
         cache_seqlens = jnp.asarray(cache_seqlens, jnp.int32)
     return _kvcache_jit(
-        q, k_cache, v_cache, cache_seqlens, block_table, num_splits, softmax_scale
+        q, k_cache, v_cache, cache_seqlens, block_table, num_splits,
+        softmax_scale, int(window_size[0])
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_splits", "softmax_scale"))
+@functools.partial(
+    jax.jit, static_argnames=("num_splits", "softmax_scale", "window_left")
+)
 def _kvcache_jit(
-    q, k_cache, v_cache, cache_seqlens, block_table, num_splits, softmax_scale
+    q, k_cache, v_cache, cache_seqlens, block_table, num_splits,
+    softmax_scale, window_left=-1,
 ):
     from mfa_tpu.kernels.decode import decode_attention, paged_decode_attention
 
@@ -175,6 +184,7 @@ def _kvcache_jit(
             block_table,
             softmax_scale=softmax_scale,
             num_splits=num_splits,
+            window_left=window_left,
         )
     else:
         kt = jnp.swapaxes(k_cache, 1, 2)  # [batch, hkv, s, d]
@@ -186,5 +196,6 @@ def _kvcache_jit(
             cache_seqlens,
             softmax_scale=softmax_scale,
             num_splits=num_splits,
+            window_left=window_left,
         )
     return out[:, None]  # [batch, 1, nheads, d]

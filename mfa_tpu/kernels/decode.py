@@ -64,6 +64,7 @@ def _decode_kernel(
     scale_log2e: float,
     block_k: int,
     blocks_per_split: int,
+    window_left: int,
 ):
     b = pl.program_id(0)
     n = pl.program_id(3)
@@ -76,8 +77,18 @@ def _decode_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     length = lens_ref[b]
+    # Sliding window (reference carries the params but never exposes them,
+    # _C.pyi:4-41): the decode row is position length-1, so only columns
+    # >= start = length-1-window_left are visible.
+    start = (
+        jnp.maximum(0, length - 1 - window_left) if window_left >= 0
+        else jnp.int32(0)
+    )
     global_blk = s * blocks_per_split + n
-    run = global_blk * block_k < length
+    run = jnp.logical_and(
+        global_blk * block_k < length,
+        (global_blk + 1) * block_k > start,
+    )
 
     @pl.when(run)
     def _step():
@@ -90,7 +101,10 @@ def _decode_kernel(
         col = (
             jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1) + global_blk * block_k
         )
-        sc = jnp.where(col < length, sc, _MASK)
+        visible = col < length
+        if window_left >= 0:
+            visible = jnp.logical_and(visible, col >= start)
+        sc = jnp.where(visible, sc, _MASK)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -149,7 +163,8 @@ def combine_splits(o_parts: jax.Array, lse: jax.Array, axis: int = 2,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "softmax_scale", "num_splits", "block_k", "return_lse", "interpret"
+        "softmax_scale", "num_splits", "block_k", "window_left",
+        "return_lse", "interpret"
     ),
 )
 def decode_attention(
@@ -161,6 +176,7 @@ def decode_attention(
     softmax_scale: Optional[float] = None,
     num_splits: int = 0,
     block_k: int = 2048,
+    window_left: int = -1,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -169,6 +185,8 @@ def decode_attention(
     q: [batch, num_heads, head_dim]
     k_cache/v_cache: [batch, num_kv_heads, max_seqlen, head_dim]
     cache_seqlens: [batch] int32 valid lengths.
+    window_left: sliding window — attend only to the last window_left+1
+    tokens (-1 = unbounded; Mistral-style serving sets W-1).
     Returns [batch, num_heads, head_dim] in q dtype (plus, if return_lse,
     a fp32 [batch, num_heads] log-sum-exp for cross-chip combines).
     """
@@ -202,7 +220,11 @@ def decode_attention(
     def kv_index_map(b, h, s, n, lens_ref):
         blk = s * blocks_per_split + n
         last_valid = jnp.maximum(0, (lens_ref[b] + block_k - 1) // block_k - 1)
-        return (b, h, jnp.minimum(blk, last_valid), 0)
+        if window_left >= 0:
+            first_valid = jnp.maximum(0, lens_ref[b] - 1 - window_left) // block_k
+        else:
+            first_valid = 0
+        return (b, h, jnp.clip(blk, first_valid, last_valid), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -232,6 +254,7 @@ def decode_attention(
         scale_log2e=float(softmax_scale) * _LOG2E,
         block_k=block_k,
         blocks_per_split=blocks_per_split,
+        window_left=window_left,
     )
 
     o_parts, lse = pl.pallas_call(
@@ -278,6 +301,7 @@ def paged_decode_attention(
     *,
     softmax_scale: Optional[float] = None,
     num_splits: int = 0,
+    window_left: int = -1,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Paged decode attention — see mfa_tpu.kernels.paged for the kernel.
@@ -295,5 +319,6 @@ def paged_decode_attention(
         cache_seqlens,
         block_table,
         softmax_scale=softmax_scale,
+        window_left=window_left,
         interpret=interpret,
     )

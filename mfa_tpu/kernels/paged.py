@@ -97,10 +97,21 @@ def _paged_kernel_body(
     num_pages: int,
     max_blocks: int,
     quantized: bool,
+    window_left: int,
 ):
     b, i = pl.program_id(0), pl.program_id(1)
     bt = page_size * pages_per_block
     length = lens_ref[b]
+
+    def _win_start(bb):
+        """First visible column for the decode row of sequence bb
+        (sliding window: only the last window_left+1 tokens attend)."""
+        if window_left < 0:
+            return jnp.int32(0)
+        return jnp.maximum(0, lens_ref[bb] - 1 - window_left)
+
+    def _first_block(bb):
+        return _win_start(bb) // bt
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _init_state():
@@ -108,8 +119,13 @@ def _paged_kernel_body(
         state_ref[1] = 0
 
     def _page_valid(bb, blk, j):
-        # Page j of block blk holds tokens >= its first token's position.
-        return (blk * bt + j * page_size) < lens_ref[bb]
+        # Page j of block blk intersects the visible range [start, length).
+        valid = (blk * bt + j * page_size) < lens_ref[bb]
+        if window_left >= 0:
+            valid = jnp.logical_and(
+                valid, blk * bt + (j + 1) * page_size > _win_start(bb)
+            )
+        return valid
 
     def start_block(bb, blk, slot):
         base = bb * pages_per_seq + blk * pages_per_block
@@ -152,7 +168,6 @@ def _paged_kernel_body(
             blk1 * bt >= lens_ref[bb], blk1 >= max_blocks
         )
         bb1 = jnp.where(seq_done, bb + 1, bb)
-        blk1 = jnp.where(seq_done, 0, blk1)
 
         def skip_empty(carry):
             return jnp.logical_and(
@@ -160,6 +175,13 @@ def _paged_kernel_body(
             )
 
         bb2 = jax.lax.while_loop(skip_empty, lambda c: c + 1, bb1)
+        # Entering a new sequence: jump straight to its first VISIBLE block
+        # (windowed decode never touches blocks before the window start, so
+        # no DMA may be issued for them — an unmatched start would poison
+        # the double-buffer semaphores).
+        blk1 = jnp.where(
+            seq_done, _first_block(jnp.minimum(bb2, batch - 1)), blk1
+        )
         return bb2, blk1
 
     @pl.when(jnp.logical_and(length == 0, i == 0))
@@ -169,10 +191,12 @@ def _paged_kernel_body(
         lse_ref[0] = jnp.full_like(lse_ref[0], -jnp.inf)
 
     block_valid = i * bt < length
+    if window_left >= 0:
+        block_valid = jnp.logical_and(block_valid, (i + 1) * bt > _win_start(b))
 
     @pl.when(block_valid)
     def _compute():
-        @pl.when(i == 0)
+        @pl.when(i == _first_block(b))
         def _init_stats():
             m_scr[...] = jnp.full_like(m_scr, _MASK)
             l_scr[...] = jnp.zeros_like(l_scr)
@@ -200,6 +224,8 @@ def _paged_kernel_body(
             jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1) + i * bt
         )
         in_len = col < length
+        if window_left >= 0:
+            in_len = jnp.logical_and(in_len, col >= _win_start(b))
         last_block = cdiv(length, bt) - 1
 
         for h in range(num_kv_heads):  # static unroll over kv heads
@@ -257,6 +283,7 @@ def paged_attention(
     v_scales: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     pages_per_compute_block: Optional[int] = None,
+    window_left: int = -1,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -268,6 +295,8 @@ def paged_attention(
     k_scales/v_scales: [num_kv_heads, num_pages, page_size] fp32 per-row
         dequant scales (required iff pages are quantized).
     cache_seqlens: [batch] int32; block_table: [batch, pages_per_seq] int32.
+    window_left: sliding window — attend only to the last window_left+1
+        tokens (-1 = unbounded).
 
     Returns [batch, num_heads, head_dim] (and, if return_lse, a fp32
     LSE [batch, num_heads] for cross-chip combines).
@@ -348,6 +377,7 @@ def paged_attention(
         num_pages=num_pages,
         max_blocks=max_blocks,
         quantized=quantized,
+        window_left=window_left,
     )
     if quantized:
         kernel = body

@@ -49,14 +49,32 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # Mistral-style sliding-window attention: each token attends to at most
+    # the previous `sliding_window` tokens (None = full causal).
+    sliding_window: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
         return self.dim // self.n_heads
 
+    @property
+    def window_left(self) -> int:
+        return -1 if self.sliding_window is None else self.sliding_window - 1
+
     @staticmethod
     def llama3_8b() -> "LlamaConfig":
         return LlamaConfig()
+
+    @staticmethod
+    def mistral_7b() -> "LlamaConfig":
+        """Mistral-7B shape: 32 q / 8 kv heads, 4096-token sliding window
+        (the reference carries window params unexposed, _C.pyi:4-41; here
+        they drive a whole model family)."""
+        return LlamaConfig(
+            vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+            n_kv_heads=8, ffn_dim=14336, rope_theta=10000.0,
+            sliding_window=4096,
+        )
 
     @staticmethod
     def tiny(vocab=256, dim=128, layers=2, heads=4, kv_heads=2,
@@ -148,23 +166,27 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _attention_sharded(q, k, v, mesh: Optional[Mesh]):
+def _attention_sharded(q, k, v, mesh: Optional[Mesh],
+                       window_left: int = -1):
     """Causal flash attention on [b, s, h, d]; heads sharded when a mesh with
-    a 'model' axis is active (Pallas runs per shard; GQA stays co-located)."""
+    a 'model' axis is active (Pallas runs per shard; GQA stays co-located).
+    window_left > -1 additionally bounds visibility to the previous
+    window_left tokens (sliding-window models)."""
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
+    attn = functools.partial(flash_attention_grad, causal=True,
+                             window_size=(window_left, -1))
     if mesh is not None and MODEL_AXIS in mesh.axis_names:
         spec = P(DATA_AXIS if DATA_AXIS in mesh.axis_names else None,
                  MODEL_AXIS, None, None)
         fn = shard_map(
-            functools.partial(flash_attention_grad, causal=True),
-            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            attn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
             check_vma=False,
         )
         out = fn(qt, kt, vt)
     else:
-        out = flash_attention_grad(qt, kt, vt, True)
+        out = attn(qt, kt, vt)
     return jnp.swapaxes(out, 1, 2)
 
 
@@ -187,7 +209,7 @@ def forward(
         v = (h @ lp["wv"]).reshape(b, s, cfg.n_kv_heads, hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        attn = _attention_sharded(q, k, v, mesh)
+        attn = _attention_sharded(q, k, v, mesh, cfg.window_left)
         x = x + attn.reshape(b, s, cfg.n_heads * hd) @ lp["wo"]
         h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
@@ -269,7 +291,7 @@ def _store_rows(quant_dtype: Optional[str], store_dtype, x):
 
 def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
                              lengths, tables, mesh: Optional[Mesh],
-                             out_dtype):
+                             out_dtype, window_left: int = -1):
     """Paged decode attention on one layer's pages, TP-sharded by kv head
     when a mesh with a 'model' axis is active. q3: [n, heads, d].
 
@@ -281,7 +303,7 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
     if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return paged_attention(
             q3.astype(out_dtype), k_pages, v_pages, lengths, tables,
-            k_scales=k_scales, v_scales=v_scales,
+            k_scales=k_scales, v_scales=v_scales, window_left=window_left,
         )
 
     page_spec = P(MODEL_AXIS, None, None, None)
@@ -294,11 +316,13 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
 
         def _fn(q, kp, vp, lens, tab, ks, vs):
             return paged_attention(q, kp, vp, lens, tab,
-                                   k_scales=ks, v_scales=vs)
+                                   k_scales=ks, v_scales=vs,
+                                   window_left=window_left)
     else:
 
         def _fn(q, kp, vp, lens, tab):
-            return paged_attention(q, kp, vp, lens, tab)
+            return paged_attention(q, kp, vp, lens, tab,
+                                   window_left=window_left)
 
     fn = shard_map(
         _fn, mesh=mesh, in_specs=tuple(in_specs),
@@ -402,7 +426,7 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
                 ks_new.reshape(cfg.n_kv_heads, n * npg, page))
             vsc = vsc.at[:, flat_ids].set(
                 vs_new.reshape(cfg.n_kv_heads, n * npg, page))
-        attn = _attention_sharded(q, k, v, pmesh)
+        attn = _attention_sharded(q, k, v, pmesh, cfg.window_left)
         x = x + attn.reshape(n, s, cfg.n_heads * hd) @ lp["wo"]
         hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
@@ -467,7 +491,8 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             ksc = ksc.at[:, write_pages, offs].set(ks_new)
             vsc = vsc.at[:, write_pages, offs].set(vs_new)
         attn = _paged_attention_sharded(
-            q[:, 0], kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype
+            q[:, 0], kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype,
+            cfg.window_left,
         )  # [n, heads, hd]
         x = x + (attn.reshape(n, 1, cfg.n_heads * hd)).astype(x.dtype) @ lp["wo"]
         hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)

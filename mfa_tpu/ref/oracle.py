@@ -150,6 +150,7 @@ def decode_ref(
     v_cache: jax.Array,
     cache_seqlens: jax.Array,
     softmax_scale: Optional[float] = None,
+    window_left: int = -1,
 ) -> jax.Array:
     """Decode (seqlen_q == 1) oracle against a contiguous KV cache.
 
@@ -161,14 +162,34 @@ def decode_ref(
     is the last token; masking is purely by cache length)
     (reference: mini_flash_attention/interface.py:118-124).
     """
-    return attention_ref(
-        q,
-        k_cache,
-        v_cache,
-        causal=False,
-        softmax_scale=softmax_scale,
-        seqlen_k=cache_seqlens,
-    )
+    if window_left < 0:
+        return attention_ref(
+            q,
+            k_cache,
+            v_cache,
+            causal=False,
+            softmax_scale=softmax_scale,
+            seqlen_k=cache_seqlens,
+        )
+    # Sliding window: the single query sits at position length-1, so only
+    # columns in [length-1-window_left, length) are visible.
+    batch, s_k, num_kv_heads, head_dim = k_cache.shape
+    num_heads = q.shape[2]
+    if softmax_scale is None:
+        softmax_scale = head_dim ** -0.5
+    qf = q.astype(jnp.float32)[:, 0]  # [b, h, d]
+    kf = _expand_kv_heads(k_cache.astype(jnp.float32), num_heads, 2)
+    vf = _expand_kv_heads(v_cache.astype(jnp.float32), num_heads, 2)
+    scores = jnp.einsum("bhd,bshd->bhs", qf, kf) * softmax_scale
+    lens = jnp.asarray(cache_seqlens, jnp.int32)[:, None, None]
+    col = jnp.arange(s_k, dtype=jnp.int32)[None, None, :]
+    start = jnp.maximum(0, lens - 1 - window_left)
+    visible = jnp.logical_and(col < lens, col >= start)
+    scores = jnp.where(visible, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    out = jnp.einsum("bhs,bshd->bhd", probs, vf)
+    return out[:, None].astype(q.dtype)
 
 
 def paged_decode_ref(
@@ -178,6 +199,7 @@ def paged_decode_ref(
     cache_seqlens: jax.Array,
     block_table: jax.Array,
     softmax_scale: Optional[float] = None,
+    window_left: int = -1,
 ) -> jax.Array:
     """Paged decode oracle.
 
@@ -194,4 +216,5 @@ def paged_decode_ref(
     # [batch, max_pages, page, kvh, d] -> [batch, max_pages*page, kvh, d]
     k_gather = k_pages[block_table].reshape(batch, max_pages * page_size, num_kv_heads, head_dim)
     v_gather = v_pages[block_table].reshape(batch, max_pages * page_size, num_kv_heads, head_dim)
-    return decode_ref(q, k_gather, v_gather, cache_seqlens, softmax_scale=softmax_scale)
+    return decode_ref(q, k_gather, v_gather, cache_seqlens,
+                      softmax_scale=softmax_scale, window_left=window_left)
