@@ -448,6 +448,146 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     return cache, logits
 
 
+def _chunk_attention(q, k, v, mesh: Optional[Mesh], offset: int):
+    """Attention of a prompt chunk (q at positions offset..offset+chunk)
+    against the full prefix K/V (positions 0..offset+chunk). Causal-with-
+    offset == window (-1, offset): col <= row + offset. [b, s, h, d]."""
+    from mfa_tpu.kernels.prefill import prefill_attention
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    attn = functools.partial(
+        prefill_attention, causal=False, window_size=(-1, offset)
+    )
+    if mesh is not None and MODEL_AXIS in mesh.axis_names:
+        spec = P(None, MODEL_AXIS, None, None)
+        attn = shard_map(attn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)
+    return jnp.swapaxes(attn(qt, kt, vt), 1, 2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "offset", "is_final", "mesh")
+)
+def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slot, table_row,
+                       tokens, offset: int, is_final: bool, final_len=None,
+                       mesh: Optional[Mesh] = None):
+    """One prompt chunk: write its K/V pages, attend against the full
+    prefix gathered from the paged cache. tokens: [chunk] (padded to whole
+    pages); offset: absolute position of tokens[0] (static, a multiple of
+    page_size); final_len: the prompt's true length if this is the last
+    chunk (sets lengths + returns real last-token logits), else None.
+
+    Chunked prefill bounds per-step prefill work so long prompts don't
+    stall decode latency for the rest of the batch (the reference has no
+    scheduler at all, SURVEY.md §2.8; this is the TPU-serving policy
+    layer's tool for TTFT fairness).
+    """
+    import dataclasses as _dc
+
+    from mfa_tpu.kernels.quant import dequantize_rows
+
+    chunk = tokens.shape[0]
+    hd = cfg.head_dim
+    page = cache.page_size
+    pps = cache.pages_per_seq
+    chunk_pages = chunk // page
+    pmesh = _prefill_mesh(mesh)
+    x = params["embed"][tokens][None]  # [1, chunk, d]
+    positions = (offset + jnp.arange(chunk, dtype=jnp.int32))[None]
+    page_ids = jax.lax.dynamic_slice(
+        table_row, (offset // page,), (chunk_pages,)
+    )
+
+    def layer_fn(x, xs):
+        lp, kp, vp, ksc, vsc = xs
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        q = (h @ lp["wq"]).reshape(1, chunk, cfg.n_heads, hd)
+        k = (h @ lp["wk"]).reshape(1, chunk, cfg.n_kv_heads, hd)
+        v = (h @ lp["wv"]).reshape(1, chunk, cfg.n_kv_heads, hd)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
+                                 jnp.swapaxes(k[0], 0, 1))
+        vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
+                                 jnp.swapaxes(v[0], 0, 1))
+        kp = kp.at[:, page_ids].set(
+            kq.reshape(cfg.n_kv_heads, chunk_pages, page, hd))
+        vp = vp.at[:, page_ids].set(
+            vq.reshape(cfg.n_kv_heads, chunk_pages, page, hd))
+        if ksc is not None:
+            ksc = ksc.at[:, page_ids].set(
+                ks_new.reshape(cfg.n_kv_heads, chunk_pages, page))
+            vsc = vsc.at[:, page_ids].set(
+                vs_new.reshape(cfg.n_kv_heads, chunk_pages, page))
+        # Full-prefix K/V (chunk included) gathered from the pages; columns
+        # past offset+chunk are junk but the window mask (col <= row +
+        # offset) never reaches them.
+        k_all = kp[:, table_row].reshape(cfg.n_kv_heads, pps * page, hd)
+        v_all = vp[:, table_row].reshape(cfg.n_kv_heads, pps * page, hd)
+        if ksc is not None:
+            k_all = dequantize_rows(
+                k_all, ksc[:, table_row].reshape(cfg.n_kv_heads, -1),
+                cfg.dtype)
+            v_all = dequantize_rows(
+                v_all, vsc[:, table_row].reshape(cfg.n_kv_heads, -1),
+                cfg.dtype)
+        k_all = jnp.swapaxes(k_all, 0, 1)[None]  # [1, S, hkv, d]
+        v_all = jnp.swapaxes(v_all, 0, 1)[None]
+        attn = _chunk_attention(q, k_all.astype(q.dtype),
+                                v_all.astype(q.dtype), pmesh, offset)
+        x = x + attn.reshape(1, chunk, cfg.n_heads * hd) @ lp["wo"]
+        hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
+        return x, (kp, vp, ksc, vsc)
+
+    x, (kp, vp, ksc, vsc) = jax.lax.scan(
+        layer_fn, x, (params["layers"],) + _cache_xs(cache)
+    )
+    cache = _dc.replace(
+        cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
+        block_tables=cache.block_tables.at[seq_slot].set(table_row),
+    )
+    if not is_final:
+        return cache, None
+    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    last = jax.lax.dynamic_index_in_dim(
+        x[0], final_len - 1 - offset, axis=0, keepdims=False
+    )
+    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    cache = _dc.replace(
+        cache, lengths=cache.lengths.at[seq_slot].set(final_len)
+    )
+    return cache, logits
+
+
+def prefill_chunk(params, cfg, cache, seq_slot: int, pages, tokens_1d,
+                  offset: int, total_len: int,
+                  mesh: Optional[Mesh] = None):
+    """Host wrapper: prefill tokens_1d (a slice of the prompt starting at
+    `offset`, a multiple of page_size) into slot seq_slot. `pages` is the
+    request's full page list; `total_len` the full prompt length. Returns
+    (cache, logits-or-None) — logits only on the final chunk."""
+    import numpy as np
+
+    page = cache.page_size
+    tokens_1d = np.asarray(tokens_1d, np.int32)
+    n = int(tokens_1d.shape[0])
+    assert offset % page == 0, "chunk offset must be page-aligned"
+    is_final = offset + n >= total_len
+    pad = (-n) % page
+    if pad:
+        tokens_1d = np.pad(tokens_1d, (0, pad))
+    table_row = np.zeros((cache.pages_per_seq,), np.int32)
+    table_row[: len(pages)] = np.asarray(list(pages), np.int32)
+    return _prefill_chunk_jit(
+        params, cfg, cache, jnp.int32(seq_slot), jnp.asarray(table_row),
+        jnp.asarray(tokens_1d), offset, is_final,
+        final_len=jnp.int32(total_len), mesh=mesh,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
                 mesh: Optional[Mesh] = None):

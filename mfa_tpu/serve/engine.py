@@ -59,6 +59,7 @@ class Engine:
         mesh=None,
         sampling=None,
         seed: int = 0,
+        prefill_chunk: Optional[int] = None,
     ):
         """mesh: optional jax.sharding.Mesh with a 'model' axis for
         tensor-parallel serving — params (llama.param_shardings) and the
@@ -89,6 +90,14 @@ class Engine:
         self._key = jax.random.key(seed)
         self.stats = EngineStats()
         self._next_uid = 0
+        # Chunked prefill: prompts longer than this many tokens are
+        # ingested one page-aligned chunk per engine step, interleaved
+        # with decode, so one long prompt can't stall the whole batch's
+        # token latency (TTFT fairness). Must be a multiple of page_size.
+        if prefill_chunk is not None and prefill_chunk % page_size != 0:
+            raise ValueError("prefill_chunk must be a multiple of page_size")
+        self.prefill_chunk = prefill_chunk
+        self._prefilling: Dict[int, tuple] = {}  # uid -> (req, pos, tokens)
 
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_token: Optional[int] = None) -> Request:
@@ -105,6 +114,14 @@ class Engine:
         normal decode step."""
         if not reqs:
             return
+        if self.prefill_chunk is not None:
+            chunked = [r for r in reqs
+                       if len(r.prompt) + len(r.generated) > self.prefill_chunk]
+            for r in chunked:
+                self._prefilling[r.uid] = (r, 0, r.prompt + r.generated[:-1])
+            reqs = [r for r in reqs if r.uid not in self._prefilling]
+            if not reqs:
+                return
         token_lists = [r.prompt + r.generated[:-1] for r in reqs]
         self.cache, logits = llama.prefill_batch(
             self.params, self.cfg, self.cache,
@@ -127,7 +144,7 @@ class Engine:
         from mfa_tpu.cache.paged_cache import map_pages
 
         m_slots, m_idx, m_ids = [], [], []
-        for req in self.sched.active.values():
+        for req in self._decode_ready():
             for page_index, page_id in self.sched.ensure_decode_pages(req, n):
                 m_slots.append(req.slot)
                 m_idx.append(page_index)
@@ -141,11 +158,42 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         return sample(logits, sub, self.sampling)
 
+    def _advance_chunked_prefill(self) -> None:
+        """Run ONE chunk of ONE in-progress long prompt (bounded prefill
+        work per engine step; decode for the rest of the batch proceeds in
+        the same step)."""
+        if not self._prefilling:
+            return
+        uid = next(iter(self._prefilling))
+        req, pos, tokens = self._prefilling[uid]
+        n = min(self.prefill_chunk, len(tokens) - pos)
+        self.cache, logits = llama.prefill_chunk(
+            self.params, self.cfg, self.cache, req.slot, req.pages,
+            tokens[pos : pos + n], pos, len(tokens), mesh=self.mesh,
+        )
+        pos += n
+        if pos >= len(tokens):
+            del self._prefilling[uid]
+            self.stats.prefill_tokens += len(tokens)
+            first = int(self._sample(logits[None])[0])
+            if not req.generated:
+                req.generated.append(first)
+                self.stats.decode_tokens += 1
+            if req.done:
+                self._finish(req)
+        else:
+            self._prefilling[uid] = (req, pos, tokens)
+
+    def _decode_ready(self):
+        return [r for r in self.sched.active.values()
+                if r.uid not in self._prefilling]
+
     def step(self) -> None:
         """One engine iteration: admit, prefill, batched decode step."""
         self._prefill_admitted(self.sched.admit())
+        self._advance_chunked_prefill()
 
-        active = [r for r in self.sched.active.values()]
+        active = self._decode_ready()
         if not active:
             return
         self._map_new_pages(1)
@@ -205,8 +253,9 @@ class Engine:
         from mfa_tpu.cache.paged_cache import release_slot
 
         self._prefill_admitted(self.sched.admit())
+        self._advance_chunked_prefill()
 
-        active = [r for r in self.sched.active.values()]
+        active = self._decode_ready()
         if not active:
             return
         # Burst length is bucketed to powers of two so the jitted burst
@@ -277,6 +326,7 @@ class Engine:
         handling at all, SURVEY.md §5). Generated tokens are kept; the KV
         is rebuilt by re-prefilling on re-admission. Returns the number of
         requeued requests."""
+        self._prefilling.clear()
         active = sorted(self.sched.active.values(), key=lambda r: r.uid)
         for req in list(active):
             self.sched.finish(req)
