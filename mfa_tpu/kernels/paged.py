@@ -98,17 +98,20 @@ def _paged_kernel_body(
     max_blocks: int,
     quantized: bool,
     window_left: int,
+    q_span: int,
+    group: int,
 ):
     b, i = pl.program_id(0), pl.program_id(1)
     bt = page_size * pages_per_block
     length = lens_ref[b]
 
     def _win_start(bb):
-        """First visible column for the decode row of sequence bb
-        (sliding window: only the last window_left+1 tokens attend)."""
+        """First visible column of the OLDEST query row of sequence bb
+        (query row si sits at absolute position lens-q_span+si; sliding
+        window caps each row's visibility to window_left tokens back)."""
         if window_left < 0:
             return jnp.int32(0)
-        return jnp.maximum(0, lens_ref[bb] - 1 - window_left)
+        return jnp.maximum(0, lens_ref[bb] - q_span - window_left)
 
     def _first_block(bb):
         return _win_start(bb) // bt
@@ -220,12 +223,25 @@ def _paged_kernel_body(
 
         wait_block(b, i, slot)
 
-        col = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1) + i * bt
-        )
-        in_len = col < length
-        if window_left >= 0:
-            in_len = jnp.logical_and(in_len, col >= _win_start(b))
+        # Per-row masks: query row r covers speculative position
+        # si = r // group (rows are [q_span, group] flattened; pad rows get
+        # si >= q_span — their garbage output is sliced away by the host).
+        # Row si's absolute position is length - q_span + si, so it sees
+        # cols < length - q_span + 1 + si (multi-query causal alignment).
+        rows_p = max(8, -(-(q_span * group) // 8) * 8)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 1) + i * bt
+        if q_span == 1:
+            in_len = col < length
+            if window_left >= 0:
+                in_len = jnp.logical_and(in_len, col >= _win_start(b))
+        else:
+            si = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 0) // group
+            in_len = col < (length - q_span + 1 + si)
+            if window_left >= 0:
+                row_start = jnp.maximum(
+                    0, (length - q_span + si) - window_left
+                )
+                in_len = jnp.logical_and(in_len, col >= row_start)
         last_block = cdiv(length, bt) - 1
 
         for h in range(num_kv_heads):  # static unroll over kv heads
@@ -287,9 +303,14 @@ def paged_attention(
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
-    """Paged decode attention (seqlen_q == 1).
+    """Paged decode attention (seqlen_q == 1, or a small speculative span).
 
-    q: [batch, num_heads, head_dim]
+    q: [batch, num_heads, head_dim], or [batch, q_span, num_heads,
+        head_dim] for multi-query (speculative verify / MTP) decoding —
+        query row si sits at absolute position length - q_span + si and is
+        masked causally (call with lengths that already include the span's
+        tokens). The reference is strictly seqlen_q == 1
+        (interface.py:116); the span generalization has no counterpart.
     k_pages/v_pages: [num_kv_heads, num_pages, page_size, head_dim]
         (bf16/fp16/fp32, or int8 / fp8 with k_scales/v_scales)
     k_scales/v_scales: [num_kv_heads, num_pages, page_size] fp32 per-row
@@ -301,7 +322,11 @@ def paged_attention(
     Returns [batch, num_heads, head_dim] (and, if return_lse, a fp32
     LSE [batch, num_heads] for cross-chip combines).
     """
-    batch, num_heads, head_dim = q.shape
+    if q.ndim == 3:
+        q_span = 1
+        batch, num_heads, head_dim = q.shape
+    else:
+        batch, q_span, num_heads, head_dim = q.shape
     num_kv_heads, num_pages, page_size, _ = k_pages.shape
     group = num_heads // num_kv_heads
     pages_per_seq = block_table.shape[1]
@@ -325,10 +350,18 @@ def paged_attention(
     bt = ppb * page_size
     max_blocks = cdiv(pages_per_seq, ppb)
 
-    group_p = max(8, round_up(group, 8))
-    qg = q.reshape(batch, num_kv_heads, group, head_dim)
-    if group_p != group:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+    # Rows are [q_span, group] flattened (kernel decodes si = row // group).
+    rows = q_span * group
+    rows_p = max(8, round_up(rows, 8))
+    if q.ndim == 3:
+        qg = q.reshape(batch, num_kv_heads, group, head_dim)
+    else:
+        qg = jnp.transpose(
+            q.reshape(batch, q_span, num_kv_heads, group, head_dim),
+            (0, 2, 1, 3, 4),
+        ).reshape(batch, num_kv_heads, rows, head_dim)
+    if rows_p != rows:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
     if quantized and qg.dtype not in (jnp.bfloat16, jnp.float32):
         qg = qg.astype(jnp.bfloat16)
 
@@ -336,7 +369,7 @@ def paged_attention(
     table_flat = jnp.asarray(block_table, jnp.int32).reshape(-1)
 
     in_specs = [
-        pl.BlockSpec((1, num_kv_heads, group_p, head_dim),
+        pl.BlockSpec((1, num_kv_heads, rows_p, head_dim),
                      lambda b, i, *refs: (b, 0, 0, 0)),
     ]
     inputs = [qg]
@@ -378,6 +411,8 @@ def paged_attention(
         max_blocks=max_blocks,
         quantized=quantized,
         window_left=window_left,
+        q_span=q_span,
+        group=group,
     )
     if quantized:
         kernel = body
@@ -390,15 +425,15 @@ def paged_attention(
         grid=(batch, max_blocks),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, num_kv_heads, group_p, head_dim),
+            pl.BlockSpec((1, num_kv_heads, rows_p, head_dim),
                          lambda b, i, *refs: (b, 0, 0, 0)),
-            pl.BlockSpec((1, num_kv_heads, group_p, _LANES),
+            pl.BlockSpec((1, num_kv_heads, rows_p, _LANES),
                          lambda b, i, *refs: (b, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((num_kv_heads, group_p, _LANES), jnp.float32),
-            pltpu.VMEM((num_kv_heads, group_p, _LANES), jnp.float32),
-            pltpu.VMEM((num_kv_heads, group_p, head_dim), jnp.float32),
+            pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
+            pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
+            pltpu.VMEM((num_kv_heads, rows_p, head_dim), jnp.float32),
             pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
                        k_pages.dtype),
             pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
@@ -415,10 +450,10 @@ def paged_attention(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (batch, num_kv_heads, group_p, head_dim), jnp.float32
+                (batch, num_kv_heads, rows_p, head_dim), jnp.float32
             ),
             jax.ShapeDtypeStruct(
-                (batch, num_kv_heads, group_p, _LANES), jnp.float32
+                (batch, num_kv_heads, rows_p, _LANES), jnp.float32
             ),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -437,7 +472,20 @@ def paged_attention(
         interpret=interpret,
     )(lens32, table_flat, *inputs)
 
-    out = o_parts[:, :, :group].reshape(batch, num_heads, head_dim).astype(q.dtype)
+    out = o_parts[:, :, :rows]
+    if q.ndim == 3:
+        out = out.reshape(batch, num_heads, head_dim).astype(q.dtype)
+        if return_lse:
+            return out, lse[:, :, :rows, 0].reshape(batch, num_heads)
+        return out
+    out = jnp.transpose(
+        out.reshape(batch, num_kv_heads, q_span, group, head_dim),
+        (0, 2, 1, 3, 4),
+    ).reshape(batch, q_span, num_heads, head_dim).astype(q.dtype)
     if return_lse:
-        return out, lse[:, :, :group, 0].reshape(batch, num_heads)
+        lse_out = jnp.transpose(
+            lse[:, :, :rows, 0].reshape(batch, num_kv_heads, q_span, group),
+            (0, 2, 1, 3),
+        ).reshape(batch, q_span, num_heads)
+        return out, lse_out
     return out

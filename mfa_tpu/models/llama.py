@@ -307,8 +307,9 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
         )
 
     page_spec = P(MODEL_AXIS, None, None, None)
-    in_specs = [P(None, MODEL_AXIS, None), page_spec, page_spec, P(),
-                P(None, None)]
+    q_spec = (P(None, MODEL_AXIS, None) if q3.ndim == 3
+              else P(None, None, MODEL_AXIS, None))
+    in_specs = [q_spec, page_spec, page_spec, P(), P(None, None)]
     args = [q3.astype(out_dtype), k_pages, v_pages, lengths, tables]
     if k_scales is not None:
         in_specs += [P(MODEL_AXIS, None, None)] * 2
@@ -326,7 +327,7 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
 
     fn = shard_map(
         _fn, mesh=mesh, in_specs=tuple(in_specs),
-        out_specs=P(None, MODEL_AXIS, None), check_vma=False,
+        out_specs=q_spec, check_vma=False,
     )
     return fn(*args)
 
@@ -649,6 +650,88 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         lengths=cache.lengths.at[seq_slots].set(lens_inc),
     )
     return cache, logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
+                mesh: Optional[Mesh] = None):
+    """Score `span` tokens per sequence in ONE forward (speculative
+    verification / multi-token processing).
+
+    tokens: [n, span] — appended to each sequence in order; returns
+    (cache, logits [n, span, vocab]) where logits[:, i] is the model's
+    next-token distribution after consuming tokens[:, :i+1]. The paged
+    kernel handles the span with per-row causal alignment (q_span), so
+    verification costs ONE cache stream instead of span decode steps.
+    Rollback of rejected tokens is just a lengths reset (page contents
+    past `lengths` are dead and get overwritten by later appends).
+    """
+    import dataclasses as _dc
+
+    n, span = tokens.shape
+    hd = cfg.head_dim
+    page = cache.page_size
+    lens = cache.lengths[seq_slots]  # [n]
+    pos = lens[:, None] + jnp.arange(span, dtype=jnp.int32)[None]  # [n, span]
+    write_pages = cache.block_tables[
+        seq_slots[:, None], pos // page
+    ].reshape(-1)  # [n*span]
+    offs = (pos % page).reshape(-1)
+    tables = cache.block_tables[seq_slots]
+    lens_inc = lens + span
+    x = params["embed"][tokens]  # [n, span, d]
+
+    def layer_fn(x, xs):
+        lp, kp, vp, ksc, vsc = xs
+        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        q = (h @ lp["wq"]).reshape(n, span, cfg.n_heads, hd)
+        k = (h @ lp["wk"]).reshape(n, span, cfg.n_kv_heads, hd)
+        v = (h @ lp["wv"]).reshape(n, span, cfg.n_kv_heads, hd)
+        q = _rope(q, pos, cfg.rope_theta)
+        k = _rope(k, pos, cfg.rope_theta)
+        kq, ks_new = _store_rows(
+            cache.quant_dtype, kp.dtype,
+            jnp.transpose(k, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
+        vq, vs_new = _store_rows(
+            cache.quant_dtype, vp.dtype,
+            jnp.transpose(v, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
+        kp = kp.at[:, write_pages, offs, :].set(kq)
+        vp = vp.at[:, write_pages, offs, :].set(vq)
+        if ksc is not None:
+            ksc = ksc.at[:, write_pages, offs].set(ks_new)
+            vsc = vsc.at[:, write_pages, offs].set(vs_new)
+        attn = _paged_attention_sharded(
+            q, kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype,
+            cfg.window_left,
+        )  # [n, span, heads, hd]
+        x = x + attn.reshape(n, span, cfg.n_heads * hd).astype(x.dtype) @ lp["wo"]
+        hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+        x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
+        return x, (kp, vp, ksc, vsc)
+
+    x, (kp, vp, ksc, vsc) = jax.lax.scan(
+        layer_fn, x, (params["layers"],) + _cache_xs(cache)
+    )
+    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)  # [n, span, vocab]
+    cache = _dc.replace(
+        cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
+        lengths=cache.lengths.at[seq_slots].set(lens_inc),
+    )
+    return cache, logits
+
+
+def rollback(cache, seq_slots, new_lengths):
+    """Reset sequence lengths after speculative rejection (page contents
+    past the length are dead; later appends overwrite them)."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        cache,
+        lengths=cache.lengths.at[jnp.asarray(seq_slots, jnp.int32)].set(
+            jnp.asarray(new_lengths, jnp.int32)
+        ),
+    )
 
 
 @functools.partial(

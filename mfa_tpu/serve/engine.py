@@ -32,6 +32,13 @@ class EngineStats:
     steps: int = 0
     recoveries: int = 0
     wall_s: float = 0.0
+    spec_proposed: int = 0
+    spec_accepted: int = 0
+
+    @property
+    def spec_acceptance(self) -> float:
+        return (self.spec_accepted / self.spec_proposed
+                if self.spec_proposed else 0.0)
 
     @property
     def decode_tokens_per_s(self) -> float:
@@ -60,6 +67,9 @@ class Engine:
         sampling=None,
         seed: int = 0,
         prefill_chunk: Optional[int] = None,
+        draft_params=None,
+        draft_cfg: Optional[llama.LlamaConfig] = None,
+        spec_tokens: int = 4,
     ):
         """mesh: optional jax.sharding.Mesh with a 'model' axis for
         tensor-parallel serving — params (llama.param_shardings) and the
@@ -98,6 +108,23 @@ class Engine:
             raise ValueError("prefill_chunk must be a multiple of page_size")
         self.prefill_chunk = prefill_chunk
         self._prefilling: Dict[int, tuple] = {}  # uid -> (req, pos, tokens)
+        # Speculative decoding: a small draft model proposes spec_tokens
+        # greedily (one on-device burst), the target scores them all in ONE
+        # verify_step forward, and rejected tokens are rolled back with a
+        # lengths reset. Both models share the scheduler's page tables.
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.spec_tokens = spec_tokens
+        self.draft_cache = None
+        if draft_params is not None:
+            if draft_cfg is None:
+                raise ValueError("draft_params requires draft_cfg")
+            if not self.sampling.greedy:
+                raise ValueError("speculative decoding is greedy-only")
+            self.draft_cache = llama.build_kv_caches(
+                draft_cfg, num_pages, page_size, max_seqs, pages_per_seq,
+                quant_dtype,
+            )
 
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_token: Optional[int] = None) -> Request:
@@ -128,6 +155,11 @@ class Engine:
             [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
             mesh=self.mesh,
         )
+        if self.draft_cache is not None:
+            self.draft_cache, _ = llama.prefill_batch(
+                self.draft_params, self.draft_cfg, self.draft_cache,
+                [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
+            )
         firsts = np.asarray(self._sample(logits))
         for req, toks, first in zip(reqs, token_lists, firsts):
             self.stats.prefill_tokens += len(toks)
@@ -151,6 +183,9 @@ class Engine:
                 m_ids.append(page_id)
         if m_slots:
             self.cache = map_pages(self.cache, m_slots, m_idx, m_ids)
+            if self.draft_cache is not None:
+                self.draft_cache = map_pages(
+                    self.draft_cache, m_slots, m_idx, m_ids)
 
     def _sample(self, logits) -> jnp.ndarray:
         from mfa_tpu.serve.sampling import sample
@@ -171,6 +206,11 @@ class Engine:
             self.params, self.cfg, self.cache, req.slot, req.pages,
             tokens[pos : pos + n], pos, len(tokens), mesh=self.mesh,
         )
+        if self.draft_cache is not None:
+            self.draft_cache, _ = llama.prefill_chunk(
+                self.draft_params, self.draft_cfg, self.draft_cache,
+                req.slot, req.pages, tokens[pos : pos + n], pos, len(tokens),
+            )
         pos += n
         if pos >= len(tokens):
             del self._prefilling[uid]
@@ -313,12 +353,104 @@ class Engine:
             if req.done:
                 self._finish(req)
 
+    def step_speculative(self) -> None:
+        """One speculative iteration: the draft model proposes spec_tokens
+        greedily in an on-device burst, the target verifies the whole span
+        in ONE forward (llama.verify_step — one KV-cache stream instead of
+        spec_tokens of them), accepted tokens are emitted and rejected
+        ones rolled back with a lengths reset. Output is bit-identical to
+        plain greedy decoding of the target model."""
+        from mfa_tpu.cache.paged_cache import release_slot
+
+        k = self.spec_tokens
+        self._prefill_admitted(self.sched.admit())
+        self._advance_chunked_prefill()
+        active = self._decode_ready()
+        if not active:
+            return
+        self._map_new_pages(k)
+
+        nact = len(active)
+        nb = _bucket(nact)
+        slots = np.zeros((nb,), np.int32)
+        tokens = np.zeros((nb,), np.int32)
+        for i, r in enumerate(active):
+            slots[i] = r.slot
+            tokens[i] = r.generated[-1]
+        pad_rows = nb - nact
+        scratch = None
+        if pad_rows:
+            for srch in range(self.sched.max_seqs):
+                if srch not in self.sched.active:
+                    scratch = srch
+                    break
+            if scratch is None:
+                nb = nact
+                slots = slots[:nact]
+                tokens = tokens[:nact]
+                pad_rows = 0
+            else:
+                slots[nact:] = scratch
+                tokens[nact:] = 0
+
+        slots_j = jnp.asarray(slots)
+        toks_j = jnp.asarray(tokens)
+        # draft proposes k tokens (greedy burst; zero host syncs inside)
+        self.draft_cache, d_toks = llama.decode_burst(
+            self.draft_params, self.draft_cfg, self.draft_cache,
+            slots_j, toks_j, k,
+        )  # [k, nb]
+        # target verifies [t_cur, d_1..d_{k-1}] in one forward
+        feed = jnp.concatenate([toks_j[None], d_toks[:-1]], axis=0).T  # [nb, k]
+        self.cache, logits = llama.verify_step(
+            self.params, self.cfg, self.cache, slots_j, feed, mesh=self.mesh,
+        )
+        a_np = np.asarray(jnp.argmax(logits, axis=-1))  # [nb, k]
+        d_np = np.asarray(d_toks).T  # [nb, k] proposals d_1..d_k
+
+        # acceptance + rollback lengths (a[:, i] verifies d_{i+1})
+        new_lens = np.zeros((nb,), np.int32)
+        emitted = []
+        for i, req in enumerate(active):
+            base = req.total_len - 1  # cache length before this step
+            m = 0
+            while m < k and d_np[i, m] == a_np[i, m]:
+                m += 1
+            toks_out = list(d_np[i, :m])
+            if m < k:
+                toks_out.append(int(a_np[i, m]))
+                new_lens[i] = base + 1 + m
+            else:
+                new_lens[i] = base + k
+            emitted.append(toks_out)
+            self.stats.spec_proposed += k
+            self.stats.spec_accepted += m
+        for i in range(nact, nb):
+            new_lens[i] = 0  # scratch rows
+        self.cache = llama.rollback(self.cache, slots, new_lens)
+        self.draft_cache = llama.rollback(self.draft_cache, slots, new_lens)
+        if pad_rows:
+            self.cache = release_slot(self.cache, scratch)
+            self.draft_cache = release_slot(self.draft_cache, scratch)
+
+        self.stats.steps += 1
+        for req, toks_out in zip(active, emitted):
+            for t in toks_out:
+                if req.done:
+                    break
+                req.generated.append(int(t))
+                self.stats.decode_tokens += 1
+            if req.done:
+                self._finish(req)
+
     def _finish(self, req: Request) -> None:
         from mfa_tpu.cache.paged_cache import release_slot
 
         slot = req.slot
         self.sched.finish(req)
         self.cache = release_slot(self.cache, slot)
+        if self.draft_cache is not None:
+            self.draft_cache = release_slot(self.draft_cache, slot)
 
     def recover(self) -> int:
         """Reset device state after a failed step and requeue in-flight
@@ -341,6 +473,12 @@ class Engine:
                 cache, llama.cache_shardings(self.cfg, cache, self.mesh)
             )
         self.cache = cache
+        if self.draft_cache is not None:
+            d0 = self.draft_cache
+            self.draft_cache = llama.build_kv_caches(
+                self.draft_cfg, d0.num_pages, d0.page_size, d0.max_seqs,
+                d0.pages_per_seq, d0.quant_dtype,
+            )
         for req in reversed(active):
             self.sched.waiting.appendleft(req)
         self.stats.recoveries += 1
@@ -355,7 +493,9 @@ class Engine:
         retries = 0
         while self.sched.has_work:
             try:
-                if burst > 1:
+                if self.draft_cache is not None:
+                    self.step_speculative()
+                elif burst > 1:
                     self.step_burst(burst)
                 else:
                     self.step()

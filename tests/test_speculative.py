@@ -1,0 +1,111 @@
+"""Speculative decoding primitives and engine integration.
+
+verify_step scores a span of tokens in one forward; its logits must match
+step-by-step decode_step logits exactly (same kernel math, different
+batching), and rollback must make rejected tokens invisible.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfa_tpu.models import llama
+
+CFG = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4, kv_heads=2,
+                             ffn=96, dtype=jnp.float32)
+
+
+def _prefilled(params, prompt):
+    cache = llama.build_kv_caches(CFG, 16, 8, 2, 8)
+    cache, logits = llama.prefill_step(params, CFG, cache, 0,
+                                       list(range(1, 9)),
+                                       jnp.asarray(prompt, jnp.int32))
+    return cache, logits
+
+
+def test_verify_step_matches_sequential_decode():
+    params = llama.init_params(jax.random.key(0), CFG)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    toks = [7, 8, 9, 10]  # the span to score
+    slots = jnp.asarray([0], jnp.int32)
+
+    cache_a, _ = _prefilled(params, prompt)
+    seq_logits = []
+    for t in toks:
+        cache_a, lg = llama.decode_step(
+            params, CFG, cache_a, slots, jnp.asarray([t], jnp.int32))
+        seq_logits.append(np.asarray(lg[0]))
+
+    cache_b, _ = _prefilled(params, prompt)
+    cache_b, logits = llama.verify_step(
+        params, CFG, cache_b, slots, jnp.asarray([toks], jnp.int32))
+    for i in range(len(toks)):
+        np.testing.assert_allclose(
+            np.asarray(logits[0, i]), seq_logits[i], atol=2e-4, rtol=1e-4,
+            err_msg=f"verify logits diverge at span index {i}",
+        )
+    np.testing.assert_array_equal(np.asarray(cache_b.lengths),
+                                  np.asarray(cache_a.lengths))
+
+
+def test_rollback_restores_decode_state():
+    params = llama.init_params(jax.random.key(1), CFG)
+    prompt = [11, 12, 13]
+    slots = jnp.asarray([0], jnp.int32)
+
+    cache_a, _ = _prefilled(params, prompt)
+    base_len = int(cache_a.lengths[0])
+    # speculate 3 tokens, then roll back all of them
+    cache_b, _ = llama.verify_step(
+        params, CFG, cache_a, slots, jnp.asarray([[7, 8, 9]], jnp.int32))
+    cache_b = llama.rollback(cache_b, slots, jnp.asarray([base_len]))
+    # decoding token 20 now must equal decoding it from the clean state
+    _, lg_clean = llama.decode_step(
+        params, CFG, cache_a, slots, jnp.asarray([20], jnp.int32))
+    _, lg_rolled = llama.decode_step(
+        params, CFG, cache_b, slots, jnp.asarray([20], jnp.int32))
+    np.testing.assert_allclose(np.asarray(lg_rolled), np.asarray(lg_clean),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_speculative_engine_matches_plain_greedy():
+    """Speculative output must be bit-identical to plain greedy decoding of
+    the target model, for any draft (here: a differently-seeded tiny model,
+    so acceptance is partial and rollback paths are exercised)."""
+    from mfa_tpu.serve.engine import Engine
+
+    params = llama.init_params(jax.random.key(0), CFG)
+    draft_cfg = llama.LlamaConfig.tiny(vocab=64, dim=32, layers=1, heads=2,
+                                       kv_heads=1, ffn=64, dtype=jnp.float32)
+    draft_params = llama.init_params(jax.random.key(9), draft_cfg)
+    prompts = [[1, 2, 3], [9] * 11, [7, 8, 5, 3]]
+
+    def run(spec):
+        kw = dict(draft_params=draft_params, draft_cfg=draft_cfg,
+                  spec_tokens=3) if spec else {}
+        eng = Engine(params, CFG, num_pages=48, page_size=8, max_seqs=4,
+                     pages_per_seq=8, **kw)
+        reqs = [eng.submit(p, 7) for p in prompts]
+        eng.run()
+        assert eng.sched.allocator.free_pages == 47
+        return [r.generated for r in reqs], eng.stats
+
+    gen_spec, stats = run(True)
+    gen_plain, _ = run(False)
+    assert gen_spec == gen_plain, f"{gen_spec} vs {gen_plain}"
+    assert stats.spec_proposed > 0
+
+
+def test_speculative_self_draft_full_acceptance():
+    """Draft == target: every proposal must be accepted (acceptance 1.0),
+    and throughput bookkeeping still exact."""
+    from mfa_tpu.serve.engine import Engine
+
+    params = llama.init_params(jax.random.key(0), CFG)
+    eng = Engine(params, CFG, num_pages=48, page_size=8, max_seqs=2,
+                 pages_per_seq=8, draft_params=params, draft_cfg=CFG,
+                 spec_tokens=4)
+    req = eng.submit([1, 2, 3], 9)
+    eng.run()
+    assert len(req.generated) == 9
+    assert eng.stats.spec_acceptance == 1.0, eng.stats
