@@ -67,6 +67,7 @@ class Engine:
         sampling=None,
         seed: int = 0,
         prefill_chunk: Optional[int] = None,
+        prefix_cache: bool = False,
         draft_params=None,
         draft_cfg: Optional[llama.LlamaConfig] = None,
         spec_tokens: int = 4,
@@ -91,7 +92,8 @@ class Engine:
             )
         self.params = params
         self.cache = cache
-        self.sched = Scheduler(max_seqs, pages_per_seq, page_size, num_pages)
+        self.sched = Scheduler(max_seqs, pages_per_seq, page_size, num_pages,
+                               prefix_cache=prefix_cache)
         from mfa_tpu.serve.sampling import SamplingParams
 
         # `sampling` wins over the legacy `greedy` flag; default is greedy.
@@ -141,14 +143,17 @@ class Engine:
         normal decode step."""
         if not reqs:
             return
-        if self.prefill_chunk is not None:
-            chunked = [r for r in reqs
-                       if len(r.prompt) + len(r.generated) > self.prefill_chunk]
-            for r in chunked:
-                self._prefilling[r.uid] = (r, 0, r.prompt + r.generated[:-1])
-            reqs = [r for r in reqs if r.uid not in self._prefilling]
-            if not reqs:
-                return
+        chunk_limit = self.prefill_chunk
+        for r in reqs:
+            toks = r.prompt + r.generated[:-1]
+            # chunked path for long prompts AND for prefix-cache hits
+            # (their suffix prefill needs a page-aligned start offset)
+            if ((chunk_limit is not None and len(toks) > chunk_limit)
+                    or r.cached_len > 0):
+                self._prefilling[r.uid] = (r, r.cached_len, toks)
+        reqs = [r for r in reqs if r.uid not in self._prefilling]
+        if not reqs:
+            return
         token_lists = [r.prompt + r.generated[:-1] for r in reqs]
         self.cache, logits = llama.prefill_batch(
             self.params, self.cfg, self.cache,
@@ -163,6 +168,8 @@ class Engine:
         firsts = np.asarray(self._sample(logits))
         for req, toks, first in zip(reqs, token_lists, firsts):
             self.stats.prefill_tokens += len(toks)
+            if self.sched.prefix is not None:
+                self.sched.prefix.register(req)
             if not req.generated:  # fresh request (not a recovery resume)
                 req.generated.append(int(first))
                 self.stats.decode_tokens += 1
@@ -201,7 +208,8 @@ class Engine:
             return
         uid = next(iter(self._prefilling))
         req, pos, tokens = self._prefilling[uid]
-        n = min(self.prefill_chunk, len(tokens) - pos)
+        limit = self.prefill_chunk or len(tokens)
+        n = min(limit, len(tokens) - pos)
         self.cache, logits = llama.prefill_chunk(
             self.params, self.cfg, self.cache, req.slot, req.pages,
             tokens[pos : pos + n], pos, len(tokens), mesh=self.mesh,
@@ -214,7 +222,9 @@ class Engine:
         pos += n
         if pos >= len(tokens):
             del self._prefilling[uid]
-            self.stats.prefill_tokens += len(tokens)
+            self.stats.prefill_tokens += len(tokens) - req.cached_len
+            if self.sched.prefix is not None:
+                self.sched.prefix.register(req)
             first = int(self._sample(logits[None])[0])
             if not req.generated:
                 req.generated.append(first)
