@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--tp", type=int, default=1, help="model-axis mesh size")
     ap.add_argument("--burst", type=int, default=8,
                     help="decode steps fused on-device per host sync")
+    ap.add_argument("--spec", type=int, default=0,
+                    help="speculative tokens per step (0 = off; draft = "
+                         "1-layer slice of the same shape)")
+    ap.add_argument("--prefix-cache", action="store_true")
     args = ap.parse_args()
 
     from mfa_tpu.models import llama
@@ -61,10 +65,22 @@ def main():
     pages_per_seq = (args.prompt_len + args.gen) // args.page + 2
     num_pages = args.batch * pages_per_seq + 1
     quant = None if args.quant == "none" else args.quant
+    spec_kw = {}
+    if args.spec:
+        draft_cfg = llama.LlamaConfig(
+            vocab_size=args.vocab, dim=args.dim // 4, n_layers=1,
+            n_heads=args.heads // 4, n_kv_heads=max(1, args.kv_heads // 4),
+            ffn_dim=args.ffn // 4, dtype=jnp.bfloat16,
+        )
+        spec_kw = dict(
+            draft_params=llama.init_params(jax.random.key(7), draft_cfg),
+            draft_cfg=draft_cfg, spec_tokens=args.spec,
+        )
     eng = Engine(
         params, cfg, num_pages=num_pages, page_size=args.page,
         max_seqs=args.batch, pages_per_seq=pages_per_seq,
-        quant_dtype=quant, mesh=mesh,
+        quant_dtype=quant, mesh=mesh, prefix_cache=args.prefix_cache,
+        **spec_kw,
     )
     prompts = [
         list((jax.random.randint(jax.random.key(i), (args.prompt_len,), 1,
@@ -89,7 +105,10 @@ def main():
     t0 = time.time()
     steps = 0
     while eng.sched.has_work:
-        if args.burst > 1:
+        if args.spec:
+            eng.step_speculative()
+            steps += 1
+        elif args.burst > 1:
             eng.step_burst(args.burst)
             steps += args.burst
         else:
@@ -113,6 +132,9 @@ def main():
         f"(32-layer extrapolation: {1e3 / (per_layer_ms * 32):.1f} "
         f"steps/s -> {args.batch * 1e3 / (per_layer_ms * 32):.0f} tok/s)"
     )
+    if args.spec:
+        print(f"speculative acceptance: {eng.stats.spec_acceptance:.2f} "
+              f"({eng.stats.spec_accepted}/{eng.stats.spec_proposed})")
 
 
 if __name__ == "__main__":
