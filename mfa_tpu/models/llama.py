@@ -757,14 +757,16 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     if key is None:
         key = jax.random.key(0)
 
+    from mfa_tpu.serve.sampling import token_logprobs
+
     def body(carry, i):
         cache, toks = carry
         cache, logits = decode_step(params, cfg, cache, seq_slots, toks,
                                     mesh=mesh)
         nxt = sample(logits, jax.random.fold_in(key, i), sampling)
-        return (cache, nxt), nxt
+        return (cache, nxt), (nxt, token_logprobs(logits, nxt))
 
-    (cache, _), out = jax.lax.scan(
+    (cache, _), (out, lps) = jax.lax.scan(
         body, (cache, tokens), jnp.arange(n_steps)
     )
-    return cache, out
+    return cache, out, lps

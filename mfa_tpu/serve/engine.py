@@ -165,13 +165,16 @@ class Engine:
                 self.draft_params, self.draft_cfg, self.draft_cache,
                 [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
             )
-        firsts = np.asarray(self._sample(logits))
-        for req, toks, first in zip(reqs, token_lists, firsts):
+        ids, lps = self._sample(logits)
+        firsts, first_lps = np.asarray(ids), np.asarray(lps)
+        for req, toks, first, flp in zip(reqs, token_lists, firsts,
+                                         first_lps):
             self.stats.prefill_tokens += len(toks)
             if self.sched.prefix is not None:
                 self.sched.prefix.register(req)
             if not req.generated:  # fresh request (not a recovery resume)
                 req.generated.append(int(first))
+                req.logprobs.append(float(flp))
                 self.stats.decode_tokens += 1
             if req.done:
                 self._finish(req)
@@ -194,11 +197,14 @@ class Engine:
                 self.draft_cache = map_pages(
                     self.draft_cache, m_slots, m_idx, m_ids)
 
-    def _sample(self, logits) -> jnp.ndarray:
-        from mfa_tpu.serve.sampling import sample
+    def _sample(self, logits):
+        """-> (ids [n], logprobs [n]) — logprobs under the unfiltered
+        model distribution (standard serving semantics)."""
+        from mfa_tpu.serve.sampling import sample, token_logprobs
 
         self._key, sub = jax.random.split(self._key)
-        return sample(logits, sub, self.sampling)
+        ids = sample(logits, sub, self.sampling)
+        return ids, token_logprobs(logits, ids)
 
     def _advance_chunked_prefill(self) -> None:
         """Run ONE chunk of ONE in-progress long prompt (bounded prefill
@@ -225,9 +231,10 @@ class Engine:
             self.stats.prefill_tokens += len(tokens) - req.cached_len
             if self.sched.prefix is not None:
                 self.sched.prefix.register(req)
-            first = int(self._sample(logits[None])[0])
+            ids, lps = self._sample(logits[None])
             if not req.generated:
-                req.generated.append(first)
+                req.generated.append(int(ids[0]))
+                req.logprobs.append(float(lps[0]))
                 self.stats.decode_tokens += 1
             if req.done:
                 self._finish(req)
@@ -284,10 +291,12 @@ class Engine:
 
             self.cache = release_slot(self.cache, int(slots[n]))
 
-        next_tokens = np.asarray(self._sample(logits[:n]))
+        ids, lps = self._sample(logits[:n])
+        next_tokens, next_lps = np.asarray(ids), np.asarray(lps)
         self.stats.steps += 1
         for i, req in enumerate(active):
             req.generated.append(int(next_tokens[i]))
+            req.logprobs.append(float(next_lps[i]))
             self.stats.decode_tokens += 1
             if req.done:
                 self._finish(req)
@@ -345,7 +354,7 @@ class Engine:
                 tokens[nact:] = 0
 
         self._key, sub = jax.random.split(self._key)
-        self.cache, toks = llama.decode_burst(
+        self.cache, toks, burst_lps = llama.decode_burst(
             self.params, self.cfg, self.cache,
             jnp.asarray(slots), jnp.asarray(tokens), n_eff, mesh=self.mesh,
             sampling=self.sampling, key=sub,
@@ -353,12 +362,14 @@ class Engine:
         if pad_rows:
             self.cache = release_slot(self.cache, int(slots[nact]))
         toks_np = np.asarray(toks)  # [n_eff, nb]
+        lps_np = np.asarray(burst_lps)
         self.stats.steps += n_eff
         for i, req in enumerate(active):
-            for t in toks_np[:, i]:
+            for t, lp in zip(toks_np[:, i], lps_np[:, i]):
                 if req.done:
                     break
                 req.generated.append(int(t))
+                req.logprobs.append(float(lp))
                 self.stats.decode_tokens += 1
             if req.done:
                 self._finish(req)
@@ -406,7 +417,7 @@ class Engine:
         slots_j = jnp.asarray(slots)
         toks_j = jnp.asarray(tokens)
         # draft proposes k tokens (greedy burst; zero host syncs inside)
-        self.draft_cache, d_toks = llama.decode_burst(
+        self.draft_cache, d_toks, _ = llama.decode_burst(
             self.draft_params, self.draft_cfg, self.draft_cache,
             slots_j, toks_j, k,
         )  # [k, nb]
@@ -416,6 +427,9 @@ class Engine:
             self.params, self.cfg, self.cache, slots_j, feed, mesh=self.mesh,
         )
         a_np = np.asarray(jnp.argmax(logits, axis=-1))  # [nb, k]
+        lp_np = np.asarray(
+            jnp.max(jax.nn.log_softmax(logits, axis=-1), axis=-1)
+        )  # [nb, k] logprob of the greedy token at each span position
         d_np = np.asarray(d_toks).T  # [nb, k] proposals d_1..d_k
 
         # acceptance + rollback lengths (a[:, i] verifies d_{i+1})
@@ -427,12 +441,14 @@ class Engine:
             while m < k and d_np[i, m] == a_np[i, m]:
                 m += 1
             toks_out = list(d_np[i, :m])
+            lps_out = list(lp_np[i, :m])
             if m < k:
                 toks_out.append(int(a_np[i, m]))
+                lps_out.append(float(lp_np[i, m]))
                 new_lens[i] = base + 1 + m
             else:
                 new_lens[i] = base + k
-            emitted.append(toks_out)
+            emitted.append((toks_out, lps_out))
             self.stats.spec_proposed += k
             self.stats.spec_accepted += m
         for i in range(nact, nb):
@@ -444,11 +460,12 @@ class Engine:
             self.draft_cache = release_slot(self.draft_cache, scratch)
 
         self.stats.steps += 1
-        for req, toks_out in zip(active, emitted):
-            for t in toks_out:
+        for req, (toks_out, lps_out) in zip(active, emitted):
+            for t, lp in zip(toks_out, lps_out):
                 if req.done:
                     break
                 req.generated.append(int(t))
+                req.logprobs.append(float(lp))
                 self.stats.decode_tokens += 1
             if req.done:
                 self._finish(req)

@@ -55,3 +55,12 @@ def sample(logits: jax.Array, key: jax.Array,
         )
         l = jnp.where(l < cutoff, -jnp.inf, l)
     return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+
+
+def token_logprobs(logits: jax.Array, ids: jax.Array) -> jax.Array:
+    """Log-probability of the chosen ids under the UNfiltered distribution
+    (the conventional serving semantics: logprobs reflect the model, not
+    the sampler's truncation). logits [n, vocab], ids [n] -> [n] fp32."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, ids[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]

@@ -47,6 +47,7 @@ class Request:
     eos_token: Optional[int] = None
     # filled during execution
     generated: List[int] = dataclasses.field(default_factory=list)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
     slot: int = -1
     pages: List[int] = dataclasses.field(default_factory=list)
     # prefix caching: tokens covered by shared pages (page-aligned), and

@@ -85,3 +85,54 @@ def test_engine_stochastic_deterministic_per_seed():
     assert d == e, "burst sampling must also reproduce per seed"
     for gen in a + d:
         assert all(0 <= t < cfg.vocab_size for t in gen)
+
+
+def test_engine_logprobs():
+    """Every generated token carries a logprob; greedy logprobs equal the
+    max log-softmax; burst and stepwise agree."""
+    from mfa_tpu.models import llama
+    from mfa_tpu.serve.engine import Engine
+
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                 kv_heads=2, ffn=96, dtype=jnp.float32)
+    params = llama.init_params(jax.random.key(0), cfg)
+
+    def run(burst):
+        eng = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=4,
+                     pages_per_seq=8)
+        reqs = [eng.submit([1, 2, 3], 5), eng.submit([9] * 10, 5)]
+        eng.run(burst=burst)
+        return reqs
+
+    a = run(1)
+    b = run(4)
+    for ra, rb in zip(a, b):
+        assert len(ra.logprobs) == len(ra.generated) == 5
+        assert all(np.isfinite(ra.logprobs)) and all(lp <= 0 for lp in ra.logprobs)
+        assert ra.generated == rb.generated
+        np.testing.assert_allclose(ra.logprobs, rb.logprobs, atol=1e-4)
+
+
+def test_speculative_logprobs_match_plain():
+    from mfa_tpu.models import llama
+    from mfa_tpu.serve.engine import Engine
+
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                 kv_heads=2, ffn=96, dtype=jnp.float32)
+    params = llama.init_params(jax.random.key(0), cfg)
+    draft_cfg = llama.LlamaConfig.tiny(vocab=64, dim=32, layers=1, heads=2,
+                                       kv_heads=1, ffn=64, dtype=jnp.float32)
+    draft = llama.init_params(jax.random.key(5), draft_cfg)
+
+    def run(spec):
+        kw = dict(draft_params=draft, draft_cfg=draft_cfg,
+                  spec_tokens=3) if spec else {}
+        eng = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=2,
+                     pages_per_seq=8, **kw)
+        req = eng.submit([4, 2, 7, 7], 6)
+        eng.run()
+        return req
+
+    rs, rp = run(True), run(False)
+    assert rs.generated == rp.generated
+    np.testing.assert_allclose(rs.logprobs, rp.logprobs, atol=1e-4)
