@@ -1,0 +1,424 @@
+"""Pallas TPU paged PREFILL kernel: query chunks against a paged KV cache.
+
+Companion to kernels/paged.py (decode): the same per-page async-DMA
+double-buffer machinery, but with a q-block axis — each grid cell computes
+a [block_q x block_tokens] attention tile for ALL heads of one sequence.
+This is the chunked-prefill / varlen-paged hot path done natively: no
+materialized XLA gather of the prefix (the gather-based fallback reads the
+prefix twice), and the chunk offset (`q_start`) is a scalar-prefetched
+RUNTIME value, so one compiled program serves every chunk position.
+
+Semantics: query row r of sequence b sits at absolute position
+q_start[b] + r and sees columns c with
+    c <= q_start[b] + r                      (causal, offset-aligned)
+    c >= q_start[b] + r - window_left        (optional sliding window)
+    c <  lengths[b]                          (cache bound)
+which generalizes prefill causal masking (offset 0) and decode (q_len 1).
+
+Quantized KV (INT8/FP8) is handled exactly like the decode kernel: raw
+payload through the MXU, per-row scales applied to score columns (K) and
+folded into probabilities (V). No reference counterpart: the reference's
+paged path is decode-only and requires page >= kv-block (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfa_tpu.dispatch.config import cdiv, default_interpret, round_up, \
+    softmax_scale_default
+from mfa_tpu.kernels.paged import _page_copy
+
+_LOG2E = math.log2(math.e)
+_MASK = -1e30
+_LANES = 128
+
+
+def _body(
+    lens_ref,  # [b] int32 (scalar prefetch)
+    qstart_ref,  # [b] int32
+    table_ref,  # [b*pps] int32
+    q_ref,  # [1, 1, hkv, group*bq, d]
+    k_scale_ref,  # [1, 1, 1, hkv, bt] or None
+    v_scale_ref,
+    k_pages,  # HBM [hkv, P, page, d]
+    v_pages,
+    o_ref,  # [1, 1, hkv, group*bq, d] fp32
+    m_scr,  # [hkv, group*bq, LANES]
+    l_scr,
+    acc_scr,  # [hkv, group*bq, d]
+    k_buf,  # [2, hkv, ppb, page, d]
+    v_buf,
+    k_sems,
+    v_sems,
+    state_ref,  # SMEM [2]
+    *,
+    scale_log2e: float,
+    page_size: int,
+    pages_per_block: int,
+    pages_per_seq: int,
+    batch: int,
+    num_q_blocks: int,
+    block_q: int,
+    num_kv_heads: int,
+    group: int,
+    num_pages: int,
+    max_blocks: int,
+    quantized: bool,
+    window_left: int,
+):
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    bt = page_size * pages_per_block
+
+    def _row_hi(bb, ii):
+        """One past the last visible column of q block ii of sequence bb
+        (its newest row): min(q_start + (ii+1)*bq, length)."""
+        return jnp.minimum(
+            qstart_ref[bb] + (ii + 1) * block_q, lens_ref[bb]
+        )
+
+    def _row_lo(bb, ii):
+        """First visible column (oldest row's window start)."""
+        if window_left < 0:
+            return jnp.int32(0)
+        return jnp.maximum(0, qstart_ref[bb] + ii * block_q - window_left)
+
+    def _q_rows(bb):
+        """Number of real q rows for sequence bb (len - q_start, >=0)."""
+        return jnp.maximum(lens_ref[bb] - qstart_ref[bb], 0)
+
+    def _first_block(bb, ii):
+        return _row_lo(bb, ii) // bt
+
+    def _last_block(bb, ii):
+        return jnp.maximum(0, (_row_hi(bb, ii) - 1)) // bt
+
+    def _cell_live(bb, ii):
+        """q block ii of sequence bb has at least one real row."""
+        return ii * block_q < _q_rows(bb)
+
+    @pl.when(jnp.logical_and(b == 0, jnp.logical_and(i == 0, j == 0)))
+    def _init_state():
+        state_ref[0] = 0
+        state_ref[1] = 0
+
+    def _page_valid(bb, ii, blk, p):
+        lo = blk * bt + p * page_size
+        valid = lo < _row_hi(bb, ii)
+        if window_left >= 0:
+            valid = jnp.logical_and(valid, lo + page_size > _row_lo(bb, ii))
+        return valid
+
+    def start_block(bb, ii, blk, slot):
+        base = bb * pages_per_seq + blk * pages_per_block
+        for p in range(pages_per_block):
+            valid = _page_valid(bb, ii, blk, p)
+
+            @pl.when(valid)
+            def _fetch(p=p):
+                _page_copy(k_pages, k_buf, k_sems, table_ref,
+                           table_base=base, j=p, slot=slot,
+                           num_pages=num_pages).start()
+                _page_copy(v_pages, v_buf, v_sems, table_ref,
+                           table_base=base, j=p, slot=slot,
+                           num_pages=num_pages).start()
+
+            @pl.when(jnp.logical_not(valid))
+            def _zero(p=p):
+                v_buf[slot, :, p] = jnp.zeros_like(v_buf[slot, :, p])
+
+    def wait_block(bb, ii, blk, slot):
+        base = bb * pages_per_seq + blk * pages_per_block
+        for p in range(pages_per_block):
+            @pl.when(_page_valid(bb, ii, blk, p))
+            def _wait(p=p):
+                _page_copy(k_pages, k_buf, k_sems, table_ref,
+                           table_base=base, j=p, slot=slot,
+                           num_pages=num_pages).wait()
+                _page_copy(v_pages, v_buf, v_sems, table_ref,
+                           table_base=base, j=p, slot=slot,
+                           num_pages=num_pages).wait()
+
+    def next_valid_cell(bb, ii, blk):
+        """Lexicographic successor over LIVE (b, i, kv-block) cells."""
+        blk1 = blk + 1
+        row_done = jnp.logical_or(blk1 > _last_block(bb, ii),
+                                  blk1 >= max_blocks)
+        ii1 = jnp.where(row_done, ii + 1, ii)
+        seq_done = jnp.logical_or(
+            ii1 >= num_q_blocks,
+            jnp.logical_not(_cell_live(bb, jnp.minimum(ii1, num_q_blocks - 1))),
+        )
+        seq_done = jnp.logical_and(row_done, seq_done)
+        ii1 = jnp.where(seq_done, 0, ii1)
+        bb1 = jnp.where(seq_done, bb + 1, bb)
+
+        def skip_dead(carry):
+            return jnp.logical_and(
+                carry < batch,
+                _q_rows(jnp.minimum(carry, batch - 1)) == 0,
+            )
+
+        bb2 = jax.lax.while_loop(skip_dead, lambda c: c + 1, bb1)
+        bbc = jnp.minimum(bb2, batch - 1)
+        blk1 = jnp.where(row_done, _first_block(bbc, ii1), blk1)
+        return bb2, ii1, blk1
+
+    live = _cell_live(b, i)
+    blk_ok = jnp.logical_and(j >= _first_block(b, i), j <= _last_block(b, i))
+    run = jnp.logical_and(live, blk_ok)
+
+    @pl.when(jnp.logical_and(jnp.logical_not(live), j == 0))
+    def _dead_out():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+    @pl.when(run)
+    def _compute():
+        @pl.when(j == _first_block(b, i))
+        def _init_stats():
+            m_scr[...] = jnp.full_like(m_scr, _MASK)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        @pl.when(state_ref[0] == 0)
+        def _bootstrap():
+            state_ref[0] = 1
+            state_ref[1] = 0
+            start_block(b, i, j, 0)
+
+        slot = state_ref[1]
+        nb, ni, nj = next_valid_cell(b, i, j)
+
+        @pl.when(nb < batch)
+        def _prefetch():
+            start_block(nb, ni, nj, 1 - slot)
+            state_ref[1] = 1 - slot
+
+        wait_block(b, i, j, slot)
+
+        rows = group * block_q
+        rows_p = max(8, -(-rows // 8) * 8)
+        # absolute q position of each row: rows are [group, bq] flattened
+        # (head-group major keeps each head's rows contiguous for the MXU)
+        r_in_q = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 0) % block_q
+        pos = qstart_ref[b] + i * block_q + r_in_q
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 1) + j * bt
+        vis = jnp.logical_and(col <= pos, col < lens_ref[b])
+        if window_left >= 0:
+            vis = jnp.logical_and(vis, col >= pos - window_left)
+
+        for h in range(num_kv_heads):
+            q = q_ref[0, 0, h]  # [group*bq, d]
+            k = k_buf[slot, h].reshape(bt, -1)
+            v = v_buf[slot, h].reshape(bt, -1)
+            if quantized:
+                k = k.astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16)
+            sc = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if quantized:
+                sc = sc * k_scale_ref[0, 0, 0, h : h + 1, :]
+            sc = sc * scale_log2e
+            sc = jnp.where(vis[: sc.shape[0]], sc, _MASK)
+
+            m_prev = m_scr[h]
+            l_prev = l_scr[h]
+            m_cur = jnp.max(sc, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(sc - m_next[:, :1])
+            l_scr[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[h] = m_next
+            if quantized:
+                p = p * v_scale_ref[0, 0, 0, h : h + 1, :]
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[h] = acc_scr[h] * alpha[:, :1] + pv
+
+        @pl.when(j == _last_block(b, i))
+        def _store():
+            l = l_scr[...][:, :, :1]
+            l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
+            o_ref[0, 0] = acc_scr[...] / l_safe
+
+
+def paged_prefill_attention(
+    q: jax.Array,  # [batch, sq, num_heads, head_dim]
+    k_pages: jax.Array,  # [hkv, num_pages, page, d]
+    v_pages: jax.Array,
+    lengths: jax.Array,  # [batch] int32: visible cache length (incl. chunk)
+    q_start: jax.Array,  # [batch] int32: absolute position of q[:, 0]
+    block_table: jax.Array,  # [batch, pages_per_seq] int32
+    *,
+    k_scales: Optional[jax.Array] = None,
+    v_scales: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    window_left: int = -1,
+    block_q: int = 256,
+    pages_per_compute_block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Causal chunk prefill against a paged KV cache. Returns [b, sq, h, d].
+
+    Rows past lengths[b] - q_start[b] are garbage (callers slice by true
+    chunk length). The chunk's own K/V must already be written to the pages
+    (write-then-attend, like the serving decode path).
+    """
+    batch, sq, num_heads, head_dim = q.shape
+    num_kv_heads, num_pages, page_size, _ = k_pages.shape
+    group = num_heads // num_kv_heads
+    pages_per_seq = block_table.shape[1]
+    quantized = k_scales is not None
+    if softmax_scale is None:
+        softmax_scale = softmax_scale_default(head_dim)
+    if interpret is None:
+        interpret = default_interpret()
+
+    bq = min(block_q, round_up(sq, 8))
+    sq_p = round_up(sq, bq)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
+    num_q_blocks = sq_p // bq
+
+    if pages_per_compute_block is None:
+        budget = 16 * 1024 * 1024
+        per_page = 4 * num_kv_heads * page_size * head_dim * k_pages.dtype.itemsize
+        pages_per_compute_block = max(1, min(pages_per_seq,
+                                             budget // per_page))
+    ppb = pages_per_compute_block
+    bt = ppb * page_size
+    max_blocks = cdiv(pages_per_seq, ppb)
+
+    rows = group * bq
+    rows_p = max(8, round_up(rows, 8))
+    # [b, nq, hkv, group*bq, d] with rows [group, bq] flattened
+    qg = jnp.transpose(
+        q.reshape(batch, num_q_blocks, bq, num_kv_heads, group, head_dim),
+        (0, 1, 3, 4, 2, 5),
+    ).reshape(batch, num_q_blocks, num_kv_heads, rows, head_dim)
+    if rows_p != rows:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
+    if quantized and qg.dtype not in (jnp.bfloat16, jnp.float32):
+        qg = qg.astype(jnp.bfloat16)
+
+    lens32 = jnp.asarray(lengths, jnp.int32)
+    qstart32 = jnp.asarray(q_start, jnp.int32)
+    table_flat = jnp.asarray(block_table, jnp.int32).reshape(-1)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, num_kv_heads, rows_p, head_dim),
+                     lambda b, i, j, *refs: (b, i, 0, 0, 0)),
+    ]
+    inputs = [qg]
+    if quantized:
+        def gather_scales(scales):
+            g = scales[:, block_table]  # [hkv, b, pps, page]
+            g = jnp.transpose(g, (1, 0, 2, 3)).reshape(batch, num_kv_heads, -1)
+            pad = max_blocks * bt - g.shape[-1]
+            if pad:
+                g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
+            return jnp.transpose(
+                g.reshape(batch, num_kv_heads, max_blocks, bt), (0, 2, 1, 3)
+            )[:, None].repeat(1, axis=1)  # [b, 1, max_blocks, hkv, bt]
+
+        # scales blocked on (b, j); the q-block axis views the same block
+        scale_spec = pl.BlockSpec(
+            (1, 1, 1, num_kv_heads, bt), lambda b, i, j, *refs: (b, 0, j, 0, 0)
+        )
+        in_specs += [scale_spec, scale_spec]
+        inputs += [gather_scales(k_scales), gather_scales(v_scales)]
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs += [k_pages, v_pages]
+
+    body = functools.partial(
+        _body,
+        scale_log2e=float(softmax_scale) * _LOG2E,
+        page_size=page_size,
+        pages_per_block=ppb,
+        pages_per_seq=pages_per_seq,
+        batch=batch,
+        num_q_blocks=num_q_blocks,
+        block_q=bq,
+        num_kv_heads=num_kv_heads,
+        group=group,
+        num_pages=num_pages,
+        max_blocks=max_blocks,
+        quantized=quantized,
+        window_left=window_left,
+    )
+    if quantized:
+        kernel = body
+    else:
+        def kernel(lens, qst, table, q_ref, kp, vp, *rest):
+            return body(lens, qst, table, q_ref, None, None, kp, vp, *rest)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(batch, num_q_blocks, max_blocks),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, num_kv_heads, rows_p, head_dim),
+                         lambda b, i, j, *refs: (b, i, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
+            pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
+            pltpu.VMEM((num_kv_heads, rows_p, head_dim), jnp.float32),
+            pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
+                       k_pages.dtype),
+            pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
+                       v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, ppb)),
+            pltpu.SemaphoreType.DMA((2, ppb)),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+
+    (o_parts,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, num_q_blocks, num_kv_heads, rows_p, head_dim),
+                jnp.float32,
+            ),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * batch * num_heads * sq
+                      * pages_per_seq * page_size * head_dim),
+            bytes_accessed=int(
+                2 * batch * num_kv_heads * pages_per_seq * page_size
+                * head_dim * k_pages.dtype.itemsize * num_q_blocks
+            ),
+            transcendentals=int(batch * num_heads * sq * pages_per_seq
+                                * page_size),
+        ),
+        interpret=interpret,
+    )(lens32, qstart32, table_flat, *inputs)
+
+    # [b, nq, hkv, group, bq, d] -> [b, sq, h, d]
+    out = o_parts[:, :, :, :rows].reshape(
+        batch, num_q_blocks, num_kv_heads, group, bq, head_dim
+    )
+    out = jnp.transpose(out, (0, 1, 4, 2, 3, 5)).reshape(
+        batch, sq_p, num_heads, head_dim
+    )
+    return out[:, :sq].astype(q.dtype)

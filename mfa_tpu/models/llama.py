@@ -449,96 +449,111 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     return cache, logits
 
 
-def _chunk_attention(q, k, v, mesh: Optional[Mesh], offset: int):
-    """Attention of a prompt chunk (q at positions offset..offset+chunk)
-    against the full prefix K/V (positions 0..offset+chunk). Causal-with-
-    offset == window (-1, offset): col <= row + offset. [b, s, h, d]."""
-    from mfa_tpu.kernels.prefill import prefill_attention
+def _paged_prefill_sharded(q, k_pages, v_pages, k_scales, v_scales,
+                           kv_len, q_start, table, mesh: Optional[Mesh],
+                           window_left: int):
+    """Chunk attention against the paged cache, TP-sharded by kv head when
+    a 'model' mesh is active. q: [b, chunk, h, d]."""
+    from mfa_tpu.kernels.paged_prefill import paged_prefill_attention
 
-    qt = jnp.swapaxes(q, 1, 2)
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
-    attn = functools.partial(
-        prefill_attention, causal=False, window_size=(-1, offset)
-    )
-    if mesh is not None and MODEL_AXIS in mesh.axis_names:
-        spec = P(None, MODEL_AXIS, None, None)
-        attn = shard_map(attn, mesh=mesh, in_specs=(spec, spec, spec),
-                         out_specs=spec, check_vma=False)
-    return jnp.swapaxes(attn(qt, kt, vt), 1, 2)
+    kwargs = dict(window_left=window_left)
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
+        return paged_prefill_attention(
+            q, k_pages, v_pages, kv_len, q_start, table,
+            k_scales=k_scales, v_scales=v_scales, **kwargs)
+
+    page_spec = P(MODEL_AXIS, None, None, None)
+    in_specs = [P(None, None, MODEL_AXIS, None), page_spec, page_spec,
+                P(), P(), P(None, None)]
+    args = [q, k_pages, v_pages, kv_len, q_start, table]
+    if k_scales is not None:
+        in_specs += [P(MODEL_AXIS, None, None)] * 2
+
+        def _fn(qq, kp, vp, lens, qs, tab, ks, vs):
+            return paged_prefill_attention(
+                qq, kp, vp, lens, qs, tab, k_scales=ks, v_scales=vs,
+                **kwargs)
+
+        args += [k_scales, v_scales]
+    else:
+
+        def _fn(qq, kp, vp, lens, qs, tab):
+            return paged_prefill_attention(qq, kp, vp, lens, qs, tab,
+                                           **kwargs)
+
+    fn = shard_map(_fn, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=P(None, None, MODEL_AXIS, None),
+                   check_vma=False)
+    return fn(*args)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "offset", "is_final", "mesh")
-)
-def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slot, table_row,
-                       tokens, offset: int, is_final: bool, final_len=None,
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
+                       table_rows, tokens, offsets, final_mask, final_lens,
                        mesh: Optional[Mesh] = None):
-    """One prompt chunk: write its K/V pages, attend against the full
-    prefix gathered from the paged cache. tokens: [chunk] (padded to whole
-    pages); offset: absolute position of tokens[0] (static, a multiple of
-    page_size); final_len: the prompt's true length if this is the last
-    chunk (sets lengths + returns real last-token logits), else None.
+    """One chunk for EACH of n in-progress prompts, in one program.
 
-    Chunked prefill bounds per-step prefill work so long prompts don't
-    stall decode latency for the rest of the batch (the reference has no
-    scheduler at all, SURVEY.md §2.8; this is the TPU-serving policy
-    layer's tool for TTFT fairness).
+    tokens: [n, chunk] (chunk = whole pages; per-row dead tails allowed);
+    offsets: [n] absolute position of tokens[:, 0] (DYNAMIC — one compiled
+    program serves every chunk position); final_mask/final_lens: [n] — rows
+    finishing their prompt get lengths set and meaningful logits.
+
+    Attention runs on the in-kernel-DMA paged prefill kernel
+    (kernels/paged_prefill.py) — no materialized prefix gather. Chunked
+    prefill bounds per-step prefill work so long prompts don't stall decode
+    latency for the rest of the batch (the reference has no scheduler at
+    all, SURVEY.md §2.8).
     """
     import dataclasses as _dc
 
-    from mfa_tpu.kernels.quant import dequantize_rows
-
-    chunk = tokens.shape[0]
+    n, chunk = tokens.shape
     hd = cfg.head_dim
     page = cache.page_size
     pps = cache.pages_per_seq
     chunk_pages = chunk // page
-    pmesh = _prefill_mesh(mesh)
-    x = params["embed"][tokens][None]  # [1, chunk, d]
-    positions = (offset + jnp.arange(chunk, dtype=jnp.int32))[None]
-    page_ids = jax.lax.dynamic_slice(
-        table_row, (offset // page,), (chunk_pages,)
-    )
+    offsets = jnp.asarray(offsets, jnp.int32)
+    x = params["embed"][tokens]  # [n, chunk, d]
+    positions = offsets[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
+    # per-row page ids for the chunk's writes; rows whose padded chunk runs
+    # past the table width write into the reserved null page 0
+    pidx = offsets[:, None] // page + jnp.arange(chunk_pages,
+                                                 dtype=jnp.int32)[None]
+    in_table = pidx < pps
+    page_ids = jnp.where(
+        in_table,
+        jnp.take_along_axis(table_rows, jnp.clip(pidx, 0, pps - 1), axis=1),
+        0,
+    ).reshape(-1)  # [n*chunk_pages]
+    kv_len = jnp.minimum(final_lens, offsets + chunk)  # [n]
 
     def layer_fn(x, xs):
         lp, kp, vp, ksc, vsc = xs
         h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(1, chunk, cfg.n_heads, hd)
-        k = (h @ lp["wk"]).reshape(1, chunk, cfg.n_kv_heads, hd)
-        v = (h @ lp["wv"]).reshape(1, chunk, cfg.n_kv_heads, hd)
+        q = (h @ lp["wq"]).reshape(n, chunk, cfg.n_heads, hd)
+        k = (h @ lp["wk"]).reshape(n, chunk, cfg.n_kv_heads, hd)
+        v = (h @ lp["wv"]).reshape(n, chunk, cfg.n_kv_heads, hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
-                                 jnp.swapaxes(k[0], 0, 1))
-        vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
-                                 jnp.swapaxes(v[0], 0, 1))
+        kq, ks_new = _store_rows(
+            cache.quant_dtype, kp.dtype,
+            jnp.transpose(k, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
+        vq, vs_new = _store_rows(
+            cache.quant_dtype, vp.dtype,
+            jnp.transpose(v, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
         kp = kp.at[:, page_ids].set(
-            kq.reshape(cfg.n_kv_heads, chunk_pages, page, hd))
+            kq.reshape(cfg.n_kv_heads, n * chunk_pages, page, hd))
         vp = vp.at[:, page_ids].set(
-            vq.reshape(cfg.n_kv_heads, chunk_pages, page, hd))
+            vq.reshape(cfg.n_kv_heads, n * chunk_pages, page, hd))
         if ksc is not None:
             ksc = ksc.at[:, page_ids].set(
-                ks_new.reshape(cfg.n_kv_heads, chunk_pages, page))
+                ks_new.reshape(cfg.n_kv_heads, n * chunk_pages, page))
             vsc = vsc.at[:, page_ids].set(
-                vs_new.reshape(cfg.n_kv_heads, chunk_pages, page))
-        # Full-prefix K/V (chunk included) gathered from the pages; columns
-        # past offset+chunk are junk but the window mask (col <= row +
-        # offset) never reaches them.
-        k_all = kp[:, table_row].reshape(cfg.n_kv_heads, pps * page, hd)
-        v_all = vp[:, table_row].reshape(cfg.n_kv_heads, pps * page, hd)
-        if ksc is not None:
-            k_all = dequantize_rows(
-                k_all, ksc[:, table_row].reshape(cfg.n_kv_heads, -1),
-                cfg.dtype)
-            v_all = dequantize_rows(
-                v_all, vsc[:, table_row].reshape(cfg.n_kv_heads, -1),
-                cfg.dtype)
-        k_all = jnp.swapaxes(k_all, 0, 1)[None]  # [1, S, hkv, d]
-        v_all = jnp.swapaxes(v_all, 0, 1)[None]
-        attn = _chunk_attention(q, k_all.astype(q.dtype),
-                                v_all.astype(q.dtype), pmesh, offset)
-        x = x + attn.reshape(1, chunk, cfg.n_heads * hd) @ lp["wo"]
+                vs_new.reshape(cfg.n_kv_heads, n * chunk_pages, page))
+        attn = _paged_prefill_sharded(
+            q.astype(cfg.dtype), kp, vp, ksc, vsc, kv_len, offsets,
+            table_rows, _prefill_mesh(mesh), cfg.window_left,
+        )
+        x = x + attn.reshape(n, chunk, cfg.n_heads * hd).astype(x.dtype) @ lp["wo"]
         hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
         return x, (kp, vp, ksc, vsc)
@@ -546,19 +561,53 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slot, table_row,
     x, (kp, vp, ksc, vsc) = jax.lax.scan(
         layer_fn, x, (params["layers"],) + _cache_xs(cache)
     )
+    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    last_idx = jnp.clip(final_lens - 1 - offsets, 0, chunk - 1)
+    last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
+    logits = (last @ params["lm_head"]).astype(jnp.float32)  # [n, vocab]
+    lengths = cache.lengths.at[seq_slots].set(
+        jnp.where(final_mask, final_lens, cache.lengths[seq_slots])
+    )
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
-        block_tables=cache.block_tables.at[seq_slot].set(table_row),
+        block_tables=cache.block_tables.at[seq_slots].set(table_rows),
+        lengths=lengths,
     )
-    if not is_final:
-        return cache, None
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    last = jax.lax.dynamic_index_in_dim(
-        x[0], final_len - 1 - offset, axis=0, keepdims=False
-    )
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
-    cache = _dc.replace(
-        cache, lengths=cache.lengths.at[seq_slot].set(final_len)
+    return cache, logits
+
+
+def prefill_chunk_batch(params, cfg, cache, reqs_slots, reqs_pages,
+                        chunk_tokens, offsets, totals,
+                        chunk: int, mesh: Optional[Mesh] = None):
+    """Host wrapper: advance n prompts by one chunk each (see
+    _prefill_chunk_jit). chunk_tokens[i]: THIS chunk's tokens (len <=
+    chunk); offsets[i]: absolute, page-aligned position of its first
+    token; totals[i]: the full prompt length. Returns (cache,
+    logits [n, vocab]) — row i meaningful iff the row finished
+    (offsets[i] + len(chunk_tokens[i]) >= totals[i])."""
+    import numpy as np
+
+    page = cache.page_size
+    assert chunk % page == 0
+    n = len(reqs_slots)
+    toks = np.zeros((n, chunk), np.int32)
+    offs = np.zeros((n,), np.int32)
+    table_rows = np.zeros((n, cache.pages_per_seq), np.int32)
+    finals = np.zeros((n,), bool)
+    final_lens = np.zeros((n,), np.int32)
+    for i in range(n):
+        ct = np.asarray(chunk_tokens[i], np.int32)
+        assert int(offsets[i]) % page == 0 and ct.shape[0] <= chunk
+        toks[i, : ct.shape[0]] = ct
+        offs[i] = int(offsets[i])
+        finals[i] = int(offsets[i]) + ct.shape[0] >= int(totals[i])
+        final_lens[i] = int(totals[i])
+        table_rows[i, : len(reqs_pages[i])] = np.asarray(
+            list(reqs_pages[i]), np.int32)
+    cache, logits = _prefill_chunk_jit(
+        params, cfg, cache, jnp.asarray(reqs_slots, jnp.int32),
+        jnp.asarray(table_rows), jnp.asarray(toks), jnp.asarray(offs),
+        jnp.asarray(finals), jnp.asarray(final_lens), mesh=mesh,
     )
     return cache, logits
 
@@ -566,27 +615,22 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slot, table_row,
 def prefill_chunk(params, cfg, cache, seq_slot: int, pages, tokens_1d,
                   offset: int, total_len: int,
                   mesh: Optional[Mesh] = None):
-    """Host wrapper: prefill tokens_1d (a slice of the prompt starting at
-    `offset`, a multiple of page_size) into slot seq_slot. `pages` is the
-    request's full page list; `total_len` the full prompt length. Returns
-    (cache, logits-or-None) — logits only on the final chunk."""
+    """Single-request convenience over prefill_chunk_batch: prefill this
+    chunk (tokens_1d, starting at absolute page-aligned `offset`) into slot
+    seq_slot. Returns (cache, logits-or-None) — logits on the final chunk.
+    """
     import numpy as np
 
-    page = cache.page_size
     tokens_1d = np.asarray(tokens_1d, np.int32)
-    n = int(tokens_1d.shape[0])
-    assert offset % page == 0, "chunk offset must be page-aligned"
-    is_final = offset + n >= total_len
-    pad = (-n) % page
-    if pad:
-        tokens_1d = np.pad(tokens_1d, (0, pad))
-    table_row = np.zeros((cache.pages_per_seq,), np.int32)
-    table_row[: len(pages)] = np.asarray(list(pages), np.int32)
-    return _prefill_chunk_jit(
-        params, cfg, cache, jnp.int32(seq_slot), jnp.asarray(table_row),
-        jnp.asarray(tokens_1d), offset, is_final,
-        final_len=jnp.int32(total_len), mesh=mesh,
+    n_tok = int(tokens_1d.shape[0])
+    page = cache.page_size
+    chunk = -(-n_tok // page) * page
+    cache, logits = prefill_chunk_batch(
+        params, cfg, cache, [seq_slot], [list(pages)], [tokens_1d],
+        [offset], [total_len], chunk, mesh=mesh,
     )
+    is_final = offset + n_tok >= total_len
+    return cache, (logits[0] if is_final else None)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))

@@ -207,39 +207,71 @@ class Engine:
         return ids, token_logprobs(logits, ids)
 
     def _advance_chunked_prefill(self) -> None:
-        """Run ONE chunk of ONE in-progress long prompt (bounded prefill
-        work per engine step; decode for the rest of the batch proceeds in
-        the same step)."""
+        """Advance EVERY in-progress long prompt by one chunk, in a single
+        batched program (llama.prefill_chunk_batch) — prefill work per step
+        stays bounded, but concurrent long prompts don't serialize."""
         if not self._prefilling:
             return
-        uid = next(iter(self._prefilling))
-        req, pos, tokens = self._prefilling[uid]
-        limit = self.prefill_chunk or len(tokens)
-        n = min(limit, len(tokens) - pos)
-        self.cache, logits = llama.prefill_chunk(
-            self.params, self.cfg, self.cache, req.slot, req.pages,
-            tokens[pos : pos + n], pos, len(tokens), mesh=self.mesh,
+        items = list(self._prefilling.values())
+        page = self.page_size
+        if self.prefill_chunk is not None:
+            chunk = self.prefill_chunk
+        else:
+            # suffix-only mode (prefix-cache hits): one chunk covers the
+            # largest remaining suffix, bucketed to power-of-two pages
+            max_rem = max(len(t) - pos for _, pos, t in items)
+            np_pages = -(-max_rem // page)
+            chunk = (1 << max(np_pages - 1, 0).bit_length()) * page
+        nb = _bucket(len(items))
+        pad_rows = nb - len(items)
+        scratch = None
+        if pad_rows:
+            for srch in range(self.sched.max_seqs):
+                if srch not in self.sched.active:
+                    scratch = srch
+                    break
+            if scratch is None:
+                pad_rows = 0  # exact size (extra retrace, rare)
+        slots, pages_l, chunk_toks, offs, totals = [], [], [], [], []
+        for req, pos, tokens in items:
+            slots.append(req.slot)
+            pages_l.append(req.pages)
+            chunk_toks.append(tokens[pos : pos + chunk])
+            offs.append(pos)
+            totals.append(len(tokens))
+        for _ in range(pad_rows):
+            slots.append(scratch)
+            pages_l.append([])      # zero table row -> null-page writes
+            chunk_toks.append([0])
+            offs.append(0)
+            totals.append(chunk + page)  # never "final"
+
+        self.cache, logits = llama.prefill_chunk_batch(
+            self.params, self.cfg, self.cache, slots, pages_l, chunk_toks,
+            offs, totals, chunk, mesh=self.mesh,
         )
         if self.draft_cache is not None:
-            self.draft_cache, _ = llama.prefill_chunk(
-                self.draft_params, self.draft_cfg, self.draft_cache,
-                req.slot, req.pages, tokens[pos : pos + n], pos, len(tokens),
+            self.draft_cache, _ = llama.prefill_chunk_batch(
+                self.draft_params, self.draft_cfg, self.draft_cache, slots,
+                pages_l, chunk_toks, offs, totals, chunk,
             )
-        pos += n
-        if pos >= len(tokens):
-            del self._prefilling[uid]
-            self.stats.prefill_tokens += len(tokens) - req.cached_len
-            if self.sched.prefix is not None:
-                self.sched.prefix.register(req)
-            ids, lps = self._sample(logits[None])
-            if not req.generated:
-                req.generated.append(int(ids[0]))
-                req.logprobs.append(float(lps[0]))
-                self.stats.decode_tokens += 1
-            if req.done:
-                self._finish(req)
-        else:
-            self._prefilling[uid] = (req, pos, tokens)
+        ids, lps = self._sample(logits)
+        ids_np, lps_np = np.asarray(ids), np.asarray(lps)
+        for i, (req, pos, tokens) in enumerate(items):
+            pos += min(chunk, len(tokens) - pos)
+            if pos >= len(tokens):
+                del self._prefilling[req.uid]
+                self.stats.prefill_tokens += len(tokens) - req.cached_len
+                if self.sched.prefix is not None:
+                    self.sched.prefix.register(req)
+                if not req.generated:
+                    req.generated.append(int(ids_np[i]))
+                    req.logprobs.append(float(lps_np[i]))
+                    self.stats.decode_tokens += 1
+                if req.done:
+                    self._finish(req)
+            else:
+                self._prefilling[req.uid] = (req, pos, tokens)
 
     def _decode_ready(self):
         return [r for r in self.sched.active.values()
