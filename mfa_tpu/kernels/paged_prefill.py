@@ -42,8 +42,9 @@ _LANES = 128
 
 
 def _body(
-    lens_ref,  # [b] int32 (scalar prefetch)
-    qstart_ref,  # [b] int32
+    lens_ref,  # [b] int32 (scalar prefetch): visible KV length
+    qstart_ref,  # [b] int32: absolute position of q row 0
+    qlens_ref,  # [b] int32: number of real q rows
     table_ref,  # [b*pps] int32
     q_ref,  # [1, 1, hkv, group*bq, d]
     k_scale_ref,  # [1, 1, 1, hkv, bt] or None
@@ -73,26 +74,30 @@ def _body(
     max_blocks: int,
     quantized: bool,
     window_left: int,
+    causal: bool,
 ):
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     bt = page_size * pages_per_block
 
     def _row_hi(bb, ii):
         """One past the last visible column of q block ii of sequence bb
-        (its newest row): min(q_start + (ii+1)*bq, length)."""
+        (its newest row under causal alignment; everything under
+        non-causal)."""
+        if not causal:
+            return lens_ref[bb]
         return jnp.minimum(
             qstart_ref[bb] + (ii + 1) * block_q, lens_ref[bb]
         )
 
     def _row_lo(bb, ii):
         """First visible column (oldest row's window start)."""
-        if window_left < 0:
+        if window_left < 0 or not causal:
             return jnp.int32(0)
         return jnp.maximum(0, qstart_ref[bb] + ii * block_q - window_left)
 
     def _q_rows(bb):
-        """Number of real q rows for sequence bb (len - q_start, >=0)."""
-        return jnp.maximum(lens_ref[bb] - qstart_ref[bb], 0)
+        """Number of real q rows for sequence bb."""
+        return qlens_ref[bb]
 
     def _first_block(bb, ii):
         return _row_lo(bb, ii) // bt
@@ -210,9 +215,11 @@ def _body(
         r_in_q = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 0) % block_q
         pos = qstart_ref[b] + i * block_q + r_in_q
         col = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 1) + j * bt
-        vis = jnp.logical_and(col <= pos, col < lens_ref[b])
-        if window_left >= 0:
-            vis = jnp.logical_and(vis, col >= pos - window_left)
+        vis = col < lens_ref[b]
+        if causal:
+            vis = jnp.logical_and(vis, col <= pos)
+            if window_left >= 0:
+                vis = jnp.logical_and(vis, col >= pos - window_left)
 
         for h in range(num_kv_heads):
             q = q_ref[0, 0, h]  # [group*bq, d]
@@ -261,19 +268,23 @@ def paged_prefill_attention(
     q_start: jax.Array,  # [batch] int32: absolute position of q[:, 0]
     block_table: jax.Array,  # [batch, pages_per_seq] int32
     *,
+    q_lens: Optional[jax.Array] = None,  # [batch] int32 real q rows
     k_scales: Optional[jax.Array] = None,
     v_scales: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
+    causal: bool = True,
     window_left: int = -1,
     block_q: int = 256,
     pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Causal chunk prefill against a paged KV cache. Returns [b, sq, h, d].
+    """Chunk prefill against a paged KV cache. Returns [b, sq, h, d].
 
-    Rows past lengths[b] - q_start[b] are garbage (callers slice by true
-    chunk length). The chunk's own K/V must already be written to the pages
-    (write-then-attend, like the serving decode path).
+    q_lens defaults to lengths - q_start (the chunk covers the cache tail).
+    Rows past q_lens[b] are garbage (callers slice by true chunk length).
+    The chunk's own K/V must already be written to the pages
+    (write-then-attend, like the serving decode path). causal=False gives
+    full visibility to lengths[b] (varlen non-causal semantics).
     """
     batch, sq, num_heads, head_dim = q.shape
     num_kv_heads, num_pages, page_size, _ = k_pages.shape
@@ -314,6 +325,10 @@ def paged_prefill_attention(
 
     lens32 = jnp.asarray(lengths, jnp.int32)
     qstart32 = jnp.asarray(q_start, jnp.int32)
+    if q_lens is None:
+        qlens32 = jnp.maximum(lens32 - qstart32, 0)
+    else:
+        qlens32 = jnp.asarray(q_lens, jnp.int32)
     table_flat = jnp.asarray(block_table, jnp.int32).reshape(-1)
 
     in_specs = [
@@ -359,15 +374,17 @@ def paged_prefill_attention(
         max_blocks=max_blocks,
         quantized=quantized,
         window_left=window_left,
+        causal=causal,
     )
     if quantized:
         kernel = body
     else:
-        def kernel(lens, qst, table, q_ref, kp, vp, *rest):
-            return body(lens, qst, table, q_ref, None, None, kp, vp, *rest)
+        def kernel(lens, qst, qlns, table, q_ref, kp, vp, *rest):
+            return body(lens, qst, qlns, table, q_ref, None, None, kp, vp,
+                        *rest)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(batch, num_q_blocks, max_blocks),
         in_specs=in_specs,
         out_specs=[
@@ -412,7 +429,7 @@ def paged_prefill_attention(
                                 * page_size),
         ),
         interpret=interpret,
-    )(lens32, qstart32, table_flat, *inputs)
+    )(lens32, qstart32, qlens32, table_flat, *inputs)
 
     # [b, nq, hkv, group, bq, d] -> [b, sq, h, d]
     out = o_parts[:, :, :, :rows].reshape(

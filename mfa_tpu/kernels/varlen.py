@@ -169,23 +169,33 @@ def varlen_attention(
     batch = cu_seqlens_q.shape[0] - 1
 
     if block_table is not None:
-        # Gather paged pool -> strided-packed [batch * span, hkv, d] where
-        # span = pages_per_seq * page_size and sequence b occupies
-        # [b*span, b*span + len_b); the tail of each span is a gap.
-        num_pages, page_size, num_kv_heads, _ = k.shape
-        pages_per_seq = block_table.shape[1]
-        span = pages_per_seq * page_size
-        total_k = batch * span
-        flat_pages = block_table.reshape(-1)  # [batch*pages_per_seq]
-        k = k[flat_pages].reshape(total_k, num_kv_heads, head_dim)
-        v = v[flat_pages].reshape(total_k, num_kv_heads, head_dim)
+        # Paged path: unpack q per sequence and run the in-kernel-DMA paged
+        # prefill kernel (kernels/paged_prefill.py) — pages stream straight
+        # from HBM, no materialized gather of the pool. Reference causal is
+        # top-left per sequence (prefill.cuh:393-421) == q_start 0 here.
+        from mfa_tpu.kernels.paged_prefill import paged_prefill_attention
+
+        cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+        lens_q = (cu_q[1:] - cu_q[:-1]).astype(jnp.int32)
         lens_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
-        k_start = jnp.arange(batch, dtype=jnp.int32) * span
-    else:
-        total_k, num_kv_heads, _ = k.shape
-        span = None
-        lens_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
-        k_start = jnp.asarray(cu_seqlens_k[:-1], jnp.int32)
+        seg, pos = _segments_from_cu(cu_q, total_q, total_q, fill=0)
+        q_pad = jnp.zeros(
+            (batch, int(max_seqlen_q), num_heads, head_dim), q.dtype
+        ).at[seg, pos].set(q)
+        pool = jnp.transpose(k, (2, 0, 1, 3))  # [hkv, pages, page, d]
+        pool_v = jnp.transpose(v, (2, 0, 1, 3))
+        out4 = paged_prefill_attention(
+            q_pad, pool, pool_v, lens_k,
+            jnp.zeros((batch,), jnp.int32), block_table,
+            q_lens=lens_q, causal=causal, softmax_scale=softmax_scale,
+            interpret=interpret,
+        )
+        return out4[seg, pos]
+
+    total_k, num_kv_heads, _ = k.shape
+    span = None
+    lens_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
+    k_start = jnp.asarray(cu_seqlens_k[:-1], jnp.int32)
 
     group = num_heads // num_kv_heads
     bq = min(block_q, round_up(total_q, 8))
@@ -208,18 +218,8 @@ def varlen_attention(
     cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
 
     seg_q, pos_q = _segments_from_cu(cu_q, total_q, tq_p, fill=-1)
-    if block_table is not None:
-        # Strided-gathered layout: token t is in sequence t // span at
-        # position t % span, valid iff that position < the sequence length.
-        idx = jnp.arange(tk_p, dtype=jnp.int32)
-        seg_k = jnp.minimum(idx // span, batch - 1)
-        pos_k = idx - seg_k * span
-        seg_k = jnp.where(
-            jnp.logical_and(idx < total_k, pos_k < lens_k[seg_k]), seg_k, -2
-        )
-    else:
-        cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
-        seg_k, pos_k = _segments_from_cu(cu_k, total_k, tk_p, fill=-2)
+    cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+    seg_k, pos_k = _segments_from_cu(cu_k, total_k, tk_p, fill=-2)
 
     # Per-q-block KV block bounds from the spanned sequences.
     qb_start = jnp.arange(n_q_blocks, dtype=jnp.int32) * bq
