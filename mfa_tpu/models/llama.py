@@ -195,8 +195,14 @@ def forward(
     tokens: jax.Array,  # [batch, seq] int32
     cfg: LlamaConfig,
     mesh: Optional[Mesh] = None,
+    remat: bool = False,
 ) -> jax.Array:
-    """Full-sequence causal forward -> logits [batch, seq, vocab]."""
+    """Full-sequence causal forward -> logits [batch, seq, vocab].
+
+    remat=True checkpoints each layer of the scan (activations are
+    recomputed in the backward pass), trading ~30% more FLOPs for O(1)
+    layer activations — the standard TPU memory lever for long sequences
+    (HBM, not FLOPs, binds training step size)."""
     b, s = tokens.shape
     hd = cfg.head_dim
     x = params["embed"][tokens]  # [b, s, d]
@@ -215,26 +221,40 @@ def forward(
         x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
         return x, None
 
-    x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+    scan_fn = jax.checkpoint(layer_fn) if remat else layer_fn
+    x, _ = jax.lax.scan(scan_fn, x, params["layers"])
     x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
     return (x @ params["lm_head"]).astype(jnp.float32)
 
 
-def loss_fn(params, tokens, cfg, mesh=None):
+def loss_fn(params, tokens, cfg, mesh=None, remat=False):
     """Next-token cross entropy over tokens [b, s]."""
-    logits = forward(params, tokens[:, :-1], cfg, mesh)
+    logits = forward(params, tokens[:, :-1], cfg, mesh, remat=remat)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return nll.mean()
 
 
-def train_step(params, tokens, cfg, mesh=None, lr=1e-3):
-    """One SGD step. This is the function dryrun_multichip jits over the
-    full mesh (DP on batch, TP on heads/ffn via param shardings)."""
-    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh)
-    params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype), params, grads)
-    return params, loss
+def train_step(params, tokens, cfg, mesh=None, lr=1e-3, remat=False,
+               optimizer=None, opt_state=None):
+    """One training step. This is the function dryrun_multichip jits over
+    the full mesh (DP on batch, TP on heads/ffn via param shardings).
+
+    optimizer: optional optax GradientTransformation (with its opt_state);
+    default is plain SGD at `lr`. Returns (params, loss) or, with an
+    optimizer, (params, opt_state, loss)."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh,
+                                              remat)
+    if optimizer is None:
+        params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype),
+                              params, grads)
+        return params, loss
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    import optax
+
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
 
 
 

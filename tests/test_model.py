@@ -128,3 +128,34 @@ def test_engine_matches_single_request_decode(params):
     assert r_solo.generated == r_b.generated, (
         f"batching changed output: {r_solo.generated} vs {r_b.generated}"
     )
+
+
+def test_remat_matches_plain(params):
+    """Checkpointed (remat) training step must compute identical loss and
+    take the same update as the plain step (only memory behavior differs)."""
+    tokens = jnp.asarray(
+        np.random.RandomState(3).randint(0, CFG.vocab_size, (2, 24)),
+        jnp.int32)
+    p1, l1 = llama.train_step(params, tokens, CFG)
+    p2, l2 = llama.train_step(params, tokens, CFG, remat=True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_optax_train_step(params):
+    import optax
+
+    tokens = jnp.asarray(
+        np.random.RandomState(4).randint(0, CFG.vocab_size, (2, 16)),
+        jnp.int32)
+    opt = optax.adamw(1e-3)
+    state = opt.init(params)
+    losses = []
+    p = params
+    for _ in range(3):
+        p, state, loss = llama.train_step(p, tokens, CFG, optimizer=opt,
+                                          opt_state=state)
+        losses.append(float(loss))
+    assert losses[2] < losses[0], f"adamw failed to reduce loss: {losses}"
