@@ -286,6 +286,11 @@ def paged_prefill_attention(
     (write-then-attend, like the serving decode path). causal=False gives
     full visibility to lengths[b] (varlen non-causal semantics).
     """
+    if window_left >= 0 and not causal:
+        raise ValueError(
+            "window_left requires causal=True (non-causal windows have no "
+            "defined alignment here)"
+        )
     batch, sq, num_heads, head_dim = q.shape
     num_kv_heads, num_pages, page_size, _ = k_pages.shape
     group = num_heads // num_kv_heads

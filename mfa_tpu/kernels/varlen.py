@@ -182,18 +182,23 @@ def varlen_attention(
         q_pad = jnp.zeros(
             (batch, int(max_seqlen_q), num_heads, head_dim), q.dtype
         ).at[seg, pos].set(q)
-        pool = jnp.transpose(k, (2, 0, 1, 3))  # [hkv, pages, page, d]
-        pool_v = jnp.transpose(v, (2, 0, 1, 3))
+        # Gather ONLY the batch's pages (the shared pool may be far
+        # larger); the kernel then sees a dense remapped table.
+        pps = block_table.shape[1]
+        flat = jnp.asarray(block_table, jnp.int32).reshape(-1)
+        pool = jnp.transpose(k[flat], (2, 0, 1, 3))  # [hkv, b*pps, page, d]
+        pool_v = jnp.transpose(v[flat], (2, 0, 1, 3))
+        dense_table = jnp.arange(batch * pps, dtype=jnp.int32).reshape(
+            batch, pps)
         out4 = paged_prefill_attention(
             q_pad, pool, pool_v, lens_k,
-            jnp.zeros((batch,), jnp.int32), block_table,
+            jnp.zeros((batch,), jnp.int32), dense_table,
             q_lens=lens_q, causal=causal, softmax_scale=softmax_scale,
             interpret=interpret,
         )
         return out4[seg, pos]
 
     total_k, num_kv_heads, _ = k.shape
-    span = None
     lens_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
     k_start = jnp.asarray(cu_seqlens_k[:-1], jnp.int32)
 

@@ -277,16 +277,15 @@ class Engine:
         return [r for r in self.sched.active.values()
                 if r.uid not in self._prefilling]
 
-    def step(self) -> None:
-        """One engine iteration: admit, prefill, batched decode step."""
-        self._prefill_admitted(self.sched.admit())
-        self._advance_chunked_prefill()
+    def _pad_batch(self, active):
+        """Pad the active batch to a power-of-two bucket.
 
-        active = self._decode_ready()
-        if not active:
-            return
-        self._map_new_pages(1)
-
+        Padding rows must not corrupt live cache rows: they point at a free
+        scratch slot whose junk appends are rolled back by the caller
+        (release_slot). If every slot is busy the batch is exactly
+        max_seqs and runs unpadded (extra retrace, rare).
+        Returns (slots [nb] np.int32, tokens [nb] np.int32, scratch|None).
+        """
         n = len(active)
         nb = _bucket(n)
         slots = np.zeros((nb,), np.int32)
@@ -294,34 +293,32 @@ class Engine:
         for i, r in enumerate(active):
             slots[i] = r.slot
             tokens[i] = r.generated[-1]
-        # Padding rows must not corrupt live cache rows: point them at a
-        # free scratch slot (its junk append is rolled back below). If every
-        # slot is busy the batch is exactly max_seqs — run unpadded.
-        pad_rows = nb - n
-        if pad_rows:
-            scratch = None
-            for s in range(self.sched.max_seqs):
-                if s not in self.sched.active:
-                    scratch = s
+        scratch = None
+        if nb > n:
+            for cand in range(self.sched.max_seqs):
+                if cand not in self.sched.active:
+                    scratch = cand
                     break
             if scratch is None:
-                nb = n  # all slots busy: run exact size (extra retrace, rare)
-                slots = slots[:n]
-                tokens = tokens[:n]
-                pad_rows = 0
-            else:
-                slots[n:] = scratch
-                tokens[n:] = 0
+                return slots[:n], tokens[:n], None
+            slots[n:] = scratch
+            tokens[n:] = 0
+        return slots, tokens, scratch
 
+    def _decode_active(self, active) -> None:
+        """One batched decode step + bookkeeping for `active` requests
+        (pages for the next position must already be mapped)."""
+        from mfa_tpu.cache.paged_cache import release_slot
+
+        n = len(active)
+        slots, tokens, scratch = self._pad_batch(active)
         self.cache, logits = llama.decode_step(
             self.params, self.cfg, self.cache,
             jnp.asarray(slots), jnp.asarray(tokens), mesh=self.mesh,
         )
-        if pad_rows:
+        if scratch is not None:
             # roll back the scratch slot the padded rows appended into
-            from mfa_tpu.cache.paged_cache import release_slot
-
-            self.cache = release_slot(self.cache, int(slots[n]))
+            self.cache = release_slot(self.cache, scratch)
 
         ids, lps = self._sample(logits[:n])
         next_tokens, next_lps = np.asarray(ids), np.asarray(lps)
@@ -332,6 +329,17 @@ class Engine:
             self.stats.decode_tokens += 1
             if req.done:
                 self._finish(req)
+
+    def step(self) -> None:
+        """One engine iteration: admit, prefill, batched decode step."""
+        self._prefill_admitted(self.sched.admit())
+        self._advance_chunked_prefill()
+
+        active = self._decode_ready()
+        if not active:
+            return
+        self._map_new_pages(1)
+        self._decode_active(active)
 
     def step_burst(self, n: int) -> None:
         """Admit + prefill, then run up to n decode steps fused on-device
@@ -362,37 +370,15 @@ class Engine:
         n_eff = max(1, n_eff)
         self._map_new_pages(n_eff)
 
-        nact = len(active)
-        nb = _bucket(nact)
-        slots = np.zeros((nb,), np.int32)
-        tokens = np.zeros((nb,), np.int32)
-        for i, r in enumerate(active):
-            slots[i] = r.slot
-            tokens[i] = r.generated[-1]
-        pad_rows = nb - nact
-        if pad_rows:
-            scratch = None
-            for s in range(self.sched.max_seqs):
-                if s not in self.sched.active:
-                    scratch = s
-                    break
-            if scratch is None:
-                nb = nact
-                slots = slots[:nact]
-                tokens = tokens[:nact]
-                pad_rows = 0
-            else:
-                slots[nact:] = scratch
-                tokens[nact:] = 0
-
+        slots, tokens, scratch = self._pad_batch(active)
         self._key, sub = jax.random.split(self._key)
         self.cache, toks, burst_lps = llama.decode_burst(
             self.params, self.cfg, self.cache,
             jnp.asarray(slots), jnp.asarray(tokens), n_eff, mesh=self.mesh,
             sampling=self.sampling, key=sub,
         )
-        if pad_rows:
-            self.cache = release_slot(self.cache, int(slots[nact]))
+        if scratch is not None:
+            self.cache = release_slot(self.cache, scratch)
         toks_np = np.asarray(toks)  # [n_eff, nb]
         lps_np = np.asarray(burst_lps)
         self.stats.steps += n_eff
@@ -415,37 +401,30 @@ class Engine:
         plain greedy decoding of the target model."""
         from mfa_tpu.cache.paged_cache import release_slot
 
-        k = self.spec_tokens
         self._prefill_admitted(self.sched.admit())
         self._advance_chunked_prefill()
         active = self._decode_ready()
         if not active:
             return
+        # The span's KV writes land at positions base..base+k-1; they must
+        # stay inside every request's block-table capacity (a clamped
+        # overflow write would corrupt the request's OWN live last page —
+        # unlike burst overruns, a speculative rejection keeps the request
+        # alive on that corrupted state). Cap by the tightest headroom,
+        # bucketed to powers of two to bound retraces.
+        capacity = self.sched.pages_per_seq * self.page_size
+        headroom = min(capacity - (r.total_len - 1) for r in active)
+        k = min(self.spec_tokens, headroom)
+        if k < 2:  # no room to speculate: plain step already admitted above
+            self._decode_active(active)
+            return
+        k = 1 << (k.bit_length() - 1) if k < self.spec_tokens else k
         self._map_new_pages(k)
 
+        slots, tokens, scratch = self._pad_batch(active)
+        nb = len(slots)
+        pad_rows = nb - len(active)
         nact = len(active)
-        nb = _bucket(nact)
-        slots = np.zeros((nb,), np.int32)
-        tokens = np.zeros((nb,), np.int32)
-        for i, r in enumerate(active):
-            slots[i] = r.slot
-            tokens[i] = r.generated[-1]
-        pad_rows = nb - nact
-        scratch = None
-        if pad_rows:
-            for srch in range(self.sched.max_seqs):
-                if srch not in self.sched.active:
-                    scratch = srch
-                    break
-            if scratch is None:
-                nb = nact
-                slots = slots[:nact]
-                tokens = tokens[:nact]
-                pad_rows = 0
-            else:
-                slots[nact:] = scratch
-                tokens[nact:] = 0
-
         slots_j = jnp.asarray(slots)
         toks_j = jnp.asarray(tokens)
         # draft proposes k tokens (greedy burst; zero host syncs inside)
@@ -458,10 +437,14 @@ class Engine:
         self.cache, logits = llama.verify_step(
             self.params, self.cfg, self.cache, slots_j, feed, mesh=self.mesh,
         )
-        a_np = np.asarray(jnp.argmax(logits, axis=-1))  # [nb, k]
+        from mfa_tpu.serve.sampling import token_logprobs
+
+        a = jnp.argmax(logits, axis=-1)  # [nb, k]
+        a_np = np.asarray(a)
+        vocab = logits.shape[-1]
         lp_np = np.asarray(
-            jnp.max(jax.nn.log_softmax(logits, axis=-1), axis=-1)
-        )  # [nb, k] logprob of the greedy token at each span position
+            token_logprobs(logits.reshape(-1, vocab), a.reshape(-1))
+        ).reshape(a_np.shape)  # logprob of the greedy token per position
         d_np = np.asarray(d_toks).T  # [nb, k] proposals d_1..d_k
 
         # acceptance + rollback lengths (a[:, i] verifies d_{i+1})
@@ -487,7 +470,7 @@ class Engine:
             new_lens[i] = 0  # scratch rows
         self.cache = llama.rollback(self.cache, slots, new_lens)
         self.draft_cache = llama.rollback(self.draft_cache, slots, new_lens)
-        if pad_rows:
+        if scratch is not None:
             self.cache = release_slot(self.cache, scratch)
             self.draft_cache = release_slot(self.draft_cache, scratch)
 
@@ -521,6 +504,12 @@ class Engine:
         active = sorted(self.sched.active.values(), key=lambda r: r.uid)
         for req in list(active):
             self.sched.finish(req)
+        if self.sched.prefix is not None:
+            # The rebuilt device caches wipe page contents; stale shared
+            # pages must never be aliased by future admissions. All refs
+            # are gone now that every in-flight request is requeued, so
+            # the entire cache is idle and evictable.
+            self.sched.prefix.evict(10**9, self.sched.allocator)
         # Fresh device cache state (old buffers may hold poisoned data).
         c0 = self.cache
         cache = llama.build_kv_caches(

@@ -87,6 +87,7 @@ class PrefixCache:
     def __init__(self, page_size: int):
         self.page_size = page_size
         self.pages: Dict[int, int] = {}  # key -> page_id
+        self.tokens: Dict[int, tuple] = {}  # key -> this page's token tuple
         self.refs: Dict[int, int] = {}  # key -> refcount
         self.idle: "OrderedDict[int, None]" = OrderedDict()  # LRU, refs==0
 
@@ -96,15 +97,18 @@ class PrefixCache:
         n = max(0, (len(prompt) - 1) // self.page_size)
         h = 0
         for i in range(n):
-            h = hash((h, tuple(prompt[i * self.page_size:(i + 1) * self.page_size])))
-            yield h
+            page_toks = tuple(prompt[i * self.page_size:(i + 1) * self.page_size])
+            h = hash((h, page_toks))
+            yield h, page_toks
 
     def match(self, prompt: Sequence[int]) -> Tuple[List[int], List[int]]:
         """Longest cached prefix -> (keys, page_ids). Acquires a reference
-        on every returned key."""
+        on every returned key. A hash hit is confirmed against the stored
+        token tuple — a silent collision would alias the wrong prompt's
+        KV (wrong output, no error), so verify, don't trust."""
         keys, page_ids = [], []
-        for h in self._keys(prompt):
-            if h not in self.pages:
+        for h, page_toks in self._keys(prompt):
+            if h not in self.pages or self.tokens[h] != page_toks:
                 break
             keys.append(h)
             page_ids.append(self.pages[h])
@@ -120,18 +124,23 @@ class PrefixCache:
         shareable. The request keeps a reference on each registered key;
         finish() releases them."""
         n_matched = len(req.prefix_keys)
-        for i, h in enumerate(self._keys(req.prompt)):
+        for i, (h, page_toks) in enumerate(self._keys(req.prompt)):
             if i < n_matched:
                 continue
             if h not in self.pages:
                 self.pages[h] = req.pages[i]
+                self.tokens[h] = page_toks
                 self.refs[h] = 0
             self.refs[h] += 1
             self.idle.pop(h, None)
             req.prefix_keys.append(h)
 
     def release(self, keys: Sequence[int]) -> None:
-        for k in keys:
+        # Insert idle entries in REVERSE chain order: oldest-first eviction
+        # then reclaims a chain from its TAIL, keeping the surviving prefix
+        # of the chain matchable (evicting the head first would orphan the
+        # rest — unmatchable entries squatting on pages).
+        for k in reversed(list(keys)):
             self.refs[k] -= 1
             if self.refs[k] == 0:
                 self.idle[k] = None
@@ -146,6 +155,7 @@ class PrefixCache:
             k, _ = self.idle.popitem(last=False)
             allocator.free([self.pages.pop(k)])
             del self.refs[k]
+            del self.tokens[k]
             freed += 1
         return freed
 

@@ -104,3 +104,28 @@ def test_prefix_cache_eviction_under_pressure():
     r2 = eng.submit(p2, 2)
     eng.run()
     assert len(r2.generated) == 2
+
+
+def test_prefix_cache_invalidated_on_recovery():
+    """recover() rebuilds zeroed page pools; stale prefix entries must not
+    alias them (would silently generate from zeroed KV)."""
+    params = _params()
+    prompt = list(np.random.RandomState(7).randint(0, CFG.vocab_size, 20))
+
+    fresh = Engine(params, CFG, num_pages=64, page_size=PAGE, max_seqs=4,
+                   pages_per_seq=8, prefix_cache=True)
+    r0 = fresh.submit(prompt, 4)
+    fresh.run()
+
+    eng = Engine(params, CFG, num_pages=64, page_size=PAGE, max_seqs=4,
+                 pages_per_seq=8, prefix_cache=True)
+    r1 = eng.submit(prompt, 4)
+    eng.run()
+    assert r1.generated == r0.generated
+    eng.recover()
+    assert not eng.sched.prefix.pages, "stale entries must be evicted"
+    r2 = eng.submit(prompt, 4)
+    eng.run()
+    assert r2.generated == r0.generated, (
+        f"post-recovery generation from stale shared pages: "
+        f"{r2.generated} vs {r0.generated}")

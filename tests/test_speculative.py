@@ -109,3 +109,30 @@ def test_speculative_self_draft_full_acceptance():
     eng.run()
     assert len(req.generated) == 9
     assert eng.stats.spec_acceptance == 1.0, eng.stats
+
+
+def test_speculative_at_table_capacity_matches_greedy():
+    """A request within spec_tokens of filling its page table must not let
+    span KV writes clamp into its own live last page (silent corruption):
+    speculation shrinks to the headroom and output stays bit-identical."""
+    from mfa_tpu.serve.engine import Engine
+
+    params = llama.init_params(jax.random.key(0), CFG)
+    draft_cfg = llama.LlamaConfig.tiny(vocab=64, dim=32, layers=1, heads=2,
+                                       kv_heads=1, ffn=64, dtype=jnp.float32)
+    draft = llama.init_params(jax.random.key(9), draft_cfg)
+    # capacity = pages_per_seq * page = 4 * 8 = 32; prompt 20 + max_new 12
+    # fills it exactly, so late steps have headroom < spec_tokens
+    prompt = list(np.random.RandomState(11).randint(0, CFG.vocab_size, 20))
+
+    def run(spec):
+        kw = dict(draft_params=draft, draft_cfg=draft_cfg,
+                  spec_tokens=4) if spec else {}
+        eng = Engine(params, CFG, num_pages=16, page_size=8, max_seqs=2,
+                     pages_per_seq=4, **kw)
+        req = eng.submit(prompt, 12)
+        eng.run()
+        return req.generated
+
+    g_spec, g_plain = run(True), run(False)
+    assert g_spec == g_plain, f"{g_spec} vs {g_plain}"
