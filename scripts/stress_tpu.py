@@ -1,0 +1,139 @@
+"""Adversarial-shape stress for the DMA kernels on REAL TPU.
+
+Interpret-mode tests can't catch semaphore/pipeline discipline bugs (the
+CPU path serializes all DMA); this sweeps ragged batches, empty sequences,
+sliding windows, speculative spans, and multi-q-block geometries against
+fp32 oracles on the chip.
+
+Tolerance note: fp32 matmul inputs go through the MXU at its default
+(bf16-mantissa) multiply precision, so fp32-vs-fp32 comparisons on TPU see
+~1e-3 relative noise — NOT an indexing bug (interpret-mode CPU tests are
+exact). The 1e-2 gate here detects structural errors, which are O(1).
+
+Usage: PYTHONPATH=/root/.axon_site:. python scripts/stress_tpu.py
+"""
+import sys
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp
+import numpy as np
+
+from mfa_tpu.kernels.paged import paged_attention
+from mfa_tpu.kernels.paged_prefill import paged_prefill_attention
+from mfa_tpu.ref.oracle import paged_decode_ref
+
+def oracle_prefill(q, pk, pv, lens, qs, qlens, table, window=-1, causal=True):
+    b, sq, h, d = q.shape
+    hkv, _, page, _ = pk.shape
+    group = h // hkv
+    pps = table.shape[1]
+    k = pk[:, table].reshape(hkv, b, pps * page, d)
+    v = pv[:, table].reshape(hkv, b, pps * page, d)
+    k = jnp.repeat(k, group, axis=0); v = jnp.repeat(v, group, axis=0)
+    qf = q.astype(jnp.float32)
+    sc = jnp.einsum("bshd,hbSd->bhsS", qf, k.astype(jnp.float32)) * d ** -0.5
+    pos = qs[:, None] + jnp.arange(sq)[None]
+    col = jnp.arange(pps * page)
+    vis = col[None, None] < lens[:, None, None]
+    if causal:
+        vis &= col[None, None] <= pos[..., None]
+        if window >= 0:
+            vis &= col[None, None] >= pos[..., None] - window
+    sc = jnp.where(vis[:, None], sc, -jnp.inf)
+    p = jax.nn.softmax(sc, axis=-1)
+    p = jnp.where(jnp.isnan(p), 0.0, p)
+    return jnp.einsum("bhsS,hbSd->bshd", p, v.astype(jnp.float32))
+
+rng = np.random.RandomState(0)
+fails = 0
+
+# ---- paged prefill stress ----
+for trial in range(8):
+    b = int(rng.choice([1, 2, 3, 5]))
+    hkv = int(rng.choice([1, 2, 4]))
+    group = int(rng.choice([1, 2, 4]))
+    d = 128
+    page = int(rng.choice([64, 128]))
+    pps = int(rng.choice([2, 4, 6]))
+    sq = int(rng.choice([64, 128, 256, 512]))
+    causal = bool(rng.rand() < 0.8)
+    window = int(rng.choice([-1, 63, 127])) if causal else -1
+    h = hkv * group
+    num_pages = b * pps + 1
+    pk = jax.random.normal(jax.random.key(trial), (hkv, num_pages, page, d), jnp.float32)
+    pv = jax.random.normal(jax.random.key(trial + 100), (hkv, num_pages, page, d), jnp.float32)
+    table = jnp.asarray(rng.permutation(num_pages - 1)[: b * pps] + 1,
+                        jnp.int32).reshape(b, pps)
+    cap = pps * page
+    qs_np, lens_np, qlens_np = [], [], []
+    for i in range(b):
+        if rng.rand() < 0.2:
+            qs_np.append(0); lens_np.append(0); qlens_np.append(0)  # empty
+        else:
+            ql = int(rng.randint(1, sq + 1))
+            start = int(rng.randint(0, max(1, cap - ql)))
+            start = (start // page) * page
+            qs_np.append(start); qlens_np.append(ql)
+            lens_np.append(min(start + ql, cap))
+    q = jax.random.normal(jax.random.key(trial + 200), (b, sq, h, d), jnp.float32)
+    qs = jnp.asarray(qs_np, jnp.int32); lens = jnp.asarray(lens_np, jnp.int32)
+    qlens = jnp.asarray(qlens_np, jnp.int32)
+    out = paged_prefill_attention(q, pk, pv, lens, qs, table, q_lens=qlens,
+                                  causal=causal, window_left=window)
+    ref = oracle_prefill(q, pk, pv, lens, qs, qlens, table, window, causal)
+    ok = True
+    for i in range(b):
+        n = qlens_np[i]
+        if n == 0:
+            continue
+        dmax = float(jnp.abs(out[i, :n].astype(jnp.float32) - ref[i, :n]).max())
+        if dmax > 1e-2:
+            ok = False
+            print(f"PF trial {trial} row {i}: maxdiff {dmax:.5f} "
+                  f"(b={b} hkv={hkv} g={group} page={page} pps={pps} sq={sq} "
+                  f"causal={causal} w={window} qs={qs_np} lens={lens_np} "
+                  f"qlens={qlens_np})", flush=True)
+    fails += 0 if ok else 1
+    print(f"prefill trial {trial}: {'OK' if ok else 'FAIL'}", flush=True)
+
+# ---- multiquery decode stress ----
+for trial in range(6):
+    b = int(rng.choice([1, 2, 4]))
+    hkv = int(rng.choice([1, 2, 4]))
+    group = int(rng.choice([1, 2, 4]))
+    span = int(rng.choice([1, 2, 4, 8]))
+    d = 128
+    page = 128
+    pps = int(rng.choice([2, 4]))
+    window = int(rng.choice([-1, 200]))
+    h = hkv * group
+    num_pages = b * pps + 1
+    pk = jax.random.normal(jax.random.key(trial + 300), (hkv, num_pages, page, d), jnp.float32)
+    pv = jax.random.normal(jax.random.key(trial + 400), (hkv, num_pages, page, d), jnp.float32)
+    table = jnp.asarray(rng.permutation(num_pages - 1)[: b * pps] + 1,
+                        jnp.int32).reshape(b, pps)
+    cap = pps * page
+    lens_np = [0 if rng.rand() < 0.15 else int(rng.randint(span, cap + 1))
+               for _ in range(b)]
+    lens = jnp.asarray(lens_np, jnp.int32)
+    q = jax.random.normal(jax.random.key(trial + 500), (b, span, h, d), jnp.float32)
+    out = paged_attention(q, pk, pv, lens, table, window_left=window)
+    pool_k = jnp.transpose(pk, (1, 2, 0, 3)); pool_v = jnp.transpose(pv, (1, 2, 0, 3))
+    ok = True
+    for si in range(span):
+        eff = jnp.maximum(lens - (span - 1 - si), 0)
+        ref = paged_decode_ref(q[:, si:si+1], pool_k, pool_v, eff, table,
+                               window_left=window)
+        for i in range(b):
+            if lens_np[i] == 0:
+                continue
+            dmax = float(jnp.abs(out[i, si].astype(jnp.float32) - ref[i, 0]).max())
+            if dmax > 1e-2:
+                ok = False
+                print(f"DC trial {trial} row {i} si {si}: maxdiff {dmax:.5f} "
+                      f"(b={b} hkv={hkv} g={group} span={span} pps={pps} "
+                      f"w={window} lens={lens_np})", flush=True)
+    fails += 0 if ok else 1
+    print(f"decode trial {trial}: {'OK' if ok else 'FAIL'}", flush=True)
+
+print(f"STRESS {'PASS' if fails == 0 else f'FAIL ({fails})'}")
