@@ -102,6 +102,8 @@ class Engine:
         self._key = jax.random.key(seed)
         self.stats = EngineStats()
         self._next_uid = 0
+        self._stream_pos: Dict[int, int] = {}  # uid -> tokens consumed
+        self._all_reqs: Dict[int, Request] = {}  # uid -> request (streaming)
         # Chunked prefill: prompts longer than this many tokens are
         # ingested one page-aligned chunk per engine step, interleaved
         # with decode, so one long prompt can't stall the whole batch's
@@ -133,7 +135,34 @@ class Engine:
         req = Request(self._next_uid, list(prompt), max_new_tokens, eos_token)
         self._next_uid += 1
         self.sched.submit(req)
+        self._stream_pos[req.uid] = 0
+        self._all_reqs[req.uid] = req
         return req
+
+    def poll(self):
+        """Streaming consumption: tokens generated since the last poll().
+
+        Returns {uid: [tokens...]} for every request that produced output
+        since the previous call (finished requests flush their tail and
+        drop out of future polls). Drive with step()/step_burst() between
+        polls — e.g.  while eng.sched.has_work: eng.step_burst(8);
+        for uid, toks in eng.poll().items(): ...
+        """
+        out = {}
+        done_uids = []
+        for uid, pos in self._stream_pos.items():
+            req = self._all_reqs.get(uid)
+            if req is None:
+                continue
+            if len(req.generated) > pos:
+                out[uid] = req.generated[pos:]
+                self._stream_pos[uid] = len(req.generated)
+            if req.done:
+                done_uids.append(uid)
+        for uid in done_uids:
+            del self._stream_pos[uid]
+            self._all_reqs.pop(uid, None)
+        return out
 
     def _prefill_admitted(self, reqs: List[Request]) -> None:
         """Prefill all newly admitted prompts in ONE batched jitted call

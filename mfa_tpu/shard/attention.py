@@ -176,3 +176,66 @@ def context_parallel_decode(
         return out.astype(q.dtype)
 
     return jax.jit(_fn)
+
+
+def context_parallel_paged_decode(
+    mesh: Mesh,
+    softmax_scale: Optional[float] = None,
+    quantized: bool = False,
+    ctx_axis: str = CTX_AXIS,
+):
+    """KV-PAGE-POOL-sharded (context-parallel) paged decode.
+
+    Each chip owns a private page pool holding a slice of every sequence's
+    KV (the cache manager assigns pages to shards; a sequence's block table
+    is per-shard), runs the paged decode kernel on its local shard, and
+    partial (O, LSE) merge with the max-normalized combine — the split-KV
+    algebra across ICI. This is how a KV cache LARGER THAN ONE CHIP'S HBM
+    serves decode: communication is O(heads*head_dim) per sequence vs
+    all-gathering pages.
+
+    f(q, k_pages, v_pages, local_lens, local_tables[, k_scales, v_scales]):
+      q:            [batch, heads, d]            replicated on ctx
+      k/v_pages:    [ctx*hkv? no — [hkv, pages_per_shard, page, d] sharded
+                    on the POOL axis] P(None, ctx, None, None)
+      local_lens:   [ctx, batch] int32 — this shard's valid KV tokens per
+                    sequence, P(ctx, None)
+      local_tables: [ctx, batch, pages_per_seq_shard] int32, P(ctx, ...)
+    Returns [batch, heads, d] (combined over shards).
+    """
+    from mfa_tpu.kernels.decode import combine_splits
+    from mfa_tpu.kernels.paged import paged_attention
+
+    in_specs = [
+        P(),
+        P(None, ctx_axis, None, None),
+        P(None, ctx_axis, None, None),
+        P(ctx_axis, None),
+        P(ctx_axis, None, None),
+    ]
+    if quantized:
+        in_specs += [P(None, ctx_axis, None), P(None, ctx_axis, None)]
+
+    def _fn(q, kp, vp, lens, tables, *scales):
+        kw = (dict(k_scales=scales[0], v_scales=scales[1])
+              if scales else {})
+        o, lse = paged_attention(
+            q, kp, vp, lens[0], tables[0], softmax_scale=softmax_scale,
+            return_lse=True, **kw,
+        )
+        o = o.astype(jnp.float32)
+        # cross-chip max-normalized LSE combine (decode.cuh:718-747 over ICI)
+        m = jax.lax.pmax(lse, ctx_axis)
+        m = jnp.where(jnp.isinf(m) & (m < 0), 0.0, m)
+        w = jnp.exp(lse - m)
+        w = jnp.where(jnp.isnan(w), 0.0, w)
+        denom = jax.lax.psum(w, ctx_axis)
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        out = jax.lax.psum(o * w[..., None], ctx_axis) / denom[..., None]
+        return out.astype(q.dtype)
+
+    wrapped = shard_map(
+        _fn, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(wrapped)

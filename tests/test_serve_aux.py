@@ -166,3 +166,25 @@ def test_engine_fp8_kv_cache(params):
         assert all(np.isfinite(a.logprobs))
         # same argmax path on a tiny random model: expect agreement
         assert a.generated == b.generated, (a.generated, b.generated)
+
+
+def test_streaming_poll(params):
+    """poll() yields every generated token exactly once, in order, across
+    step and burst drives; finished requests drop out of future polls."""
+    from mfa_tpu.serve.engine import Engine
+
+    eng = Engine(params, CFG, num_pages=32, page_size=8, max_seqs=4,
+                 pages_per_seq=8)
+    r1 = eng.submit([1, 2, 3], 6)
+    r2 = eng.submit([9] * 10, 4)
+    streamed = {r1.uid: [], r2.uid: []}
+    while eng.sched.has_work:
+        eng.step_burst(3)
+        for uid, toks in eng.poll().items():
+            streamed[uid].extend(toks)
+    final = eng.poll()
+    for uid, toks in final.items():
+        streamed[uid].extend(toks)
+    assert streamed[r1.uid] == r1.generated
+    assert streamed[r2.uid] == r2.generated
+    assert eng.poll() == {}  # all flushed

@@ -129,3 +129,66 @@ def test_ring_attention_prefill(causal):
     )
     assert_close(out, jnp.swapaxes(ref, 1, 2), tol=1e-4,
                  msg=f"ring causal={causal}")
+
+
+def test_context_parallel_paged_decode_matches_single_pool():
+    """Page pool sharded over the ctx axis: per-shard paged decode + LSE
+    combine must equal decode over one merged pool — the 'KV cache larger
+    than one chip' serving path."""
+    from mfa_tpu.kernels.paged import paged_attention
+    from mfa_tpu.shard.attention import context_parallel_paged_decode
+    from mfa_tpu.shard.mesh import make_mesh
+
+    n_shards, batch, hkv, group, d = 4, 2, 2, 2, 64
+    heads = hkv * group
+    page, pps_shard = 64, 2  # each shard holds up to 2 pages per sequence
+    pool_per_shard = batch * pps_shard + 1
+
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (batch, heads, d), jnp.float32)
+    # independent pool per shard (sharded leading pool axis)
+    k_pages = jax.random.normal(
+        jax.random.key(1), (hkv, n_shards * pool_per_shard, page, d))
+    v_pages = jax.random.normal(
+        jax.random.key(2), (hkv, n_shards * pool_per_shard, page, d))
+    # each sequence: shard s holds tokens [s*128, s*128+local_len_s)
+    local_lens = np.zeros((n_shards, batch), np.int32)
+    local_tables = np.zeros((n_shards, batch, pps_shard), np.int32)
+    for s in range(n_shards):
+        for b in range(batch):
+            local_lens[s, b] = [128, 100][b] if s < 3 else [64, 0][b]
+            for pi in range(pps_shard):
+                # shard-local page ids (1-based within the shard's pool)
+                local_tables[s, b, pi] = 1 + b * pps_shard + pi
+
+    mesh = make_mesh({"ctx": n_shards}, jax.devices()[:n_shards])
+    f = context_parallel_paged_decode(mesh)
+    out = f(q, k_pages, v_pages, jnp.asarray(local_lens),
+            jnp.asarray(local_tables))
+
+    # oracle: merge every shard's valid tokens into one contiguous cache
+    ref_k = np.zeros((batch, 1024, hkv, d), np.float32)
+    ref_v = np.zeros((batch, 1024, hkv, d), np.float32)
+    total = np.zeros((batch,), np.int32)
+    kp_np = np.asarray(k_pages)
+    vp_np = np.asarray(v_pages)
+    for b in range(batch):
+        for s in range(n_shards):
+            ln = int(local_lens[s, b])
+            off = 0
+            while off < ln:
+                pg = int(local_tables[s, b, off // page])
+                take = min(page, ln - off)
+                src = s * pool_per_shard + pg
+                ref_k[b, total[b]:total[b] + take] = np.transpose(
+                    kp_np[:, src, :take], (1, 0, 2))
+                ref_v[b, total[b]:total[b] + take] = np.transpose(
+                    vp_np[:, src, :take], (1, 0, 2))
+                total[b] += take
+                off += take
+    from mfa_tpu.ref.oracle import decode_ref
+
+    ref = decode_ref(q[:, None], jnp.asarray(ref_k), jnp.asarray(ref_v),
+                     jnp.asarray(total))[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
