@@ -136,3 +136,39 @@ def test_speculative_at_table_capacity_matches_greedy():
 
     g_spec, g_plain = run(True), run(False)
     assert g_spec == g_plain, f"{g_spec} vs {g_plain}"
+
+
+def test_all_features_combined_match_plain_greedy():
+    """Speculative + prefix cache + chunked prefill + int8 KV, all at once,
+    must still be token-identical to a plain greedy engine — the
+    interaction catch-all (rollbacks vs shared pages vs chunk offsets)."""
+    import numpy as np
+
+    from mfa_tpu.serve.engine import Engine
+
+    params = llama.init_params(jax.random.key(0), CFG)
+    draft_cfg = llama.LlamaConfig.tiny(vocab=64, dim=32, layers=1, heads=2,
+                                       kv_heads=1, ffn=64, dtype=jnp.float32)
+    draft = llama.init_params(jax.random.key(9), draft_cfg)
+    shared = list(np.random.RandomState(5).randint(0, CFG.vocab_size, 18))
+    prompts = [shared + [3], shared + [7, 1], [2, 4, 6]]
+
+    def run(everything):
+        kw = {}
+        if everything:
+            kw = dict(draft_params=draft, draft_cfg=draft_cfg,
+                      spec_tokens=3, prefix_cache=True, prefill_chunk=16,
+                      quant_dtype="int8")
+        else:
+            kw = dict(quant_dtype="int8")
+        eng = Engine(params, CFG, num_pages=64, page_size=8, max_seqs=4,
+                     pages_per_seq=8, **kw)
+        reqs = [eng.submit(p, 6) for p in prompts]
+        eng.run()
+        # no page leaks (idle prefix pages are retained by design)
+        retained = (len(eng.sched.prefix.pages)
+                    if eng.sched.prefix is not None else 0)
+        assert eng.sched.allocator.free_pages + retained == 63
+        return [r.generated for r in reqs]
+
+    assert run(True) == run(False)
