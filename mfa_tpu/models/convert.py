@@ -1,0 +1,102 @@
+"""HuggingFace Llama/Mistral checkpoint -> mfa_tpu params conversion.
+
+The reference is a kernel library with no model weights story; a serving
+framework needs one. `from_hf` maps a transformers `LlamaForCausalLM` /
+`MistralForCausalLM` (or its state dict) onto the mfa_tpu params pytree +
+LlamaConfig, so real checkpoints serve through the engine. The mapping is
+pure numpy (torch CPU tensors in, jnp arrays out) and is validated
+end-to-end against transformers' own forward in tests/test_hf_convert.py —
+which also pins our RoPE/RMSNorm/GQA conventions to the reference
+implementation's numerics.
+
+Weight layout notes:
+- HF Linear weights are [out, in]; mfa_tpu uses [in, out] -> transpose.
+- HF attention projections are per-model-dim; head ordering matches our
+  kvh-major [h // group] GQA fold, so no permutation is needed.
+- RoPE: both use the rotate-half (NeoX) convention with theta from config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mfa_tpu.models.llama import LlamaConfig, Params
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / array-like -> float32 numpy."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, np.float32)
+
+
+def config_from_hf(hf_config) -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        dim=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        n_kv_heads=getattr(hf_config, "num_key_value_heads",
+                           hf_config.num_attention_heads),
+        ffn_dim=hf_config.intermediate_size,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        norm_eps=hf_config.rms_norm_eps,
+        dtype=jnp.bfloat16,
+        sliding_window=getattr(hf_config, "sliding_window", None),
+    )
+
+
+def from_hf(model_or_state_dict, hf_config=None,
+            dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
+    """Convert a transformers causal-LM (or its state_dict + config).
+
+    Returns (params, cfg) ready for llama.forward / the serving Engine.
+    """
+    if hasattr(model_or_state_dict, "state_dict"):
+        sd = model_or_state_dict.state_dict()
+        hf_config = hf_config or model_or_state_dict.config
+    else:
+        sd = model_or_state_dict
+        if hf_config is None:
+            raise ValueError("state_dict input requires hf_config")
+    cfg = dataclasses.replace(config_from_hf(hf_config), dtype=dtype)
+
+    def w(name):  # [out, in] -> [in, out]
+        return jnp.asarray(_np(sd[name]).T, dtype)
+
+    layers = dict(
+        wq=[], wk=[], wv=[], wo=[], w_gate=[], w_up=[], w_down=[],
+        attn_norm=[], mlp_norm=[],
+    )
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        layers["wq"].append(w(p + "self_attn.q_proj.weight"))
+        layers["wk"].append(w(p + "self_attn.k_proj.weight"))
+        layers["wv"].append(w(p + "self_attn.v_proj.weight"))
+        layers["wo"].append(w(p + "self_attn.o_proj.weight"))
+        layers["w_gate"].append(w(p + "mlp.gate_proj.weight"))
+        layers["w_up"].append(w(p + "mlp.up_proj.weight"))
+        layers["w_down"].append(w(p + "mlp.down_proj.weight"))
+        layers["attn_norm"].append(
+            jnp.asarray(_np(sd[p + "input_layernorm.weight"]), jnp.float32))
+        layers["mlp_norm"].append(
+            jnp.asarray(_np(sd[p + "post_attention_layernorm.weight"]),
+                        jnp.float32))
+    stacked = {k: jnp.stack(v) for k, v in layers.items()}
+
+    embed = jnp.asarray(_np(sd["model.embed_tokens.weight"]), dtype)
+    if "lm_head.weight" in sd:
+        lm_head = jnp.asarray(_np(sd["lm_head.weight"]).T, dtype)
+    else:  # tied embeddings
+        lm_head = embed.T
+    params: Params = dict(
+        embed=embed,
+        final_norm=jnp.asarray(_np(sd["model.norm.weight"]), jnp.float32),
+        lm_head=lm_head,
+        layers=stacked,
+    )
+    return params, cfg
