@@ -1,67 +1,99 @@
 """HF checkpoint conversion: our forward must match transformers' forward.
 
-Builds a tiny randomly-initialized transformers LlamaForCausalLM (no
-network), converts it with models/convert.py, and compares logits — this
-pins mfa_tpu's RoPE (rotate-half), RMSNorm, GQA fold, and SwiGLU
-conventions to the reference implementation's numerics, and proves real
-checkpoints can serve through the engine.
+A SUBPROCESS builds a tiny randomly-initialized transformers
+LlamaForCausalLM (no network), saves its state dict, config, reference
+logits, and greedy generation; this process (which must stay torch-free —
+loading torch's OpenMP runtime next to XLA's CPU backend segfaults the
+suite) converts the weights with models/convert.py and compares. This pins
+mfa_tpu's RoPE (rotate-half), RMSNorm, GQA fold, and SwiGLU conventions to
+the reference implementation's numerics, and proves real checkpoints serve
+through the engine.
 """
 
-import jax
+import json
+import subprocess
+import sys
+import types
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
-transformers = pytest.importorskip("transformers")
-
 from mfa_tpu.models import llama
 from mfa_tpu.models.convert import from_hf
 
+_GEN_SCRIPT = r'''
+import json, sys
+import numpy as np
+import torch, transformers
 
-def _tiny_hf():
-    cfg = transformers.LlamaConfig(
-        vocab_size=96, hidden_size=64, intermediate_size=112,
-        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
-        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
-        attention_bias=False, tie_word_embeddings=False,
+out = sys.argv[1]
+cfg = transformers.LlamaConfig(
+    vocab_size=96, hidden_size=64, intermediate_size=112,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+    attention_bias=False, tie_word_embeddings=False,
+)
+torch.manual_seed(0)
+model = transformers.LlamaForCausalLM(cfg)
+model.eval()
+tokens = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 21))
+with torch.no_grad():
+    logits = model(torch.tensor(tokens)).logits.float().numpy()
+    gen = model.generate(
+        torch.tensor([[1, 2, 3, 4, 5]]), max_new_tokens=6,
+        do_sample=False, num_beams=1, pad_token_id=0,
+    )[0, 5:].tolist()
+sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+np.savez(out, __tokens__=tokens, __logits__=logits,
+         __gen__=np.asarray(gen, np.int32),
+         __config__=np.array(json.dumps({
+             "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+             "intermediate_size": cfg.intermediate_size,
+             "num_hidden_layers": cfg.num_hidden_layers,
+             "num_attention_heads": cfg.num_attention_heads,
+             "num_key_value_heads": cfg.num_key_value_heads,
+             "rms_norm_eps": cfg.rms_norm_eps,
+             "rope_theta": cfg.rope_theta})),
+         **sd)
+'''
+
+
+@pytest.fixture(scope="module")
+def hf_artifacts(tmp_path_factory):
+    out = tmp_path_factory.mktemp("hf") / "ref.npz"
+    proc = subprocess.run(
+        [sys.executable, "-c", _GEN_SCRIPT, str(out)],
+        capture_output=True, text=True, timeout=420,
     )
-    torch.manual_seed(0)
-    model = transformers.LlamaForCausalLM(cfg)
-    model.eval()
-    return model
+    if proc.returncode != 0:
+        pytest.skip(f"transformers reference generation failed: "
+                    f"{proc.stderr[-500:]}")
+    data = np.load(out)
+    hf_config = types.SimpleNamespace(
+        **json.loads(str(data["__config__"])), sliding_window=None)
+    sd = {k: data[k] for k in data.files if not k.startswith("__")}
+    return (sd, hf_config, data["__tokens__"], data["__logits__"],
+            list(data["__gen__"]))
 
 
-def test_converted_forward_matches_transformers():
-    hf = _tiny_hf()
-    params, cfg = from_hf(hf, dtype=jnp.float32)
+def test_converted_forward_matches_transformers(hf_artifacts):
+    sd, hf_config, tokens, ref_logits, _ = hf_artifacts
+    params, cfg = from_hf(sd, hf_config, dtype=jnp.float32)
     assert cfg.n_heads == 4 and cfg.n_kv_heads == 2 and cfg.head_dim == 16
-
-    tokens = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 21))
-    with torch.no_grad():
-        ref = hf(torch.tensor(tokens)).logits.float().numpy()
     ours = np.asarray(llama.forward(params, jnp.asarray(tokens), cfg))
-    diff = np.abs(ours - ref).max()
+    diff = np.abs(ours - ref_logits).max()
     assert diff < 2e-3, f"logits diverge from transformers: {diff}"
 
 
-def test_converted_model_serves():
-    hf = _tiny_hf()
-    params, cfg = from_hf(hf, dtype=jnp.float32)
+def test_converted_model_serves(hf_artifacts):
+    sd, hf_config, _, _, hf_toks = hf_artifacts
+    params, cfg = from_hf(sd, hf_config, dtype=jnp.float32)
     from mfa_tpu.serve.engine import Engine
 
     eng = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=2,
                  pages_per_seq=8)
     req = eng.submit([1, 2, 3, 4, 5], 6)
     eng.run(burst=3)
-    assert len(req.generated) == 6
-
     # greedy continuation must match transformers' greedy generate
-    with torch.no_grad():
-        out = hf.generate(
-            torch.tensor([[1, 2, 3, 4, 5]]), max_new_tokens=6,
-            do_sample=False, num_beams=1,
-            pad_token_id=0,
-        )
-    hf_toks = out[0, 5:].tolist()
     assert req.generated == hf_toks, (req.generated, hf_toks)
