@@ -35,18 +35,38 @@ def _np(t) -> np.ndarray:
 
 
 def config_from_hf(hf_config) -> LlamaConfig:
+    model_type = getattr(hf_config, "model_type", "llama")
+    heads = hf_config.num_attention_heads
+    hd = getattr(hf_config, "head_dim", None)
+    act = (getattr(hf_config, "hidden_activation", None)
+           or getattr(hf_config, "hidden_act", "silu"))
+    is_gemma = str(model_type).startswith("gemma")
+    # Qwen2 configs carry sliding_window but gate it behind
+    # use_sliding_window (default off).
+    sliding_window = getattr(hf_config, "sliding_window", None)
+    if not getattr(hf_config, "use_sliding_window", True):
+        sliding_window = None
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
         dim=hf_config.hidden_size,
         n_layers=hf_config.num_hidden_layers,
-        n_heads=hf_config.num_attention_heads,
-        n_kv_heads=getattr(hf_config, "num_key_value_heads",
-                           hf_config.num_attention_heads),
+        n_heads=heads,
+        n_kv_heads=getattr(hf_config, "num_key_value_heads", heads) or heads,
         ffn_dim=hf_config.intermediate_size,
         rope_theta=getattr(hf_config, "rope_theta", 10000.0),
         norm_eps=hf_config.rms_norm_eps,
         dtype=jnp.bfloat16,
-        sliding_window=getattr(hf_config, "sliding_window", None),
+        sliding_window=sliding_window,
+        head_dim_override=(hd if hd and hd != hf_config.hidden_size // heads
+                           else None),
+        # Qwen2 hardcodes q/k/v bias in its attention module; other families
+        # expose it as `attention_bias`.
+        qkv_bias=(model_type == "qwen2"
+                  or bool(getattr(hf_config, "attention_bias", False))),
+        hidden_act="gelu_tanh" if "gelu" in str(act) else "silu",
+        norm_offset=is_gemma,
+        embed_scale=is_gemma,
+        logit_softcap=getattr(hf_config, "final_logit_softcapping", None),
     )
 
 
@@ -72,11 +92,20 @@ def from_hf(model_or_state_dict, hf_config=None,
         wq=[], wk=[], wv=[], wo=[], w_gate=[], w_up=[], w_down=[],
         attn_norm=[], mlp_norm=[],
     )
+    if cfg.qkv_bias:
+        layers.update(bq=[], bk=[], bv=[])
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
         layers["wq"].append(w(p + "self_attn.q_proj.weight"))
         layers["wk"].append(w(p + "self_attn.k_proj.weight"))
         layers["wv"].append(w(p + "self_attn.v_proj.weight"))
+        if cfg.qkv_bias:
+            layers["bq"].append(
+                jnp.asarray(_np(sd[p + "self_attn.q_proj.bias"]), dtype))
+            layers["bk"].append(
+                jnp.asarray(_np(sd[p + "self_attn.k_proj.bias"]), dtype))
+            layers["bv"].append(
+                jnp.asarray(_np(sd[p + "self_attn.v_proj.bias"]), dtype))
         layers["wo"].append(w(p + "self_attn.o_proj.weight"))
         layers["w_gate"].append(w(p + "mlp.gate_proj.weight"))
         layers["w_up"].append(w(p + "mlp.up_proj.weight"))

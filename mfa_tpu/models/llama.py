@@ -52,10 +52,18 @@ class LlamaConfig:
     # Mistral-style sliding-window attention: each token attends to at most
     # the previous `sliding_window` tokens (None = full causal).
     sliding_window: Optional[int] = None
+    # Family knobs (the reference has no model layer at all; these widen
+    # the families the serving engine covers without forking the code):
+    head_dim_override: Optional[int] = None  # Gemma: head_dim != dim/heads
+    qkv_bias: bool = False                   # Qwen2: bias on q/k/v proj
+    hidden_act: str = "silu"                 # "silu" | "gelu_tanh" (Gemma)
+    norm_offset: bool = False                # Gemma RMSNorm: x * (1 + w)
+    embed_scale: bool = False                # Gemma: embeddings * sqrt(dim)
+    logit_softcap: Optional[float] = None    # Gemma2: tanh cap on logits
 
     @property
     def head_dim(self) -> int:
-        return self.dim // self.n_heads
+        return self.head_dim_override or self.dim // self.n_heads
 
     @property
     def window_left(self) -> int:
@@ -74,6 +82,27 @@ class LlamaConfig:
             vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
             n_kv_heads=8, ffn_dim=14336, rope_theta=10000.0,
             sliding_window=4096,
+        )
+
+    @staticmethod
+    def qwen2_7b() -> "LlamaConfig":
+        """Qwen2-7B shape: the family's distinguishing feature is bias on
+        the q/k/v projections."""
+        return LlamaConfig(
+            vocab_size=152064, dim=3584, n_layers=28, n_heads=28,
+            n_kv_heads=4, ffn_dim=18944, rope_theta=1000000.0,
+            norm_eps=1e-6, qkv_bias=True,
+        )
+
+    @staticmethod
+    def gemma_7b() -> "LlamaConfig":
+        """Gemma-7B shape: head_dim 256 (not dim/heads), gelu-tanh MLP,
+        (1+w) RMSNorm, sqrt(dim)-scaled embeddings, tied lm_head."""
+        return LlamaConfig(
+            vocab_size=256000, dim=3072, n_layers=28, n_heads=16,
+            n_kv_heads=16, ffn_dim=24576, rope_theta=10000.0,
+            norm_eps=1e-6, head_dim_override=256, hidden_act="gelu_tanh",
+            norm_offset=True, embed_scale=True,
         )
 
     @staticmethod
@@ -99,19 +128,24 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
     layers = []
     for i in range(cfg.n_layers):
         ks = jax.random.split(keys[i], 7)
-        layers.append(
-            dict(
-                wq=dense(ks[0], (d, cfg.n_heads * hd)),
-                wk=dense(ks[1], (d, cfg.n_kv_heads * hd)),
-                wv=dense(ks[2], (d, cfg.n_kv_heads * hd)),
-                wo=dense(ks[3], (cfg.n_heads * hd, d)),
-                w_gate=dense(ks[4], (d, cfg.ffn_dim)),
-                w_up=dense(ks[5], (d, cfg.ffn_dim)),
-                w_down=dense(ks[6], (cfg.ffn_dim, d)),
-                attn_norm=jnp.ones((d,), jnp.float32),
-                mlp_norm=jnp.ones((d,), jnp.float32),
-            )
+        lp = dict(
+            wq=dense(ks[0], (d, cfg.n_heads * hd)),
+            wk=dense(ks[1], (d, cfg.n_kv_heads * hd)),
+            wv=dense(ks[2], (d, cfg.n_kv_heads * hd)),
+            wo=dense(ks[3], (cfg.n_heads * hd, d)),
+            w_gate=dense(ks[4], (d, cfg.ffn_dim)),
+            w_up=dense(ks[5], (d, cfg.ffn_dim)),
+            w_down=dense(ks[6], (cfg.ffn_dim, d)),
+            attn_norm=jnp.ones((d,), jnp.float32),
+            mlp_norm=jnp.ones((d,), jnp.float32),
         )
+        if cfg.qkv_bias:
+            lp.update(
+                bq=jnp.zeros((cfg.n_heads * hd,), cfg.dtype),
+                bk=jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype),
+                bv=jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype),
+            )
+        layers.append(lp)
     return dict(
         embed=dense(keys[-2], (cfg.vocab_size, d), scale=0.02),
         final_norm=jnp.ones((cfg.dim,), jnp.float32),
@@ -140,6 +174,9 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Params:
         attn_norm=ns(None),
         mlp_norm=ns(None),
     )
+    if cfg.qkv_bias:
+        layer.update(bq=ns(None, MODEL_AXIS), bk=ns(None, MODEL_AXIS),
+                     bv=ns(None, MODEL_AXIS))
     return dict(
         embed=ns(None, None),
         final_norm=ns(None),
@@ -148,10 +185,49 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Params:
     )
 
 
-def _rms_norm(x, w, eps):
+def _rms_norm(x, w, cfg: "LlamaConfig"):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+    if cfg.norm_offset:  # Gemma convention: weight stored as w, applied 1+w
+        w = 1.0 + w
+    return (xf * jax.lax.rsqrt(var + cfg.norm_eps) * w).astype(x.dtype)
+
+
+def _qkv(h, lp, cfg: "LlamaConfig", *lead):
+    """Shared q/k/v projection (+ optional Qwen2-style bias) for every
+    execution path. lead: leading output dims (e.g. batch, seq)."""
+    q, k, v = h @ lp["wq"], h @ lp["wk"], h @ lp["wv"]
+    if cfg.qkv_bias:
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    hd = cfg.head_dim
+    return (q.reshape(*lead, cfg.n_heads, hd),
+            k.reshape(*lead, cfg.n_kv_heads, hd),
+            v.reshape(*lead, cfg.n_kv_heads, hd))
+
+
+def _mlp(x, lp, cfg: "LlamaConfig"):
+    h = _rms_norm(x, lp["mlp_norm"], cfg)
+    gate = h @ lp["w_gate"]
+    if cfg.hidden_act == "gelu_tanh":
+        gate = jax.nn.gelu(gate, approximate=True)
+    else:
+        gate = jax.nn.silu(gate)
+    return x + (gate * (h @ lp["w_up"])) @ lp["w_down"]
+
+
+def _embed(params, tokens, cfg: "LlamaConfig"):
+    x = params["embed"][tokens]
+    if cfg.embed_scale:  # Gemma: scale in the activation dtype (HF rounds
+        x = x * jnp.asarray(cfg.dim ** 0.5, x.dtype)  # sqrt(dim) to dtype)
+    return x
+
+
+def _unembed(params, x, cfg: "LlamaConfig"):
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if cfg.logit_softcap:
+        cap = float(cfg.logit_softcap)
+        logits = jnp.tanh(logits / cap) * cap
+    return logits
 
 
 def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
@@ -205,26 +281,23 @@ def forward(
     (HBM, not FLOPs, binds training step size)."""
     b, s = tokens.shape
     hd = cfg.head_dim
-    x = params["embed"][tokens]  # [b, s, d]
+    x = _embed(params, tokens, cfg)  # [b, s, d]
     positions = jnp.arange(s, dtype=jnp.int32)[None].repeat(b, 0)
 
     def layer_fn(x, lp):
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(b, s, cfg.n_heads, hd)
-        k = (h @ lp["wk"]).reshape(b, s, cfg.n_kv_heads, hd)
-        v = (h @ lp["wv"]).reshape(b, s, cfg.n_kv_heads, hd)
+        h = _rms_norm(x, lp["attn_norm"], cfg)
+        q, k, v = _qkv(h, lp, cfg, b, s)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         attn = _attention_sharded(q, k, v, mesh, cfg.window_left)
         x = x + attn.reshape(b, s, cfg.n_heads * hd) @ lp["wo"]
-        h = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        x = _mlp(x, lp, cfg)
         return x, None
 
     scan_fn = jax.checkpoint(layer_fn) if remat else layer_fn
     x, _ = jax.lax.scan(scan_fn, x, params["layers"])
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return (x @ params["lm_head"]).astype(jnp.float32)
+    x = _rms_norm(x, params["final_norm"], cfg)
+    return _unembed(params, x, cfg)
 
 
 def loss_fn(params, tokens, cfg, mesh=None, remat=False):
@@ -421,16 +494,14 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     page = cache.page_size
     npg = page_ids.shape[1]
     pmesh = _prefill_mesh(mesh)
-    x = params["embed"][tokens]  # [n, s, d]
+    x = _embed(params, tokens, cfg)  # [n, s, d]
     positions = jnp.arange(s, dtype=jnp.int32)[None]  # broadcast over n
     flat_ids = page_ids.reshape(-1)  # [n*npg]; duplicates only on null page
 
     def layer_fn(x, xs):
         lp, kp, vp, ksc, vsc = xs
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(n, s, cfg.n_heads, hd)
-        k = (h @ lp["wk"]).reshape(n, s, cfg.n_kv_heads, hd)
-        v = (h @ lp["wv"]).reshape(n, s, cfg.n_kv_heads, hd)
+        h = _rms_norm(x, lp["attn_norm"], cfg)
+        q, k, v = _qkv(h, lp, cfg, n, s)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         # page writes: [n, s, hkv, d] -> [hkv, n*npg, page, d]
@@ -449,18 +520,17 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
                 vs_new.reshape(cfg.n_kv_heads, n * npg, page))
         attn = _attention_sharded(q, k, v, pmesh, cfg.window_left)
         x = x + attn.reshape(n, s, cfg.n_heads * hd) @ lp["wo"]
-        hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
+        x = _mlp(x, lp, cfg)
         return x, (kp, vp, ksc, vsc)
 
     x, (kp, vp, ksc, vsc) = jax.lax.scan(
         layer_fn, x, (params["layers"],) + _cache_xs(cache)
     )
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    x = _rms_norm(x, params["final_norm"], cfg)
     last = jnp.take_along_axis(
         x, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1
     )[:, 0]  # [n, d]
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    logits = _unembed(params, last, cfg)
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
         block_tables=cache.block_tables.at[seq_slots].set(table_rows),
@@ -532,7 +602,7 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
     pps = cache.pages_per_seq
     chunk_pages = chunk // page
     offsets = jnp.asarray(offsets, jnp.int32)
-    x = params["embed"][tokens]  # [n, chunk, d]
+    x = _embed(params, tokens, cfg)  # [n, chunk, d]
     positions = offsets[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
     # per-row page ids for the chunk's writes; rows whose padded chunk runs
     # past the table width write into the reserved null page 0
@@ -548,10 +618,8 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
 
     def layer_fn(x, xs):
         lp, kp, vp, ksc, vsc = xs
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(n, chunk, cfg.n_heads, hd)
-        k = (h @ lp["wk"]).reshape(n, chunk, cfg.n_kv_heads, hd)
-        v = (h @ lp["wv"]).reshape(n, chunk, cfg.n_kv_heads, hd)
+        h = _rms_norm(x, lp["attn_norm"], cfg)
+        q, k, v = _qkv(h, lp, cfg, n, chunk)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         kq, ks_new = _store_rows(
@@ -574,17 +642,16 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
             table_rows, _prefill_mesh(mesh), cfg.window_left,
         )
         x = x + attn.reshape(n, chunk, cfg.n_heads * hd).astype(x.dtype) @ lp["wo"]
-        hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
+        x = _mlp(x, lp, cfg)
         return x, (kp, vp, ksc, vsc)
 
     x, (kp, vp, ksc, vsc) = jax.lax.scan(
         layer_fn, x, (params["layers"],) + _cache_xs(cache)
     )
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    x = _rms_norm(x, params["final_norm"], cfg)
     last_idx = jnp.clip(final_lens - 1 - offsets, 0, chunk - 1)
     last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
-    logits = (last @ params["lm_head"]).astype(jnp.float32)  # [n, vocab]
+    logits = _unembed(params, last, cfg)  # [n, vocab]
     lengths = cache.lengths.at[seq_slots].set(
         jnp.where(final_mask, final_lens, cache.lengths[seq_slots])
     )
@@ -675,15 +742,13 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     offs = lens % page
     tables = cache.block_tables[seq_slots]
     lens_inc = lens + 1
-    x = params["embed"][tokens][:, None]  # [n, 1, d]
+    x = _embed(params, tokens, cfg)[:, None]  # [n, 1, d]
     positions = lens[:, None]
 
     def layer_fn(x, xs):
         lp, kp, vp, ksc, vsc = xs
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(n, 1, cfg.n_heads, hd)
-        k = (h @ lp["wk"]).reshape(n, 1, cfg.n_kv_heads, hd)
-        v = (h @ lp["wv"]).reshape(n, 1, cfg.n_kv_heads, hd)
+        h = _rms_norm(x, lp["attn_norm"], cfg)
+        q, k, v = _qkv(h, lp, cfg, n, 1)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
@@ -700,15 +765,14 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             cfg.window_left,
         )  # [n, heads, hd]
         x = x + (attn.reshape(n, 1, cfg.n_heads * hd)).astype(x.dtype) @ lp["wo"]
-        hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
+        x = _mlp(x, lp, cfg)
         return x, (kp, vp, ksc, vsc)
 
     x, (kp, vp, ksc, vsc) = jax.lax.scan(
         layer_fn, x, (params["layers"],) + _cache_xs(cache)
     )
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    x = _rms_norm(x, params["final_norm"], cfg)
+    logits = _unembed(params, x[:, 0], cfg)
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
         lengths=cache.lengths.at[seq_slots].set(lens_inc),
@@ -743,14 +807,12 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     offs = (pos % page).reshape(-1)
     tables = cache.block_tables[seq_slots]
     lens_inc = lens + span
-    x = params["embed"][tokens]  # [n, span, d]
+    x = _embed(params, tokens, cfg)  # [n, span, d]
 
     def layer_fn(x, xs):
         lp, kp, vp, ksc, vsc = xs
-        h = _rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(n, span, cfg.n_heads, hd)
-        k = (h @ lp["wk"]).reshape(n, span, cfg.n_kv_heads, hd)
-        v = (h @ lp["wv"]).reshape(n, span, cfg.n_kv_heads, hd)
+        h = _rms_norm(x, lp["attn_norm"], cfg)
+        q, k, v = _qkv(h, lp, cfg, n, span)
         q = _rope(q, pos, cfg.rope_theta)
         k = _rope(k, pos, cfg.rope_theta)
         kq, ks_new = _store_rows(
@@ -769,15 +831,14 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             cfg.window_left,
         )  # [n, span, heads, hd]
         x = x + attn.reshape(n, span, cfg.n_heads * hd).astype(x.dtype) @ lp["wo"]
-        hm = _rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-        x = x + (jax.nn.silu(hm @ lp["w_gate"]) * (hm @ lp["w_up"])) @ lp["w_down"]
+        x = _mlp(x, lp, cfg)
         return x, (kp, vp, ksc, vsc)
 
     x, (kp, vp, ksc, vsc) = jax.lax.scan(
         layer_fn, x, (params["layers"],) + _cache_xs(cache)
     )
-    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)  # [n, span, vocab]
+    x = _rms_norm(x, params["final_norm"], cfg)
+    logits = _unembed(params, x, cfg)  # [n, span, vocab]
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
         lengths=cache.lengths.at[seq_slots].set(lens_inc),

@@ -1,13 +1,15 @@
 """HF checkpoint conversion: our forward must match transformers' forward.
 
-A SUBPROCESS builds a tiny randomly-initialized transformers
-LlamaForCausalLM (no network), saves its state dict, config, reference
+A SUBPROCESS builds a tiny randomly-initialized transformers causal LM
+(no network) for each supported family — Llama, Qwen2 (q/k/v bias), and
+Gemma (head_dim override, gelu-tanh MLP, (1+w) RMSNorm, sqrt(dim)-scaled
+embeddings, tied lm_head) — saves its state dict, config, reference
 logits, and greedy generation; this process (which must stay torch-free —
 loading torch's OpenMP runtime next to XLA's CPU backend segfaults the
 suite) converts the weights with models/convert.py and compares. This pins
-mfa_tpu's RoPE (rotate-half), RMSNorm, GQA fold, and SwiGLU conventions to
-the reference implementation's numerics, and proves real checkpoints serve
-through the engine.
+mfa_tpu's RoPE (rotate-half), RMSNorm, GQA fold, and gated-MLP conventions
+to the reference implementation's numerics, and proves real checkpoints
+serve through the engine.
 """
 
 import json
@@ -27,15 +29,31 @@ import json, sys
 import numpy as np
 import torch, transformers
 
-out = sys.argv[1]
-cfg = transformers.LlamaConfig(
+out, family = sys.argv[1], sys.argv[2]
+common = dict(
     vocab_size=96, hidden_size=64, intermediate_size=112,
     num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
-    max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
-    attention_bias=False, tie_word_embeddings=False,
+    max_position_embeddings=256, rope_theta=10000.0,
 )
+if family == "llama":
+    cfg = transformers.LlamaConfig(
+        rms_norm_eps=1e-5, attention_bias=False,
+        tie_word_embeddings=False, **common)
+    cls = transformers.LlamaForCausalLM
+elif family == "qwen2":
+    cfg = transformers.Qwen2Config(
+        rms_norm_eps=1e-6, tie_word_embeddings=False, **common)
+    cls = transformers.Qwen2ForCausalLM
+elif family == "gemma":
+    cfg = transformers.GemmaConfig(
+        rms_norm_eps=1e-6, head_dim=32,
+        hidden_activation="gelu_pytorch_tanh",
+        tie_word_embeddings=True, **common)
+    cls = transformers.GemmaForCausalLM
+else:
+    raise SystemExit(f"unknown family {family}")
 torch.manual_seed(0)
-model = transformers.LlamaForCausalLM(cfg)
+model = cls(cfg)
 model.eval()
 tokens = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 21))
 with torch.no_grad():
@@ -47,47 +65,48 @@ with torch.no_grad():
 sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
 np.savez(out, __tokens__=tokens, __logits__=logits,
          __gen__=np.asarray(gen, np.int32),
-         __config__=np.array(json.dumps({
-             "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
-             "intermediate_size": cfg.intermediate_size,
-             "num_hidden_layers": cfg.num_hidden_layers,
-             "num_attention_heads": cfg.num_attention_heads,
-             "num_key_value_heads": cfg.num_key_value_heads,
-             "rms_norm_eps": cfg.rms_norm_eps,
-             "rope_theta": cfg.rope_theta})),
+         __config__=np.array(json.dumps(cfg.to_dict())),
          **sd)
 '''
 
+FAMILIES = ("llama", "qwen2", "gemma")
 
-@pytest.fixture(scope="module")
-def hf_artifacts(tmp_path_factory):
-    out = tmp_path_factory.mktemp("hf") / "ref.npz"
+
+@pytest.fixture(scope="module", params=FAMILIES)
+def hf_artifacts(request, tmp_path_factory):
+    family = request.param
+    out = tmp_path_factory.mktemp("hf") / f"{family}.npz"
     proc = subprocess.run(
-        [sys.executable, "-c", _GEN_SCRIPT, str(out)],
+        [sys.executable, "-c", _GEN_SCRIPT, str(out), family],
         capture_output=True, text=True, timeout=420,
     )
     if proc.returncode != 0:
-        pytest.skip(f"transformers reference generation failed: "
+        pytest.skip(f"transformers reference generation failed ({family}): "
                     f"{proc.stderr[-500:]}")
     data = np.load(out)
-    hf_config = types.SimpleNamespace(
-        **json.loads(str(data["__config__"])), sliding_window=None)
+    hf_config = types.SimpleNamespace(**json.loads(str(data["__config__"])))
     sd = {k: data[k] for k in data.files if not k.startswith("__")}
-    return (sd, hf_config, data["__tokens__"], data["__logits__"],
+    return (family, sd, hf_config, data["__tokens__"], data["__logits__"],
             list(data["__gen__"]))
 
 
 def test_converted_forward_matches_transformers(hf_artifacts):
-    sd, hf_config, tokens, ref_logits, _ = hf_artifacts
+    family, sd, hf_config, tokens, ref_logits, _ = hf_artifacts
     params, cfg = from_hf(sd, hf_config, dtype=jnp.float32)
-    assert cfg.n_heads == 4 and cfg.n_kv_heads == 2 and cfg.head_dim == 16
+    assert cfg.n_heads == 4 and cfg.n_kv_heads == 2
+    if family == "qwen2":
+        assert cfg.qkv_bias and "bq" in params["layers"]
+        assert cfg.sliding_window is None  # use_sliding_window off
+    if family == "gemma":
+        assert cfg.head_dim == 32 and cfg.norm_offset and cfg.embed_scale
+        assert cfg.hidden_act == "gelu_tanh"
     ours = np.asarray(llama.forward(params, jnp.asarray(tokens), cfg))
     diff = np.abs(ours - ref_logits).max()
-    assert diff < 2e-3, f"logits diverge from transformers: {diff}"
+    assert diff < 2e-3, f"{family} logits diverge from transformers: {diff}"
 
 
 def test_converted_model_serves(hf_artifacts):
-    sd, hf_config, _, _, hf_toks = hf_artifacts
+    family, sd, hf_config, _, _, hf_toks = hf_artifacts
     params, cfg = from_hf(sd, hf_config, dtype=jnp.float32)
     from mfa_tpu.serve.engine import Engine
 
@@ -96,4 +115,4 @@ def test_converted_model_serves(hf_artifacts):
     req = eng.submit([1, 2, 3, 4, 5], 6)
     eng.run(burst=3)
     # greedy continuation must match transformers' greedy generate
-    assert req.generated == hf_toks, (req.generated, hf_toks)
+    assert req.generated == hf_toks, (family, req.generated, hf_toks)
