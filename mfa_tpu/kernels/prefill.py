@@ -71,19 +71,96 @@ def _prefill_kernel(
     window_right: int,
     with_lse: bool,
 ):
+    """Rectangular-grid variant: (batch, heads, q_blocks, kv_blocks); kv
+    blocks outside the visible band idle behind `run` (used when there is
+    no band to prune)."""
     i = pl.program_id(2)  # q block index
     j = pl.program_id(3)  # kv block index
-
-    @pl.when(j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, _MASK)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
     first_j, last_j = _kv_block_bounds(
         i, block_q, block_k, num_kv_blocks, window_left, window_right
     )
     run = jnp.logical_and(j >= first_j, j <= last_j)
+    _prefill_body(
+        i, j, run, first_j, last_j, q_ref, k_ref, v_ref, o_ref, lse_ref,
+        m_scr, l_scr, acc_scr, scale_log2e=scale_log2e, block_q=block_q,
+        block_k=block_k, seqlen_k=seqlen_k, num_kv_blocks=num_kv_blocks,
+        window_left=window_left, window_right=window_right,
+        with_lse=with_lse,
+    )
+
+
+def _prefill_tri_kernel(
+    imap_ref,
+    jmap_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale_log2e: float,
+    block_q: int,
+    block_k: int,
+    seqlen_k: int,
+    num_kv_blocks: int,
+    window_left: int,
+    window_right: int,
+    with_lse: bool,
+):
+    """Triangular-grid variant: the (q_block, kv_block) plane is flattened
+    to only the LIVE cells of the causal/window band, enumerated by the
+    scalar-prefetched (imap, jmap) tables. This is the exact TPU analog of
+    the reference's n_block_max grid pruning (prefill.cuh:749-752): where
+    CUDA sizes the grid per-CTA and exits early, a TPU grid is static — so
+    the dead cells are never enumerated at all. At seqlen 8k with 1024
+    tiles, 44% of the rectangular grid is dead; here it costs nothing."""
+    t = pl.program_id(2)
+    i = imap_ref[t]
+    j = jmap_ref[t]
+    first_j, last_j = _kv_block_bounds(
+        i, block_q, block_k, num_kv_blocks, window_left, window_right
+    )
+    _prefill_body(
+        i, j, None, first_j, last_j, q_ref, k_ref, v_ref, o_ref, lse_ref,
+        m_scr, l_scr, acc_scr, scale_log2e=scale_log2e, block_q=block_q,
+        block_k=block_k, seqlen_k=seqlen_k, num_kv_blocks=num_kv_blocks,
+        window_left=window_left, window_right=window_right,
+        with_lse=with_lse,
+    )
+
+
+def _prefill_body(
+    i,
+    j,
+    run,
+    first_j,
+    last_j,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale_log2e: float,
+    block_q: int,
+    block_k: int,
+    seqlen_k: int,
+    num_kv_blocks: int,
+    window_left: int,
+    window_right: int,
+    with_lse: bool,
+):
+    @pl.when(j == first_j)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _MASK)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # Mask only the blocks that need it (reference prefill.cuh:774-778):
     # the flash inner loop is VPU-bound at d=128, and the iota/compare/
@@ -106,26 +183,35 @@ def _prefill_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale_log2e  # scores in log2 domain
+        # s stays in the RAW score domain; the softmax scale is folded into
+        # the exp2 argument below (s*c - m*c is one FMA pass over the tile,
+        # where a separate `s *= c` pass would cost an extra full [bq, bk]
+        # traversal — the inner loop is VPU-bound, reference analog
+        # api.cpp:99-100 pre-multiplies for the same reason).
 
         if masked:
-            row = jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0) + i * block_q
+            # Skinny iotas: [bq, 1] rows and [1, bk] cols broadcast inside
+            # the compare, instead of materializing two full [bq, bk]
+            # index planes (2 fewer full-tile passes on masked blocks).
             col = jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1) + j * block_k
+                jnp.int32, (1, block_k), 1) + j * block_k
             mask = col < seqlen_k
-            if window_right >= 0:
-                mask = jnp.logical_and(mask, col <= row + window_right)
-            if window_left >= 0:
-                mask = jnp.logical_and(mask, col >= row - window_left)
+            if window_right >= 0 or window_left >= 0:
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, 1), 0) + i * block_q
+                if window_right >= 0:
+                    mask = jnp.logical_and(mask, col <= row + window_right)
+                if window_left >= 0:
+                    mask = jnp.logical_and(mask, col >= row - window_left)
             s = jnp.where(mask, s, _MASK)
 
-        m_prev = m_scr[...]  # [block_q, LANES]
+        m_prev = m_scr[...]  # [block_q, LANES], raw domain
         l_prev = l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_cur)  # lane-broadcast
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next[:, :1])
+        alpha = jnp.exp2((m_prev - m_next) * scale_log2e)
+        # One fused multiply-sub + exp2 over the tile.
+        p = jnp.exp2(s * scale_log2e - m_next[:, :1] * scale_log2e)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -137,9 +223,13 @@ def _prefill_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    pl.when(jnp.logical_and(run, needs_mask))(lambda: _step(True))
-    pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))(
-        lambda: _step(False))
+    if run is None:  # triangular grid: every enumerated cell is live
+        pl.when(needs_mask)(lambda: _step(True))
+        pl.when(jnp.logical_not(needs_mask))(lambda: _step(False))
+    else:
+        pl.when(jnp.logical_and(run, needs_mask))(lambda: _step(True))
+        pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))(
+            lambda: _step(False))
 
     @pl.when(j == last_j)
     def _store():
@@ -149,7 +239,8 @@ def _prefill_kernel(
         l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
         o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
         if with_lse:
-            lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)
+            # m is in the raw score domain: LSE = m*scale + log(l).
+            lse = m_scr[:, :1] * (scale_log2e * _LN2) + jnp.log(l_safe)
             lse = jnp.where(l == 0.0, -jnp.inf, lse)
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
@@ -259,35 +350,95 @@ def prefill_attention(
         out_specs = out_specs[:1]
 
     flops_mult = 0.5 if window_right == 0 and sq == sk else 1.0
-    outs = pl.pallas_call(
-        kernel if return_lse else _drop_lse_arg(kernel),
-        grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
-            pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, head_dim), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+    scratch_shapes = [
+        pltpu.VMEM((bq, LANES), jnp.float32),
+        pltpu.VMEM((bq, LANES), jnp.float32),
+        pltpu.VMEM((bq, head_dim), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=int(4 * batch * num_heads * sq * sk * head_dim * flops_mult),
+        bytes_accessed=int(
+            q.size * q.dtype.itemsize
+            + (k.size + v.size) * k.dtype.itemsize * num_q_blocks * flops_mult
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=int(4 * batch * num_heads * sq * sk * head_dim * flops_mult),
-            bytes_accessed=int(
-                q.size * q.dtype.itemsize
-                + (k.size + v.size) * k.dtype.itemsize * num_q_blocks * flops_mult
+        transcendentals=int(batch * num_heads * sq * sk * flops_mult),
+    )
+
+    # Live (q_block, kv_block) cells of the visibility band (python mirror
+    # of _kv_block_bounds). When the band prunes anything, flatten the two
+    # block axes to just these cells (triangular grid) so dead cells are
+    # never enumerated — the reference's n_block_max pruning, inverted for
+    # TPU's static grids.
+    cells_i, cells_j = [], []
+    for bi in range(num_q_blocks):
+        first = 0 if window_left < 0 else max(0, (bi * bq - window_left) // bk)
+        last = (num_kv_blocks - 1 if window_right < 0 else
+                min(num_kv_blocks - 1,
+                    ((bi + 1) * bq - 1 + window_right) // bk))
+        for bj in range(first, max(last, first) + 1):
+            cells_i.append(bi)
+            cells_j.append(bj)
+    use_tri = len(cells_i) < num_q_blocks * num_kv_blocks
+
+    if use_tri:
+        tri_kernel = functools.partial(
+            _prefill_tri_kernel,
+            scale_log2e=float(softmax_scale) * _LOG2E,
+            block_q=bq, block_k=bk, seqlen_k=sk,
+            num_kv_blocks=num_kv_blocks, window_left=window_left,
+            window_right=window_right, with_lse=return_lse,
+        )
+        qo_map = lambda b, h, t, im, jm: (b, h, im[t], 0)  # noqa: E731
+        kv_map = lambda b, h, t, im, jm: (b, h // group, jm[t], 0)  # noqa: E731
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, num_heads, len(cells_i)),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, head_dim), qo_map),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+            ],
+            out_specs=[
+                pl.BlockSpec(spec.block_shape, qo_map) for spec in out_specs
+            ],
+            scratch_shapes=scratch_shapes,
+        )
+        outs = pl.pallas_call(
+            tri_kernel if return_lse else _drop_lse_arg(tri_kernel),
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
-            transcendentals=int(batch * num_heads * sq * sk * flops_mult),
-        ),
-        interpret=interpret,
-    )(q, k, v)
+            cost_estimate=cost,
+            interpret=interpret,
+        )(
+            jnp.asarray(cells_i, jnp.int32),
+            jnp.asarray(cells_j, jnp.int32),
+            q, k, v,
+        )
+    else:
+        outs = pl.pallas_call(
+            kernel if return_lse else _drop_lse_arg(kernel),
+            grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, head_dim),
+                             lambda b, h, i, j: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
 
     if return_lse:
         out, lse = outs
@@ -297,9 +448,10 @@ def prefill_attention(
 
 
 def _drop_lse_arg(kernel):
-    """Adapt the 5-ref kernel signature when no LSE output exists."""
+    """Adapt the kernel signature when no LSE output exists (the lse ref
+    sits immediately before the three scratch refs in every variant)."""
 
-    def wrapped(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
-        return kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr)
+    def wrapped(*refs):
+        return kernel(*refs[:-3], None, *refs[-3:])
 
     return wrapped
