@@ -105,6 +105,32 @@ def choose_prefill_config(
     return cfg
 
 
+def choose_bwd_config(seqlen_q: int, seqlen_k: int, head_dim: int,
+                      itemsize: int) -> tuple:
+    """Backward tile selection, tuned on v5e like the forward: large tiles
+    amortize per-grid-cell overhead (measured: 1024x1024 is 4.7x faster
+    than 128x128 at s=2048, d=128 — 27.6 -> 128.6 TFLOP/s). The VMEM guard
+    covers the three [bq, bk] fp32 intermediates (p, dp, ds) that dominate
+    the backward footprint."""
+    bq = min(1024, round_up(max(seqlen_q, 8), 8) if seqlen_q < 128
+             else round_up(seqlen_q, 128) if seqlen_q < 1024 else 1024)
+    bk = min(1024, round_up(seqlen_k, 128))
+
+    def vmem(bq, bk):
+        return (3 * bq * bk * 4                          # p/dp/ds fp32
+                + 2 * (bq + bk) * head_dim * itemsize * 2  # q/do,k/v 2-buf
+                + (2 * bk + bq) * head_dim * 4)          # dk/dv/dq accum
+
+    while vmem(bq, bk) > 40 * 1024 * 1024:
+        if bk >= bq and bk > 128:
+            bk //= 2
+        elif bq > 128:
+            bq //= 2
+        else:
+            break
+    return bq, bk
+
+
 # Parallel work units per chip used by the split heuristic. The reference
 # doubles the SM count (api.cpp:274); the TPU analog is the number of
 # independent compute cores (megacores) per chip — decode splits exist to

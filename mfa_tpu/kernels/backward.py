@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mfa_tpu.dispatch.config import (
     cdiv,
+    choose_bwd_config,
     default_interpret,
     round_up,
     softmax_scale_default,
@@ -47,14 +48,32 @@ _MASK = -1e30
 
 def _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k, window_left,
                window_right):
-    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + i * block_q
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + j * block_k
+    # Skinny [bq,1]/[1,bk] iotas broadcast inside the compares — no full
+    # [bq, bk] index planes (the backward inner loop is VPU-bound too).
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + i * block_q
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + j * block_k
     mask = jnp.logical_and(row < seqlen_q, col < seqlen_k)
     if window_right >= 0:
         mask = jnp.logical_and(mask, col <= row + window_right)
     if window_left >= 0:
         mask = jnp.logical_and(mask, col >= row - window_left)
     return mask
+
+
+def _tile_needs_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
+                     window_left, window_right):
+    """True iff tile (i, j) touches a sequence tail or the window edge —
+    interior tiles skip the mask entirely (reference prefill.cuh:774-778;
+    here it also skips the row-bound check the forward doesn't need)."""
+    needs = jnp.logical_or((i + 1) * block_q > seqlen_q,
+                           (j + 1) * block_k > seqlen_k)
+    if window_right >= 0:
+        needs = jnp.logical_or(
+            needs, (j + 1) * block_k - 1 > i * block_q + window_right)
+    if window_left >= 0:
+        needs = jnp.logical_or(
+            needs, j * block_k < (i + 1) * block_q - 1 - window_left)
+    return needs
 
 
 def _recompute_p(q, k, lse, mask, scale_log2e):
@@ -64,7 +83,9 @@ def _recompute_p(q, k, lse, mask, scale_log2e):
     )
     s2 = s * scale_log2e - lse * _LOG2E  # log2 domain
     p = jnp.exp2(s2)
-    return jnp.where(mask, p, 0.0), s
+    if mask is not None:
+        p = jnp.where(mask, p, 0.0)
+    return p, s
 
 
 def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
@@ -83,10 +104,10 @@ def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
     return first, last
 
 
-def _dkv_kernel(
+def _dkv_body(
+    j, g, i, run, first_i, last_i,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
-    dk_acc, dv_acc,
+    dk_ref, dv_ref, dk_acc, dv_acc,
     *,
     scale: float,
     block_q: int,
@@ -98,30 +119,23 @@ def _dkv_kernel(
     window_left: int,
     window_right: int,
 ):
-    j = pl.program_id(2)  # kv block
-    g = pl.program_id(3)  # q-head group member (inner: accumulates per j)
-    i = pl.program_id(4)  # q block
-
-    @pl.when(jnp.logical_and(g == 0, i == 0))
+    @pl.when(jnp.logical_and(g == 0, i == first_i))
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    first_i, last_i = _q_block_bounds(
-        j, block_q, block_k, num_q_blocks, window_left, window_right
-    )
-    run = jnp.logical_and(i >= first_i, i <= last_i)
+    needs_mask = _tile_needs_mask(i, j, block_q, block_k, seqlen_q,
+                                  seqlen_k, window_left, window_right)
 
-    @pl.when(run)
-    def _step():
+    def _step(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0]  # [bq, 1]
         delta = delta_ref[0, 0]  # [bq, 1]
-        mask = _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
-                          window_left, window_right)
+        mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
+                           window_left, window_right) if masked else None)
         p, _ = _recompute_p(q, k, lse, mask, scale * _LOG2E)
 
         # dV += P^T dO
@@ -141,16 +155,52 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(jnp.logical_and(g == group - 1, i == num_q_blocks - 1))
+    if run is None:  # triangular grid: every enumerated cell is live
+        pl.when(needs_mask)(lambda: _step(True))
+        pl.when(jnp.logical_not(needs_mask))(lambda: _step(False))
+    else:
+        pl.when(jnp.logical_and(run, needs_mask))(lambda: _step(True))
+        pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))(
+            lambda: _step(False))
+
+    @pl.when(jnp.logical_and(g == group - 1, i == last_i))
     def _store():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _dq_kernel(
+def _dkv_kernel(*refs, **params):
+    """Rectangular grid (b, hkv, j, g, i): out-of-band (j, i) cells idle."""
+    j = pl.program_id(2)
+    g = pl.program_id(3)
+    i = pl.program_id(4)
+    first_i, last_i = _q_block_bounds(
+        j, params["block_q"], params["block_k"], params["num_q_blocks"],
+        params["window_left"], params["window_right"],
+    )
+    run = jnp.logical_and(i >= first_i, i <= last_i)
+    _dkv_body(j, g, i, run, first_i, last_i, *refs, **params)
+
+
+def _dkv_tri_kernel(jmap_ref, gmap_ref, imap_ref, *refs, **params):
+    """Triangular grid (b, hkv, t): only live band cells, enumerated
+    j-major / g / i-inner via the scalar-prefetched tables (same pruning
+    as the forward; see prefill.py:_prefill_tri_kernel)."""
+    t = pl.program_id(2)
+    j = jmap_ref[t]
+    g = gmap_ref[t]
+    i = imap_ref[t]
+    first_i, last_i = _q_block_bounds(
+        j, params["block_q"], params["block_k"], params["num_q_blocks"],
+        params["window_left"], params["window_right"],
+    )
+    _dkv_body(j, g, i, None, first_i, last_i, *refs, **params)
+
+
+def _dq_body(
+    i, j, run, first_j, last_j,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dq_ref,
-    dq_acc,
+    dq_ref, dq_acc,
     *,
     scale: float,
     block_q: int,
@@ -161,28 +211,22 @@ def _dq_kernel(
     window_left: int,
     window_right: int,
 ):
-    i = pl.program_id(2)  # q block
-    j = pl.program_id(3)  # kv block
-
-    @pl.when(j == 0)
+    @pl.when(j == first_j)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    first_j, last_j = _kv_block_bounds(
-        i, block_q, block_k, num_kv_blocks, window_left, window_right
-    )
-    run = jnp.logical_and(j >= first_j, j <= last_j)
+    needs_mask = _tile_needs_mask(i, j, block_q, block_k, seqlen_q,
+                                  seqlen_k, window_left, window_right)
 
-    @pl.when(run)
-    def _step():
+    def _step(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
-        mask = _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
-                          window_left, window_right)
+        mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
+                           window_left, window_right) if masked else None)
         p, _ = _recompute_p(q, k, lse, mask, scale * _LOG2E)
         dp = jax.lax.dot_general(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
@@ -194,9 +238,39 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    if run is None:  # triangular grid
+        pl.when(needs_mask)(lambda: _step(True))
+        pl.when(jnp.logical_not(needs_mask))(lambda: _step(False))
+    else:
+        pl.when(jnp.logical_and(run, needs_mask))(lambda: _step(True))
+        pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))(
+            lambda: _step(False))
+
     @pl.when(j == last_j)
     def _store():
         dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _dq_kernel(*refs, **params):
+    i = pl.program_id(2)  # q block
+    j = pl.program_id(3)  # kv block
+    first_j, last_j = _kv_block_bounds(
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
+    )
+    run = jnp.logical_and(j >= first_j, j <= last_j)
+    _dq_body(i, j, run, first_j, last_j, *refs, **params)
+
+
+def _dq_tri_kernel(imap_ref, jmap_ref, *refs, **params):
+    t = pl.program_id(2)
+    i = imap_ref[t]
+    j = jmap_ref[t]
+    first_j, last_j = _kv_block_bounds(
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
+    )
+    _dq_body(i, j, None, first_j, last_j, *refs, **params)
 
 
 @functools.partial(
@@ -215,8 +289,8 @@ def flash_attention_bwd(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     window_size: tuple[int, int] = (-1, -1),
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     """-> (dq, dk, dv) on the [b, h, s, d] layout."""
@@ -231,8 +305,9 @@ def flash_attention_bwd(
     if causal:
         window_right = 0
 
-    bq = min(block_q, round_up(sq, 8))
-    bk = min(block_k, round_up(sk, 128))
+    cfg_bq, cfg_bk = choose_bwd_config(sq, sk, head_dim, q.dtype.itemsize)
+    bq = min(block_q or cfg_bq, round_up(sq, 8))
+    bk = min(block_k or cfg_bk, round_up(sk, 128))
     sq_p = round_up(sq, bq)
     sk_p = round_up(sk, bk)
 
@@ -255,87 +330,202 @@ def flash_attention_bwd(
     num_q_blocks = sq_p // bq
     num_kv_blocks = sk_p // bk
 
-    # ---------------- dKV ----------------
-    def q_idx_dkv(b, h, j, g, i):
-        first, last = _q_block_bounds(j, bq, bk, num_q_blocks, window_left,
-                                      window_right)
-        return (b, h * group + g, jnp.clip(i, first, last), 0)
+    # Live band cells (python mirrors of _q_block_bounds/_kv_block_bounds);
+    # when the window prunes anything, both kernels run on a flattened
+    # triangular grid so dead cells are never enumerated (see prefill.py).
+    banded = window_left >= 0 or window_right >= 0
+    dkv_cells = []  # (j, g, i), j-major, g mid, i inner
+    dq_cells = []  # (i, j), i-major, j inner
+    if banded:
+        for bj in range(num_kv_blocks):
+            fi = (0 if window_right < 0
+                  else max(0, (bj * bk - window_right) // bq))
+            li = (num_q_blocks - 1 if window_left < 0 else
+                  min(num_q_blocks - 1,
+                      ((bj + 1) * bk - 1 + window_left) // bq))
+            for g_ in range(group):
+                for bi in range(fi, max(li, fi) + 1):
+                    dkv_cells.append((bj, g_, bi))
+        for bi in range(num_q_blocks):
+            fj = (0 if window_left < 0
+                  else max(0, (bi * bq - window_left) // bk))
+            lj = (num_kv_blocks - 1 if window_right < 0 else
+                  min(num_kv_blocks - 1,
+                      ((bi + 1) * bq - 1 + window_right) // bk))
+            for bj in range(fj, max(lj, fj) + 1):
+                dq_cells.append((bi, bj))
+    use_tri_dkv = banded and len(dkv_cells) < (num_kv_blocks * group
+                                               * num_q_blocks)
+    use_tri_dq = banded and len(dq_cells) < num_q_blocks * num_kv_blocks
 
-    dkv_grid = (batch, num_kv_heads, num_kv_blocks, group, num_q_blocks)
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _dkv_kernel,
-            scale=float(softmax_scale),
-            block_q=bq, block_k=bk,
-            seqlen_q=sq, seqlen_k=sk,
-            num_q_blocks=num_q_blocks,
-            group=group,
-            window_left=window_left, window_right=window_right,
-        ),
-        grid=dkv_grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
-            pl.BlockSpec((1, 1, bk, head_dim), lambda b, h, j, g, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bk, head_dim), lambda b, h, j, g, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
-            pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
-            pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, bk, head_dim), lambda b, h, j, g, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bk, head_dim), lambda b, h, j, g, i: (b, h, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim), k.dtype),
-            jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim), v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bk, head_dim), jnp.float32),
-            pltpu.VMEM((bk, head_dim), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)
+    dkv_params = dict(
+        scale=float(softmax_scale),
+        block_q=bq, block_k=bk,
+        seqlen_q=sq, seqlen_k=sk,
+        num_q_blocks=num_q_blocks,
+        group=group,
+        window_left=window_left, window_right=window_right,
+    )
+    dkv_out_shape = [
+        jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim), k.dtype),
+        jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim), v.dtype),
+    ]
+    dkv_scratch = [
+        pltpu.VMEM((bk, head_dim), jnp.float32),
+        pltpu.VMEM((bk, head_dim), jnp.float32),
+    ]
+
+    # ---------------- dKV ----------------
+    if use_tri_dkv:
+        def q_idx_tri(b, h, t, jm, gm, im):
+            return (b, h * group + gm[t], im[t], 0)
+
+        def kv_idx_tri(b, h, t, jm, gm, im):
+            return (b, h, jm[t], 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(batch, num_kv_heads, len(dkv_cells)),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
+                pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri),
+                pl.BlockSpec((1, 1, bq, 1), q_idx_tri),
+                pl.BlockSpec((1, 1, bq, 1), q_idx_tri),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
+            ],
+            scratch_shapes=dkv_scratch,
+        )
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_tri_kernel, **dkv_params),
+            grid_spec=grid_spec,
+            out_shape=dkv_out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray([c[0] for c in dkv_cells], jnp.int32),
+            jnp.asarray([c[1] for c in dkv_cells], jnp.int32),
+            jnp.asarray([c[2] for c in dkv_cells], jnp.int32),
+            qp, kp, vp, dop, lsep, deltap,
+        )
+    else:
+        def q_idx_dkv(b, h, j, g, i):
+            first, last = _q_block_bounds(j, bq, bk, num_q_blocks,
+                                          window_left, window_right)
+            return (b, h * group + g, jnp.clip(i, first, last), 0)
+
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_kernel, **dkv_params),
+            grid=(batch, num_kv_heads, num_kv_blocks, group, num_q_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
+                pl.BlockSpec((1, 1, bk, head_dim),
+                             lambda b, h, j, g, i: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bk, head_dim),
+                             lambda b, h, j, g, i: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
+                pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
+                pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bk, head_dim),
+                             lambda b, h, j, g, i: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bk, head_dim),
+                             lambda b, h, j, g, i: (b, h, j, 0)),
+            ],
+            out_shape=dkv_out_shape,
+            scratch_shapes=dkv_scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, dop, lsep, deltap)
 
     # ---------------- dQ ----------------
-    def kv_idx_dq(b, h, i, j):
-        first, last = _kv_block_bounds(i, bq, bk, num_kv_blocks, window_left,
-                                       window_right)
-        return (b, h // group, jnp.clip(j, first, last), 0)
+    dq_params = dict(
+        scale=float(softmax_scale),
+        block_q=bq, block_k=bk,
+        seqlen_q=sq, seqlen_k=sk,
+        num_kv_blocks=num_kv_blocks,
+        window_left=window_left, window_right=window_right,
+    )
+    dq_out_shape = jax.ShapeDtypeStruct(
+        (batch, num_heads, sq_p, head_dim), q.dtype
+    )
+    if use_tri_dq:
+        def q_idx_tri2(b, h, t, im, jm):
+            return (b, h, im[t], 0)
 
-    dq = pl.pallas_call(
-        functools.partial(
-            _dq_kernel,
-            scale=float(softmax_scale),
-            block_q=bq, block_k=bk,
-            seqlen_q=sq, seqlen_k=sk,
-            num_kv_blocks=num_kv_blocks,
-            window_left=window_left, window_right=window_right,
-        ),
-        grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
-            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_heads, sq_p, head_dim), q.dtype
-        ),
-        scratch_shapes=[pltpu.VMEM((bq, head_dim), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)
+        def kv_idx_tri2(b, h, t, im, jm):
+            return (b, h // group, jm[t], 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, num_heads, len(dq_cells)),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri2),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri2),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri2),
+                pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri2),
+                pl.BlockSpec((1, 1, bq, 1), q_idx_tri2),
+                pl.BlockSpec((1, 1, bq, 1), q_idx_tri2),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri2),
+            scratch_shapes=[pltpu.VMEM((bq, head_dim), jnp.float32)],
+        )
+        dq = pl.pallas_call(
+            functools.partial(_dq_tri_kernel, **dq_params),
+            grid_spec=grid_spec,
+            out_shape=dq_out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray([c[0] for c in dq_cells], jnp.int32),
+            jnp.asarray([c[1] for c in dq_cells], jnp.int32),
+            qp, kp, vp, dop, lsep, deltap,
+        )
+    else:
+        def kv_idx_dq(b, h, i, j):
+            first, last = _kv_block_bounds(i, bq, bk, num_kv_blocks,
+                                           window_left, window_right)
+            return (b, h // group, jnp.clip(j, first, last), 0)
+
+        dq = pl.pallas_call(
+            functools.partial(_dq_kernel, **dq_params),
+            grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, head_dim),
+                             lambda b, h, i, j: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
+                pl.BlockSpec((1, 1, bq, head_dim),
+                             lambda b, h, i, j: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)
+            ),
+            out_shape=dq_out_shape,
+            scratch_shapes=[pltpu.VMEM((bq, head_dim), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, dop, lsep, deltap)
 
     return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
