@@ -25,7 +25,7 @@ _MASK = -1e30
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
 )
 def flash_attention_grad(
     q: jax.Array,
@@ -34,29 +34,32 @@ def flash_attention_grad(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     window_size: tuple[int, int] = (-1, -1),
+    logit_softcap: float = 0.0,
 ) -> jax.Array:
     """Differentiable attention on [batch, heads, seq, head_dim] layout."""
     return prefill_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
-        window_size=window_size,
+        window_size=window_size, logit_softcap=logit_softcap,
     )
 
 
-def _fwd(q, k, v, causal, softmax_scale, window_size):
+def _fwd(q, k, v, causal, softmax_scale, window_size, logit_softcap):
     out, lse = prefill_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
         window_size=window_size, return_lse=True,
+        logit_softcap=logit_softcap,
     )
     return out, (q, k, v, out, lse)
 
 
-def _bwd(causal, softmax_scale, window_size, res, do):
+def _bwd(causal, softmax_scale, window_size, logit_softcap, res, do):
     from mfa_tpu.kernels.backward import flash_attention_bwd
 
     q, k, v, out, lse = res
     return flash_attention_bwd(
         q, k, v, out, lse, do,
         causal=causal, softmax_scale=softmax_scale, window_size=window_size,
+        logit_softcap=logit_softcap,
     )
 
 

@@ -76,16 +76,28 @@ def _tile_needs_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
     return needs
 
 
-def _recompute_p(q, k, lse, mask, scale_log2e):
-    """P tile from saved LSE. lse: [bq, 1] natural-log."""
+def _recompute_p(q, k, lse, mask, scale_log2e, softcap=0.0,
+                 softcap_mul=0.0):
+    """P tile from saved LSE. lse: [bq, 1] natural-log.
+
+    Returns (p, dcap) where dcap is the softcap chain factor
+    (1 - tanh^2) to fold into dS, or None when no softcap is active
+    (Gemma2: capped = cap*tanh(raw*scale/cap), so
+    d(capped)/d(raw) = scale*(1 - tanh^2))."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s2 = s * scale_log2e - lse * _LOG2E  # log2 domain
+    if softcap:
+        t = jnp.tanh(s * softcap_mul)
+        s2 = (t * softcap) * _LOG2E - lse * _LOG2E
+        dcap = 1.0 - t * t
+    else:
+        s2 = s * scale_log2e - lse * _LOG2E  # log2 domain
+        dcap = None
     p = jnp.exp2(s2)
     if mask is not None:
         p = jnp.where(mask, p, 0.0)
-    return p, s
+    return p, dcap
 
 
 def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
@@ -118,6 +130,8 @@ def _dkv_body(
     group: int,
     window_left: int,
     window_right: int,
+    softcap: float = 0.0,
+    softcap_mul: float = 0.0,
 ):
     @pl.when(jnp.logical_and(g == 0, i == first_i))
     def _init():
@@ -136,7 +150,8 @@ def _dkv_body(
         delta = delta_ref[0, 0]  # [bq, 1]
         mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
                            window_left, window_right) if masked else None)
-        p, _ = _recompute_p(q, k, lse, mask, scale * _LOG2E)
+        p, dcap = _recompute_p(q, k, lse, mask, scale * _LOG2E,
+                               softcap, softcap_mul)
 
         # dV += P^T dO
         dv_acc[...] += jax.lax.dot_general(
@@ -149,6 +164,8 @@ def _dkv_body(
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta) * scale
+        if dcap is not None:
+            ds = ds * dcap
         # dK += dS^T Q
         dk_acc[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -210,6 +227,8 @@ def _dq_body(
     num_kv_blocks: int,
     window_left: int,
     window_right: int,
+    softcap: float = 0.0,
+    softcap_mul: float = 0.0,
 ):
     @pl.when(j == first_j)
     def _init():
@@ -227,12 +246,15 @@ def _dq_body(
         delta = delta_ref[0, 0]
         mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
                            window_left, window_right) if masked else None)
-        p, _ = _recompute_p(q, k, lse, mask, scale * _LOG2E)
+        p, dcap = _recompute_p(q, k, lse, mask, scale * _LOG2E,
+                               softcap, softcap_mul)
         dp = jax.lax.dot_general(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta) * scale
+        if dcap is not None:
+            ds = ds * dcap
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -276,7 +298,7 @@ def _dq_tri_kernel(imap_ref, jmap_ref, *refs, **params):
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "softmax_scale", "window_size", "block_q",
-                     "block_k", "interpret"),
+                     "block_k", "interpret", "logit_softcap"),
 )
 def flash_attention_bwd(
     q: jax.Array,  # [b, hq, sq, d]
@@ -292,6 +314,7 @@ def flash_attention_bwd(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    logit_softcap: float = 0.0,
 ):
     """-> (dq, dk, dv) on the [b, h, s, d] layout."""
     batch, num_heads, sq, head_dim = q.shape
@@ -360,6 +383,9 @@ def flash_attention_bwd(
 
     dkv_params = dict(
         scale=float(softmax_scale),
+        softcap=float(logit_softcap),
+        softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                     if logit_softcap else 0.0),
         block_q=bq, block_k=bk,
         seqlen_q=sq, seqlen_k=sk,
         num_q_blocks=num_q_blocks,
@@ -453,6 +479,9 @@ def flash_attention_bwd(
     # ---------------- dQ ----------------
     dq_params = dict(
         scale=float(softmax_scale),
+        softcap=float(logit_softcap),
+        softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                     if logit_softcap else 0.0),
         block_q=bq, block_k=bk,
         seqlen_q=sq, seqlen_k=sk,
         num_kv_blocks=num_kv_blocks,

@@ -89,6 +89,8 @@ def _paged_kernel_body(
     state_ref,  # SMEM [2]: (pipeline armed, current slot)
     *,
     scale_log2e: float,
+    softcap: float,
+    softcap_mul: float,
     page_size: int,
     pages_per_block: int,
     pages_per_seq: int,
@@ -258,6 +260,11 @@ def _paged_kernel_body(
             )
             if quantized:
                 sc = sc * k_scale_ref[0, 0, h : h + 1, :]  # [1, bt] K row scales
+            if softcap:
+                # Gemma2 logit softcap on the dequantized raw logits; the
+                # softmax scale folds into the tanh argument and
+                # scale_log2e is log2(e) (see prefill.py)
+                sc = jnp.tanh(sc * softcap_mul) * softcap
             sc = sc * scale_log2e
             sc = jnp.where(in_len, sc, _MASK)
 
@@ -302,6 +309,7 @@ def paged_attention(
     window_left: int = -1,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    logit_softcap: float = 0.0,
 ):
     """Paged decode attention (seqlen_q == 1, or a small speculative span).
 
@@ -401,7 +409,11 @@ def paged_attention(
 
     body = functools.partial(
         _paged_kernel_body,
-        scale_log2e=float(softmax_scale) * _LOG2E,
+        scale_log2e=(_LOG2E if logit_softcap
+                     else float(softmax_scale) * _LOG2E),
+        softcap=float(logit_softcap),
+        softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                     if logit_softcap else 0.0),
         page_size=page_size,
         pages_per_block=ppb,
         pages_per_seq=pages_per_seq,

@@ -62,6 +62,8 @@ def _body(
     state_ref,  # SMEM [2]
     *,
     scale_log2e: float,
+    softcap: float,
+    softcap_mul: float,
     page_size: int,
     pages_per_block: int,
     pages_per_seq: int,
@@ -234,6 +236,8 @@ def _body(
             )
             if quantized:
                 sc = sc * k_scale_ref[0, 0, 0, h : h + 1, :]
+            if softcap:
+                sc = jnp.tanh(sc * softcap_mul) * softcap  # Gemma2 softcap
             sc = sc * scale_log2e
             sc = jnp.where(vis[: sc.shape[0]], sc, _MASK)
 
@@ -277,6 +281,7 @@ def paged_prefill_attention(
     block_q: int = 256,
     pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    logit_softcap: float = 0.0,
 ) -> jax.Array:
     """Chunk prefill against a paged KV cache. Returns [b, sq, h, d].
 
@@ -366,7 +371,11 @@ def paged_prefill_attention(
 
     body = functools.partial(
         _body,
-        scale_log2e=float(softmax_scale) * _LOG2E,
+        scale_log2e=(_LOG2E if logit_softcap
+                     else float(softmax_scale) * _LOG2E),
+        softcap=float(logit_softcap),
+        softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                     if logit_softcap else 0.0),
         page_size=page_size,
         pages_per_block=ppb,
         pages_per_seq=pages_per_seq,

@@ -52,64 +52,21 @@ _LN2 = math.log(2.0)
 _MASK = -1e30
 
 
-def _prefill_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
-    scale_log2e: float,
-    block_q: int,
-    block_k: int,
-    seqlen_k: int,
-    num_kv_blocks: int,
-    window_left: int,
-    window_right: int,
-    with_lse: bool,
-):
+def _prefill_kernel(*refs, **params):
     """Rectangular-grid variant: (batch, heads, q_blocks, kv_blocks); kv
     blocks outside the visible band idle behind `run` (used when there is
     no band to prune)."""
     i = pl.program_id(2)  # q block index
     j = pl.program_id(3)  # kv block index
     first_j, last_j = _kv_block_bounds(
-        i, block_q, block_k, num_kv_blocks, window_left, window_right
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
     )
     run = jnp.logical_and(j >= first_j, j <= last_j)
-    _prefill_body(
-        i, j, run, first_j, last_j, q_ref, k_ref, v_ref, o_ref, lse_ref,
-        m_scr, l_scr, acc_scr, scale_log2e=scale_log2e, block_q=block_q,
-        block_k=block_k, seqlen_k=seqlen_k, num_kv_blocks=num_kv_blocks,
-        window_left=window_left, window_right=window_right,
-        with_lse=with_lse,
-    )
+    _prefill_body(i, j, run, first_j, last_j, *refs, **params)
 
 
-def _prefill_tri_kernel(
-    imap_ref,
-    jmap_ref,
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
-    scale_log2e: float,
-    block_q: int,
-    block_k: int,
-    seqlen_k: int,
-    num_kv_blocks: int,
-    window_left: int,
-    window_right: int,
-    with_lse: bool,
-):
+def _prefill_tri_kernel(imap_ref, jmap_ref, *refs, **params):
     """Triangular-grid variant: the (q_block, kv_block) plane is flattened
     to only the LIVE cells of the causal/window band, enumerated by the
     scalar-prefetched (imap, jmap) tables. This is the exact TPU analog of
@@ -121,15 +78,10 @@ def _prefill_tri_kernel(
     i = imap_ref[t]
     j = jmap_ref[t]
     first_j, last_j = _kv_block_bounds(
-        i, block_q, block_k, num_kv_blocks, window_left, window_right
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
     )
-    _prefill_body(
-        i, j, None, first_j, last_j, q_ref, k_ref, v_ref, o_ref, lse_ref,
-        m_scr, l_scr, acc_scr, scale_log2e=scale_log2e, block_q=block_q,
-        block_k=block_k, seqlen_k=seqlen_k, num_kv_blocks=num_kv_blocks,
-        window_left=window_left, window_right=window_right,
-        with_lse=with_lse,
-    )
+    _prefill_body(i, j, None, first_j, last_j, *refs, **params)
 
 
 def _prefill_body(
@@ -155,6 +107,8 @@ def _prefill_body(
     window_left: int,
     window_right: int,
     with_lse: bool,
+    softcap: float = 0.0,
+    softcap_mul: float = 0.0,
 ):
     @pl.when(j == first_j)
     def _init():
@@ -183,6 +137,11 @@ def _prefill_body(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if softcap:
+            # Gemma2-style attention logit softcap: the scale folds into
+            # the tanh argument (softcap_mul = scale/cap); thereafter s is
+            # the FINAL logit and the caller sets scale_log2e = log2(e).
+            s = jnp.tanh(s * softcap_mul) * softcap
         # s stays in the RAW score domain; the softmax scale is folded into
         # the exp2 argument below (s*c - m*c is one FMA pass over the tile,
         # where a separate `s *= c` pass would cost an extra full [bq, bk]
@@ -270,6 +229,7 @@ def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_rig
         "block_k",
         "return_lse",
         "interpret",
+        "logit_softcap",
     ),
 )
 def prefill_attention(
@@ -284,6 +244,7 @@ def prefill_attention(
     block_k: Optional[int] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    logit_softcap: float = 0.0,
 ):
     """Flash-attention forward on [batch, heads, seq, head_dim] layout.
 
@@ -325,9 +286,11 @@ def prefill_attention(
         first, last = _kv_block_bounds(i, bq, bk, num_kv_blocks, window_left, window_right)
         return (b, h // group, jnp.clip(j, first, last), 0)
 
-    kernel = functools.partial(
-        _prefill_kernel,
-        scale_log2e=float(softmax_scale) * _LOG2E,
+    kparams = dict(
+        # with softcap, the scale is applied inside the tanh argument and
+        # the softmax runs on the capped logits directly (scale 1)
+        scale_log2e=(_LOG2E if logit_softcap
+                     else float(softmax_scale) * _LOG2E),
         block_q=bq,
         block_k=bk,
         seqlen_k=sk,
@@ -335,7 +298,11 @@ def prefill_attention(
         window_left=window_left,
         window_right=window_right,
         with_lse=return_lse,
+        softcap=float(logit_softcap),
+        softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                     if logit_softcap else 0.0),
     )
+    kernel = functools.partial(_prefill_kernel, **kparams)
 
     out_shapes = [
         jax.ShapeDtypeStruct((batch, num_heads, sq_p, head_dim), q.dtype),
@@ -381,13 +348,7 @@ def prefill_attention(
     use_tri = len(cells_i) < num_q_blocks * num_kv_blocks
 
     if use_tri:
-        tri_kernel = functools.partial(
-            _prefill_tri_kernel,
-            scale_log2e=float(softmax_scale) * _LOG2E,
-            block_q=bq, block_k=bk, seqlen_k=sk,
-            num_kv_blocks=num_kv_blocks, window_left=window_left,
-            window_right=window_right, with_lse=return_lse,
-        )
+        tri_kernel = functools.partial(_prefill_tri_kernel, **kparams)
         qo_map = lambda b, h, t, im, jm: (b, h, im[t], 0)  # noqa: E731
         kv_map = lambda b, h, t, im, jm: (b, h // group, jm[t], 0)  # noqa: E731
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -67,6 +67,15 @@ def config_from_hf(hf_config) -> LlamaConfig:
         norm_offset=is_gemma,
         embed_scale=is_gemma,
         logit_softcap=getattr(hf_config, "final_logit_softcapping", None),
+        # Gemma2: attention softcap, query_pre_attn_scalar softmax scale,
+        # post-norms on attn/mlp outputs, alternating sliding/global layers
+        attn_softcap=getattr(hf_config, "attn_logit_softcapping", None),
+        query_scale=(float(qpas) ** -0.5 if (qpas := getattr(
+            hf_config, "query_pre_attn_scalar", None)) else None),
+        post_norms=(model_type == "gemma2"),
+        alt_window=(model_type == "gemma2"
+                    and getattr(hf_config, "sliding_window", None)
+                    is not None),
     )
 
 
@@ -94,6 +103,8 @@ def from_hf(model_or_state_dict, hf_config=None,
     )
     if cfg.qkv_bias:
         layers.update(bq=[], bk=[], bv=[])
+    if cfg.post_norms:
+        layers.update(post_attn_norm=[], post_mlp_norm=[])
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
         layers["wq"].append(w(p + "self_attn.q_proj.weight"))
@@ -110,11 +121,18 @@ def from_hf(model_or_state_dict, hf_config=None,
         layers["w_gate"].append(w(p + "mlp.gate_proj.weight"))
         layers["w_up"].append(w(p + "mlp.up_proj.weight"))
         layers["w_down"].append(w(p + "mlp.down_proj.weight"))
-        layers["attn_norm"].append(
-            jnp.asarray(_np(sd[p + "input_layernorm.weight"]), jnp.float32))
-        layers["mlp_norm"].append(
-            jnp.asarray(_np(sd[p + "post_attention_layernorm.weight"]),
-                        jnp.float32))
+        def norm(name):
+            return jnp.asarray(_np(sd[p + name + ".weight"]), jnp.float32)
+
+        layers["attn_norm"].append(norm("input_layernorm"))
+        if cfg.post_norms:
+            # Gemma2: post_attention_layernorm normalizes the attention
+            # OUTPUT; the MLP input norm is pre_feedforward_layernorm
+            layers["post_attn_norm"].append(norm("post_attention_layernorm"))
+            layers["mlp_norm"].append(norm("pre_feedforward_layernorm"))
+            layers["post_mlp_norm"].append(norm("post_feedforward_layernorm"))
+        else:
+            layers["mlp_norm"].append(norm("post_attention_layernorm"))
     stacked = {k: jnp.stack(v) for k, v in layers.items()}
 
     embed = jnp.asarray(_np(sd["model.embed_tokens.weight"]), dtype)

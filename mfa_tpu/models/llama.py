@@ -60,10 +60,21 @@ class LlamaConfig:
     norm_offset: bool = False                # Gemma RMSNorm: x * (1 + w)
     embed_scale: bool = False                # Gemma: embeddings * sqrt(dim)
     logit_softcap: Optional[float] = None    # Gemma2: tanh cap on logits
+    # Gemma2 family knobs:
+    attn_softcap: Optional[float] = None     # tanh cap on attention logits
+    query_scale: Optional[float] = None      # softmax scale override
+    post_norms: bool = False                 # extra norms on attn/mlp OUTPUT
+    alt_window: bool = False                 # even layers sliding, odd global
 
     @property
     def head_dim(self) -> int:
         return self.head_dim_override or self.dim // self.n_heads
+
+    @property
+    def attn_scale(self) -> float:
+        """Softmax scale (Gemma2 overrides via query_pre_attn_scalar)."""
+        return (self.query_scale if self.query_scale is not None
+                else self.head_dim ** -0.5)
 
     @property
     def window_left(self) -> int:
@@ -106,6 +117,20 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def gemma2_9b() -> "LlamaConfig":
+        """Gemma2-9B shape: alternating sliding/global layers, post-norms
+        on attention and MLP outputs, attention + final logit softcaps,
+        query_pre_attn_scalar softmax scale."""
+        return LlamaConfig(
+            vocab_size=256000, dim=3584, n_layers=42, n_heads=16,
+            n_kv_heads=8, ffn_dim=14336, rope_theta=10000.0,
+            norm_eps=1e-6, head_dim_override=256, hidden_act="gelu_tanh",
+            norm_offset=True, embed_scale=True, sliding_window=4096,
+            attn_softcap=50.0, logit_softcap=30.0,
+            query_scale=256.0 ** -0.5, post_norms=True, alt_window=True,
+        )
+
+    @staticmethod
     def tiny(vocab=256, dim=128, layers=2, heads=4, kv_heads=2,
              ffn=256, dtype=jnp.float32) -> "LlamaConfig":
         return LlamaConfig(
@@ -128,6 +153,9 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
     layers = []
     for i in range(cfg.n_layers):
         ks = jax.random.split(keys[i], 7)
+        # offset-norm models (Gemma) store w with (1+w) applied at runtime,
+        # so the identity init is zeros there, ones otherwise
+        norm_init = jnp.zeros if cfg.norm_offset else jnp.ones
         lp = dict(
             wq=dense(ks[0], (d, cfg.n_heads * hd)),
             wk=dense(ks[1], (d, cfg.n_kv_heads * hd)),
@@ -136,9 +164,12 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
             w_gate=dense(ks[4], (d, cfg.ffn_dim)),
             w_up=dense(ks[5], (d, cfg.ffn_dim)),
             w_down=dense(ks[6], (cfg.ffn_dim, d)),
-            attn_norm=jnp.ones((d,), jnp.float32),
-            mlp_norm=jnp.ones((d,), jnp.float32),
+            attn_norm=norm_init((d,), jnp.float32),
+            mlp_norm=norm_init((d,), jnp.float32),
         )
+        if cfg.post_norms:
+            lp.update(post_attn_norm=norm_init((d,), jnp.float32),
+                      post_mlp_norm=norm_init((d,), jnp.float32))
         if cfg.qkv_bias:
             lp.update(
                 bq=jnp.zeros((cfg.n_heads * hd,), cfg.dtype),
@@ -146,9 +177,10 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
                 bv=jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype),
             )
         layers.append(lp)
+    norm_init = jnp.zeros if cfg.norm_offset else jnp.ones
     return dict(
         embed=dense(keys[-2], (cfg.vocab_size, d), scale=0.02),
-        final_norm=jnp.ones((cfg.dim,), jnp.float32),
+        final_norm=norm_init((cfg.dim,), jnp.float32),
         lm_head=dense(keys[-1], (d, cfg.vocab_size)),
         layers=_stack_layers(layers),
     )
@@ -177,6 +209,8 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Params:
     if cfg.qkv_bias:
         layer.update(bq=ns(None, MODEL_AXIS), bk=ns(None, MODEL_AXIS),
                      bv=ns(None, MODEL_AXIS))
+    if cfg.post_norms:
+        layer.update(post_attn_norm=ns(None), post_mlp_norm=ns(None))
     return dict(
         embed=ns(None, None),
         final_norm=ns(None),
@@ -212,7 +246,63 @@ def _mlp(x, lp, cfg: "LlamaConfig"):
         gate = jax.nn.gelu(gate, approximate=True)
     else:
         gate = jax.nn.silu(gate)
-    return x + (gate * (h @ lp["w_up"])) @ lp["w_down"]
+    out = (gate * (h @ lp["w_up"])) @ lp["w_down"]
+    if cfg.post_norms:  # Gemma2 post_feedforward_layernorm
+        out = _rms_norm(out, lp["post_mlp_norm"], cfg)
+    return x + out
+
+
+def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig"):
+    """o-projection + optional Gemma2 post_attention_layernorm + residual.
+    attn_flat: [..., n_heads*head_dim]."""
+    out = attn_flat.astype(x.dtype) @ lp["wo"]
+    if cfg.post_norms:
+        out = _rms_norm(out, lp["post_attn_norm"], cfg)
+    return x + out
+
+
+def _scan_layers(cfg: "LlamaConfig", body, x, layers, cache_xs,
+                 remat: bool = False):
+    """Scan `body(x, lp, cache_leaves, window_left) -> (x, new_leaves)`
+    over the stacked layer axis. With cfg.alt_window (Gemma2), layers scan
+    as PAIRS — sub-layer 0 sliding-window, sub-layer 1 global — so both
+    static window variants live in one compiled scan body (a per-layer
+    dynamic window is impossible: the window shapes the kernel grid)."""
+    if not cfg.alt_window:
+        def fn(x, xs):
+            lp, *leaves = xs
+            x, new = body(x, lp, tuple(leaves), cfg.window_left)
+            return x, new
+        fn = jax.checkpoint(fn) if remat else fn
+        return jax.lax.scan(fn, x, (layers,) + cache_xs)
+    assert cfg.n_layers % 2 == 0, "alt_window needs an even layer count"
+
+    def pair(t):
+        return jax.tree.map(
+            lambda a: a.reshape(a.shape[0] // 2, 2, *a.shape[1:]), t)
+
+    def unpair(t):
+        return jax.tree.map(
+            lambda a: a.reshape(a.shape[0] * 2, *a.shape[2:]), t)
+
+    def fn(x, xs):
+        lp2, *leaves2 = xs
+        news = []
+        for sub in range(2):
+            lp = jax.tree.map(lambda a: a[sub], lp2)
+            leaves = tuple(jax.tree.map(lambda a: a[sub], l)
+                           for l in leaves2)
+            wl = cfg.window_left if sub == 0 else -1
+            x, new = body(x, lp, leaves, wl)
+            news.append(new)
+        stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                               news[0], news[1])
+        return x, stacked
+
+    fn = jax.checkpoint(fn) if remat else fn
+    x, ys = jax.lax.scan(fn, x, (pair(layers),) + tuple(
+        jax.tree.map(pair, l) for l in cache_xs))
+    return x, unpair(ys)
 
 
 def _embed(params, tokens, cfg: "LlamaConfig"):
@@ -243,16 +333,19 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 
 def _attention_sharded(q, k, v, mesh: Optional[Mesh],
-                       window_left: int = -1):
+                       cfg: "LlamaConfig", window_left: int = -1):
     """Causal flash attention on [b, s, h, d]; heads sharded when a mesh with
     a 'model' axis is active (Pallas runs per shard; GQA stays co-located).
     window_left > -1 additionally bounds visibility to the previous
-    window_left tokens (sliding-window models)."""
+    window_left tokens (sliding-window models); cfg carries the softmax
+    scale override and Gemma2 attention softcap."""
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     attn = functools.partial(flash_attention_grad, causal=True,
-                             window_size=(window_left, -1))
+                             softmax_scale=cfg.attn_scale,
+                             window_size=(window_left, -1),
+                             logit_softcap=cfg.attn_softcap or 0.0)
     if mesh is not None and MODEL_AXIS in mesh.axis_names:
         spec = P(DATA_AXIS if DATA_AXIS in mesh.axis_names else None,
                  MODEL_AXIS, None, None)
@@ -284,18 +377,17 @@ def forward(
     x = _embed(params, tokens, cfg)  # [b, s, d]
     positions = jnp.arange(s, dtype=jnp.int32)[None].repeat(b, 0)
 
-    def layer_fn(x, lp):
+    def body(x, lp, _leaves, wl):
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, b, s)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        attn = _attention_sharded(q, k, v, mesh, cfg.window_left)
-        x = x + attn.reshape(b, s, cfg.n_heads * hd) @ lp["wo"]
+        attn = _attention_sharded(q, k, v, mesh, cfg, wl)
+        x = _attn_residual(x, attn.reshape(b, s, cfg.n_heads * hd), lp, cfg)
         x = _mlp(x, lp, cfg)
-        return x, None
+        return x, ()
 
-    scan_fn = jax.checkpoint(layer_fn) if remat else layer_fn
-    x, _ = jax.lax.scan(scan_fn, x, params["layers"])
+    x, _ = _scan_layers(cfg, body, x, params["layers"], (), remat=remat)
     x = _rms_norm(x, params["final_norm"], cfg)
     return _unembed(params, x, cfg)
 
@@ -384,7 +476,8 @@ def _store_rows(quant_dtype: Optional[str], store_dtype, x):
 
 def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
                              lengths, tables, mesh: Optional[Mesh],
-                             out_dtype, window_left: int = -1):
+                             out_dtype, cfg: "LlamaConfig",
+                             window_left: int = -1):
     """Paged decode attention on one layer's pages, TP-sharded by kv head
     when a mesh with a 'model' axis is active. q3: [n, heads, d].
 
@@ -393,10 +486,12 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
     head h // group within the same shard)."""
     from mfa_tpu.kernels.paged import paged_attention
 
+    pkw = dict(window_left=window_left, softmax_scale=cfg.attn_scale,
+               logit_softcap=cfg.attn_softcap or 0.0)
     if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return paged_attention(
             q3.astype(out_dtype), k_pages, v_pages, lengths, tables,
-            k_scales=k_scales, v_scales=v_scales, window_left=window_left,
+            k_scales=k_scales, v_scales=v_scales, **pkw,
         )
 
     page_spec = P(MODEL_AXIS, None, None, None)
@@ -410,13 +505,11 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
 
         def _fn(q, kp, vp, lens, tab, ks, vs):
             return paged_attention(q, kp, vp, lens, tab,
-                                   k_scales=ks, v_scales=vs,
-                                   window_left=window_left)
+                                   k_scales=ks, v_scales=vs, **pkw)
     else:
 
         def _fn(q, kp, vp, lens, tab):
-            return paged_attention(q, kp, vp, lens, tab,
-                                   window_left=window_left)
+            return paged_attention(q, kp, vp, lens, tab, **pkw)
 
     fn = shard_map(
         _fn, mesh=mesh, in_specs=tuple(in_specs),
@@ -498,8 +591,8 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     positions = jnp.arange(s, dtype=jnp.int32)[None]  # broadcast over n
     flat_ids = page_ids.reshape(-1)  # [n*npg]; duplicates only on null page
 
-    def layer_fn(x, xs):
-        lp, kp, vp, ksc, vsc = xs
+    def body(x, lp, leaves, wl):
+        kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, s)
         q = _rope(q, positions, cfg.rope_theta)
@@ -518,13 +611,13 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
                 ks_new.reshape(cfg.n_kv_heads, n * npg, page))
             vsc = vsc.at[:, flat_ids].set(
                 vs_new.reshape(cfg.n_kv_heads, n * npg, page))
-        attn = _attention_sharded(q, k, v, pmesh, cfg.window_left)
-        x = x + attn.reshape(n, s, cfg.n_heads * hd) @ lp["wo"]
+        attn = _attention_sharded(q, k, v, pmesh, cfg, wl)
+        x = _attn_residual(x, attn.reshape(n, s, cfg.n_heads * hd), lp, cfg)
         x = _mlp(x, lp, cfg)
         return x, (kp, vp, ksc, vsc)
 
-    x, (kp, vp, ksc, vsc) = jax.lax.scan(
-        layer_fn, x, (params["layers"],) + _cache_xs(cache)
+    x, (kp, vp, ksc, vsc) = _scan_layers(
+        cfg, body, x, params["layers"], _cache_xs(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
     last = jnp.take_along_axis(
@@ -541,12 +634,13 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
 
 def _paged_prefill_sharded(q, k_pages, v_pages, k_scales, v_scales,
                            kv_len, q_start, table, mesh: Optional[Mesh],
-                           window_left: int):
+                           cfg: "LlamaConfig", window_left: int):
     """Chunk attention against the paged cache, TP-sharded by kv head when
     a 'model' mesh is active. q: [b, chunk, h, d]."""
     from mfa_tpu.kernels.paged_prefill import paged_prefill_attention
 
-    kwargs = dict(window_left=window_left)
+    kwargs = dict(window_left=window_left, softmax_scale=cfg.attn_scale,
+                  logit_softcap=cfg.attn_softcap or 0.0)
     if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return paged_prefill_attention(
             q, k_pages, v_pages, kv_len, q_start, table,
@@ -616,8 +710,8 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
     ).reshape(-1)  # [n*chunk_pages]
     kv_len = jnp.minimum(final_lens, offsets + chunk)  # [n]
 
-    def layer_fn(x, xs):
-        lp, kp, vp, ksc, vsc = xs
+    def body(x, lp, leaves, wl):
+        kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, chunk)
         q = _rope(q, positions, cfg.rope_theta)
@@ -639,14 +733,15 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
                 vs_new.reshape(cfg.n_kv_heads, n * chunk_pages, page))
         attn = _paged_prefill_sharded(
             q.astype(cfg.dtype), kp, vp, ksc, vsc, kv_len, offsets,
-            table_rows, _prefill_mesh(mesh), cfg.window_left,
+            table_rows, _prefill_mesh(mesh), cfg, wl,
         )
-        x = x + attn.reshape(n, chunk, cfg.n_heads * hd).astype(x.dtype) @ lp["wo"]
+        x = _attn_residual(x, attn.reshape(n, chunk, cfg.n_heads * hd),
+                           lp, cfg)
         x = _mlp(x, lp, cfg)
         return x, (kp, vp, ksc, vsc)
 
-    x, (kp, vp, ksc, vsc) = jax.lax.scan(
-        layer_fn, x, (params["layers"],) + _cache_xs(cache)
+    x, (kp, vp, ksc, vsc) = _scan_layers(
+        cfg, body, x, params["layers"], _cache_xs(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
     last_idx = jnp.clip(final_lens - 1 - offsets, 0, chunk - 1)
@@ -745,8 +840,8 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     x = _embed(params, tokens, cfg)[:, None]  # [n, 1, d]
     positions = lens[:, None]
 
-    def layer_fn(x, xs):
-        lp, kp, vp, ksc, vsc = xs
+    def body(x, lp, leaves, wl):
+        kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, 1)
         q = _rope(q, positions, cfg.rope_theta)
@@ -762,14 +857,14 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             vsc = vsc.at[:, write_pages, offs].set(vs_new)
         attn = _paged_attention_sharded(
             q[:, 0], kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype,
-            cfg.window_left,
+            cfg, wl,
         )  # [n, heads, hd]
-        x = x + (attn.reshape(n, 1, cfg.n_heads * hd)).astype(x.dtype) @ lp["wo"]
+        x = _attn_residual(x, attn.reshape(n, 1, cfg.n_heads * hd), lp, cfg)
         x = _mlp(x, lp, cfg)
         return x, (kp, vp, ksc, vsc)
 
-    x, (kp, vp, ksc, vsc) = jax.lax.scan(
-        layer_fn, x, (params["layers"],) + _cache_xs(cache)
+    x, (kp, vp, ksc, vsc) = _scan_layers(
+        cfg, body, x, params["layers"], _cache_xs(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
     logits = _unembed(params, x[:, 0], cfg)
@@ -809,8 +904,8 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     lens_inc = lens + span
     x = _embed(params, tokens, cfg)  # [n, span, d]
 
-    def layer_fn(x, xs):
-        lp, kp, vp, ksc, vsc = xs
+    def body(x, lp, leaves, wl):
+        kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, span)
         q = _rope(q, pos, cfg.rope_theta)
@@ -828,14 +923,15 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             vsc = vsc.at[:, write_pages, offs].set(vs_new)
         attn = _paged_attention_sharded(
             q, kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype,
-            cfg.window_left,
+            cfg, wl,
         )  # [n, span, heads, hd]
-        x = x + attn.reshape(n, span, cfg.n_heads * hd).astype(x.dtype) @ lp["wo"]
+        x = _attn_residual(x, attn.reshape(n, span, cfg.n_heads * hd),
+                           lp, cfg)
         x = _mlp(x, lp, cfg)
         return x, (kp, vp, ksc, vsc)
 
-    x, (kp, vp, ksc, vsc) = jax.lax.scan(
-        layer_fn, x, (params["layers"],) + _cache_xs(cache)
+    x, (kp, vp, ksc, vsc) = _scan_layers(
+        cfg, body, x, params["layers"], _cache_xs(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
     logits = _unembed(params, x, cfg)  # [n, span, vocab]

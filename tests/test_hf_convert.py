@@ -50,8 +50,18 @@ elif family == "gemma":
         hidden_activation="gelu_pytorch_tanh",
         tie_word_embeddings=True, **common)
     cls = transformers.GemmaForCausalLM
+elif family == "gemma2":
+    common["num_hidden_layers"] = 4  # 2 sliding/global pairs
+    cfg = transformers.Gemma2Config(
+        rms_norm_eps=1e-6, head_dim=32,
+        hidden_activation="gelu_pytorch_tanh",
+        tie_word_embeddings=True, sliding_window=8,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        query_pre_attn_scalar=16, **common)
+    cls = transformers.Gemma2ForCausalLM
 else:
     raise SystemExit(f"unknown family {family}")
+cfg._attn_implementation = "eager"  # sdpa has no softcap path
 torch.manual_seed(0)
 model = cls(cfg)
 model.eval()
@@ -69,7 +79,7 @@ np.savez(out, __tokens__=tokens, __logits__=logits,
          **sd)
 '''
 
-FAMILIES = ("llama", "qwen2", "gemma")
+FAMILIES = ("llama", "qwen2", "gemma", "gemma2")
 
 
 @pytest.fixture(scope="module", params=FAMILIES)
@@ -100,6 +110,11 @@ def test_converted_forward_matches_transformers(hf_artifacts):
     if family == "gemma":
         assert cfg.head_dim == 32 and cfg.norm_offset and cfg.embed_scale
         assert cfg.hidden_act == "gelu_tanh"
+    if family == "gemma2":
+        assert cfg.post_norms and cfg.alt_window
+        assert cfg.attn_softcap == 50.0 and cfg.logit_softcap == 30.0
+        assert abs(cfg.attn_scale - 16 ** -0.5) < 1e-9
+        assert cfg.sliding_window == 8
     ours = np.asarray(llama.forward(params, jnp.asarray(tokens), cfg))
     diff = np.abs(ours - ref_logits).max()
     assert diff < 2e-3, f"{family} logits diverge from transformers: {diff}"
