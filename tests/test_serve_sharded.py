@@ -93,3 +93,29 @@ def test_decode_step_sharded_matches_dense():
     np.testing.assert_allclose(
         np.asarray(c_tp.lengths), np.asarray(c_ref.lengths)
     )
+
+
+def test_sharded_gemma2_style_matches_unsharded():
+    """The family knobs (paired alt-window scan, post-norms, softcaps,
+    qkv bias) must survive TP sharding unchanged."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _cfg(), sliding_window=16, alt_window=True, post_norms=True,
+        norm_offset=True, embed_scale=True, hidden_act="gelu_tanh",
+        attn_softcap=50.0, logit_softcap=30.0, qkv_bias=True,
+    )
+    params = llama.init_params(jax.random.key(2), cfg)
+    # break the zero-init symmetry of biases/norms so the test is sharp
+    params["layers"]["bq"] = (
+        jax.random.normal(jax.random.key(3),
+                          params["layers"]["bq"].shape) * 0.1
+    ).astype(cfg.dtype)
+    params["layers"]["post_attn_norm"] = (
+        jax.random.normal(jax.random.key(4),
+                          params["layers"]["post_attn_norm"].shape) * 0.1
+    )
+    gen_ref, _ = _run(params, cfg, mesh=None)
+    mesh = make_mesh({MODEL_AXIS: 4}, jax.devices()[:4])
+    gen_tp, _ = _run(params, cfg, mesh=mesh)
+    assert gen_tp == gen_ref, (gen_tp, gen_ref)
