@@ -960,7 +960,8 @@ def rollback(cache, seq_slots, new_lengths):
 )
 def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
                  n_steps: int, mesh: Optional[Mesh] = None,
-                 sampling=None, key: Optional[jax.Array] = None):
+                 sampling=None, key: Optional[jax.Array] = None,
+                 presence: Optional[jax.Array] = None):
     """n_steps decode steps fused on-device (one host round trip).
 
     The per-step host sync (sample -> feed back) costs a device->host round
@@ -970,7 +971,9 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     block tables (Scheduler.ensure_decode_pages). Returns (cache, tokens
     [n_steps, batch]). sampling: a serve.sampling.SamplingParams (static;
     None/greedy -> argmax); key: PRNG key (required for stochastic
-    sampling), folded per step.
+    sampling), folded per step; presence: optional [batch, vocab] bool
+    context mask for the repetition penalty, updated on-device as tokens
+    are sampled.
     """
     from mfa_tpu.serve.sampling import SamplingParams, sample
 
@@ -981,13 +984,15 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     from mfa_tpu.serve.sampling import token_logprobs
 
     def body(carry, i):
-        cache, toks = carry
+        cache, toks, pres = carry
         cache, logits = decode_step(params, cfg, cache, seq_slots, toks,
                                     mesh=mesh)
-        nxt = sample(logits, jax.random.fold_in(key, i), sampling)
-        return (cache, nxt), (nxt, token_logprobs(logits, nxt))
+        nxt = sample(logits, jax.random.fold_in(key, i), sampling, pres)
+        if pres is not None:  # track the new token for repetition penalty
+            pres = pres.at[jnp.arange(pres.shape[0]), nxt].set(True)
+        return (cache, nxt, pres), (nxt, token_logprobs(logits, nxt))
 
-    (cache, _), (out, lps) = jax.lax.scan(
-        body, (cache, tokens), jnp.arange(n_steps)
+    (cache, _, _), (out, lps) = jax.lax.scan(
+        body, (cache, tokens, presence), jnp.arange(n_steps)
     )
     return cache, out, lps

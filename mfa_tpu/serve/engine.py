@@ -125,14 +125,22 @@ class Engine:
                 raise ValueError("draft_params requires draft_cfg")
             if not self.sampling.greedy:
                 raise ValueError("speculative decoding is greedy-only")
+            if self.sampling.needs_presence:
+                raise ValueError(
+                    "speculative decoding does not support the repetition "
+                    "penalty (verification assumes context-free argmax)")
             self.draft_cache = llama.build_kv_caches(
                 draft_cfg, num_pages, page_size, max_seqs, pages_per_seq,
                 quant_dtype,
             )
 
     def submit(self, prompt: List[int], max_new_tokens: int,
-               eos_token: Optional[int] = None) -> Request:
-        req = Request(self._next_uid, list(prompt), max_new_tokens, eos_token)
+               eos_token: Optional[int] = None,
+               stop: Optional[List[List[int]]] = None) -> Request:
+        """stop: token-id sequences that end generation when the output
+        ends with one of them (the matched tokens stay in the output)."""
+        req = Request(self._next_uid, list(prompt), max_new_tokens,
+                      eos_token, stop=stop)
         self._next_uid += 1
         self.sched.submit(req)
         self._stream_pos[req.uid] = 0
@@ -226,14 +234,26 @@ class Engine:
                 self.draft_cache = map_pages(
                     self.draft_cache, m_slots, m_idx, m_ids)
 
-    def _sample(self, logits):
+    def _sample(self, logits, presence=None):
         """-> (ids [n], logprobs [n]) — logprobs under the unfiltered
         model distribution (standard serving semantics)."""
         from mfa_tpu.serve.sampling import sample, token_logprobs
 
         self._key, sub = jax.random.split(self._key)
-        ids = sample(logits, sub, self.sampling)
+        ids = sample(logits, sub, self.sampling, presence)
         return ids, token_logprobs(logits, ids)
+
+    def _presence(self, active, rows: int):
+        """[rows, vocab] bool context mask (prompt + generated) for the
+        repetition penalty; None when the sampler doesn't need it."""
+        if not self.sampling.needs_presence:
+            return None
+        pres = np.zeros((rows, self.cfg.vocab_size), bool)
+        for i, r in enumerate(active):
+            pres[i, r.prompt] = True
+            if r.generated:
+                pres[i, r.generated] = True
+        return jnp.asarray(pres)
 
     def _advance_chunked_prefill(self) -> None:
         """Advance EVERY in-progress long prompt by one chunk, in a single
@@ -349,7 +369,7 @@ class Engine:
             # roll back the scratch slot the padded rows appended into
             self.cache = release_slot(self.cache, scratch)
 
-        ids, lps = self._sample(logits[:n])
+        ids, lps = self._sample(logits[:n], self._presence(active, n))
         next_tokens, next_lps = np.asarray(ids), np.asarray(lps)
         self.stats.steps += 1
         for i, req in enumerate(active):
@@ -405,6 +425,7 @@ class Engine:
             self.params, self.cfg, self.cache,
             jnp.asarray(slots), jnp.asarray(tokens), n_eff, mesh=self.mesh,
             sampling=self.sampling, key=sub,
+            presence=self._presence(active, len(slots)),
         )
         if scratch is not None:
             self.cache = release_slot(self.cache, scratch)

@@ -18,32 +18,55 @@ import jax.numpy as jnp
 @dataclasses.dataclass(frozen=True)
 class SamplingParams:
     """temperature == 0 -> greedy argmax (top_k/top_p ignored).
-    top_k == 0 -> no top-k truncation. top_p >= 1 -> no nucleus cut."""
+    top_k == 0 -> no top-k truncation. top_p >= 1 -> no nucleus cut.
+    min_p > 0 -> drop tokens whose probability is below min_p times the
+    top token's probability (applies after temperature, like vLLM).
+    repetition_penalty != 1 -> HF-convention penalty on every token already
+    present in the context (positive logits divided, negative multiplied);
+    requires a presence mask passed to sample()."""
 
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    min_p: float = 0.0
+    repetition_penalty: float = 1.0
 
     @property
     def greedy(self) -> bool:
         return self.temperature == 0.0
 
+    @property
+    def needs_presence(self) -> bool:
+        return self.repetition_penalty != 1.0
 
-def sample(logits: jax.Array, key: jax.Array,
-           params: SamplingParams) -> jax.Array:
+
+def sample(logits: jax.Array, key: jax.Array, params: SamplingParams,
+           presence: jax.Array = None) -> jax.Array:
     """logits [n, vocab] -> token ids [n] int32.
 
-    Filtering order matches the common convention (vLLM/HF): top-k first,
-    then top-p over the renormalized survivors, then categorical at the
-    given temperature.
+    presence: optional [n, vocab] bool — tokens already in each row's
+    context (prompt + generated), for the repetition penalty.
+
+    Filtering order matches the common convention (vLLM/HF): repetition
+    penalty on raw logits, temperature, then top-k -> min-p -> top-p
+    truncations, then categorical.
     """
+    logits = logits.astype(jnp.float32)
+    if params.repetition_penalty != 1.0 and presence is not None:
+        pen = params.repetition_penalty
+        penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where(presence, penalized, logits)
     if params.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    l = logits.astype(jnp.float32) / params.temperature
+    l = logits / params.temperature
     vocab = l.shape[-1]
     if params.top_k and params.top_k < vocab:
         kth = jax.lax.top_k(l, params.top_k)[0][..., -1:]
         l = jnp.where(l < kth, -jnp.inf, l)
+    if params.min_p > 0.0:
+        probs = jax.nn.softmax(l, axis=-1)
+        floor = params.min_p * jnp.max(probs, axis=-1, keepdims=True)
+        l = jnp.where(probs < floor, -jnp.inf, l)
     if params.top_p < 1.0:
         sorted_l = jnp.sort(l, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(sorted_l, axis=-1)

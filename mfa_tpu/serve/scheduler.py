@@ -45,6 +45,10 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     eos_token: Optional[int] = None
+    # stop sequences: finish when the generation ends with any of these
+    # token-id lists (the matched sequence stays in `generated`; callers
+    # can trim it — the reference has no serving layer at all)
+    stop: Optional[List[List[int]]] = None
     # filled during execution
     generated: List[int] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)
@@ -59,11 +63,15 @@ class Request:
     def done(self) -> bool:
         if len(self.generated) >= self.max_new_tokens:
             return True
-        return bool(
-            self.generated
-            and self.eos_token is not None
-            and self.generated[-1] == self.eos_token
-        )
+        if (self.generated and self.eos_token is not None
+                and self.generated[-1] == self.eos_token):
+            return True
+        if self.stop:
+            g = self.generated
+            for seq in self.stop:
+                if seq and len(g) >= len(seq) and g[-len(seq):] == list(seq):
+                    return True
+        return False
 
     @property
     def total_len(self) -> int:

@@ -49,11 +49,12 @@ class ServingLoop:
         self._thread.start()
 
     def submit(self, prompt: List[int], max_new_tokens: int,
-               eos_token: Optional[int] = None) -> "queue.Queue":
+               eos_token: Optional[int] = None,
+               stop: Optional[List[List[int]]] = None) -> "queue.Queue":
         """Thread-safe submit; returns the queue this request's token
         chunks arrive on (terminated by the _DONE sentinel)."""
         out: "queue.Queue" = queue.Queue()
-        self._submit_q.put((prompt, max_new_tokens, eos_token, out))
+        self._submit_q.put((prompt, max_new_tokens, eos_token, stop, out))
         return out
 
     def close(self):
@@ -64,10 +65,10 @@ class ServingLoop:
         admitted = False
         while True:
             try:
-                prompt, mnt, eos, out = self._submit_q.get_nowait()
+                prompt, mnt, eos, stop, out = self._submit_q.get_nowait()
             except queue.Empty:
                 return admitted
-            req = self.engine.submit(prompt, mnt, eos_token=eos)
+            req = self.engine.submit(prompt, mnt, eos_token=eos, stop=stop)
             with self._lock:
                 self._streams[req.uid] = out
                 self._reqs[req.uid] = req
@@ -99,8 +100,11 @@ class ServingLoop:
 
 
 def _finish_reason(req_tokens: List[int], max_tokens: int,
-                   eos_token: Optional[int]) -> str:
+                   eos_token: Optional[int],
+                   stop: Optional[List[List[int]]] = None) -> str:
     if eos_token is not None and req_tokens and req_tokens[-1] == eos_token:
+        return "stop"
+    if stop and any(s and req_tokens[-len(s):] == s for s in stop):
         return "stop"
     return "length" if len(req_tokens) >= max_tokens else "stop"
 
@@ -177,10 +181,22 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, "max_tokens must be >= 1")
         eos = body.get("eos_token")
         eos = int(eos) if eos is not None else None
+        stop = body.get("stop")
+        if stop is not None:
+            if not isinstance(stop, list):
+                return self._error(400, "stop must be a list of token ids "
+                                        "or a list of token-id lists")
+            if stop and isinstance(stop[0], int):
+                stop = [stop]
+            if not all(isinstance(s, list)
+                       and all(isinstance(t, int) for t in s)
+                       for s in stop):
+                return self._error(400, "stop must contain token-id lists")
         stream = bool(body.get("stream", False))
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
 
-        out_q = self.loop.submit(prompt, max_tokens, eos_token=eos)
+        out_q = self.loop.submit(prompt, max_tokens, eos_token=eos,
+                                 stop=stop)
         if stream:
             return self._stream_response(rid, out_q)
 
@@ -193,7 +209,7 @@ class _Handler(BaseHTTPRequestHandler):
         choice = {
             "index": 0,
             "token_ids": tokens,
-            "finish_reason": _finish_reason(tokens, max_tokens, eos),
+            "finish_reason": _finish_reason(tokens, max_tokens, eos, stop),
         }
         if self.decode is not None:
             choice["text"] = self.decode(tokens)

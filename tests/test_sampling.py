@@ -136,3 +136,39 @@ def test_speculative_logprobs_match_plain():
     rs, rp = run(True), run(False)
     assert rs.generated == rp.generated
     np.testing.assert_allclose(rs.logprobs, rp.logprobs, atol=1e-4)
+
+
+def test_min_p_keeps_only_dominant_token():
+    from mfa_tpu.serve.sampling import SamplingParams, sample
+
+    # token 0 has >10x the probability of every other token; min_p=0.5
+    # leaves it alone in the support, so sampling is deterministic.
+    logits = jnp.asarray([[5.0, 0.0, 0.5, 1.0]])
+    p = SamplingParams(temperature=1.0, min_p=0.5)
+    for seed in range(5):
+        ids = sample(logits, jax.random.key(seed), p)
+        assert int(ids[0]) == 0
+
+
+def test_min_p_zero_is_noop_support():
+    from mfa_tpu.serve.sampling import SamplingParams, sample
+
+    logits = jnp.asarray([[1.0, 1.01, 0.99, 1.0]])
+    p = SamplingParams(temperature=1.0, min_p=0.0)
+    seen = {int(sample(logits, jax.random.key(s), p)[0]) for s in range(40)}
+    assert len(seen) > 1  # near-uniform: several tokens appear
+
+
+def test_repetition_penalty_flips_argmax():
+    from mfa_tpu.serve.sampling import SamplingParams, sample
+
+    logits = jnp.asarray([[2.0, 1.9, -3.0, -1.0]])
+    presence = jnp.asarray([[True, False, False, False]])
+    greedy_pen = SamplingParams(temperature=0.0, repetition_penalty=10.0)
+    # without presence: argmax 0; with presence on 0: 2.0/10 < 1.9 -> 1
+    assert int(sample(logits, jax.random.key(0), greedy_pen)[0]) == 0
+    assert int(sample(logits, jax.random.key(0), greedy_pen, presence)[0]) == 1
+    # negative logits are multiplied: penalizing token 3 pushes it down
+    presence2 = jnp.asarray([[False, False, False, True]])
+    l2 = jnp.asarray([[-2.0, -1.9, -3.0, -1.0]])
+    assert int(sample(l2, jax.random.key(0), greedy_pen, presence2)[0]) == 1
