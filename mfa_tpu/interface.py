@@ -33,7 +33,8 @@ __all__ = [
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "softmax_scale", "window_size")
+    jax.jit, static_argnames=("causal", "softmax_scale", "window_size",
+                              "softcap")
 )
 def flash_attn_func(
     q: jax.Array,
@@ -42,6 +43,7 @@ def flash_attn_func(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     window_size: tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
 ) -> jax.Array:
     """Flash attention forward pass (reference: interface.py:6-37).
 
@@ -57,6 +59,8 @@ def flash_attn_func(
             hardcodes the default, api.cpp:99).
         window_size: (left, right) sliding window, -1 = unbounded (extension;
             present-but-unexposed in the reference, _C.pyi:4-41).
+        softcap: > 0 applies a Gemma2-style tanh cap to the attention
+            logits (extension; matches flash-attn v2.6's softcap arg).
 
     Return:
         out: (batch_size, seqlen_q, nheads, headdim)
@@ -72,13 +76,15 @@ def flash_attn_func(
         causal=causal,
         softmax_scale=softmax_scale,
         window_size=tuple(window_size),
+        logit_softcap=float(softcap),
     )
     return jnp.swapaxes(out, 1, 2)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_seqlen_q", "max_seqlen_k", "causal", "softmax_scale"),
+    static_argnames=("max_seqlen_q", "max_seqlen_k", "causal",
+                     "softmax_scale", "softcap"),
 )
 def flash_attn_varlen_func(
     q: jax.Array,
@@ -91,6 +97,7 @@ def flash_attn_varlen_func(
     causal: bool = False,
     block_table: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
+    softcap: float = 0.0,
 ) -> jax.Array:
     """Varlen (continuous batching) attention (reference: interface.py:40-92).
 
@@ -111,6 +118,7 @@ def flash_attn_varlen_func(
         causal=causal,
         block_table=block_table,
         softmax_scale=softmax_scale,
+        logit_softcap=float(softcap),
     )
 
 
@@ -123,6 +131,7 @@ def flash_attn_with_kvcache(
     num_splits: int = 0,
     softmax_scale: Optional[float] = None,
     window_size: tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
 ) -> jax.Array:
     """Decode attention against a KV cache (reference: interface.py:95-124).
 
@@ -158,16 +167,17 @@ def flash_attn_with_kvcache(
         cache_seqlens = jnp.asarray(cache_seqlens, jnp.int32)
     return _kvcache_jit(
         q, k_cache, v_cache, cache_seqlens, block_table, num_splits,
-        softmax_scale, int(window_size[0])
+        softmax_scale, int(window_size[0]), float(softcap)
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_splits", "softmax_scale", "window_left")
+    jax.jit, static_argnames=("num_splits", "softmax_scale", "window_left",
+                              "softcap")
 )
 def _kvcache_jit(
     q, k_cache, v_cache, cache_seqlens, block_table, num_splits,
-    softmax_scale, window_left=-1,
+    softmax_scale, window_left=-1, softcap=0.0,
 ):
     from mfa_tpu.kernels.decode import decode_attention, paged_decode_attention
 
@@ -185,6 +195,7 @@ def _kvcache_jit(
             softmax_scale=softmax_scale,
             num_splits=num_splits,
             window_left=window_left,
+            logit_softcap=softcap,
         )
     else:
         kt = jnp.swapaxes(k_cache, 1, 2)  # [batch, hkv, s, d]
@@ -197,5 +208,6 @@ def _kvcache_jit(
             softmax_scale=softmax_scale,
             num_splits=num_splits,
             window_left=window_left,
+            logit_softcap=softcap,
         )
     return out[:, None]  # [batch, 1, nheads, d]

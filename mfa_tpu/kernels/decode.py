@@ -65,6 +65,8 @@ def _decode_kernel(
     block_k: int,
     blocks_per_split: int,
     window_left: int,
+    softcap: float = 0.0,
+    softcap_mul: float = 0.0,
 ):
     b = pl.program_id(0)
     n = pl.program_id(3)
@@ -97,6 +99,8 @@ def _decode_kernel(
         sc = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if softcap:
+            sc = jnp.tanh(sc * softcap_mul) * softcap  # Gemma2-style softcap
         sc = sc * scale_log2e
         col = (
             jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1) + global_blk * block_k
@@ -164,7 +168,7 @@ def combine_splits(o_parts: jax.Array, lse: jax.Array, axis: int = 2,
     jax.jit,
     static_argnames=(
         "softmax_scale", "num_splits", "block_k", "window_left",
-        "return_lse", "interpret"
+        "return_lse", "interpret", "logit_softcap"
     ),
 )
 def decode_attention(
@@ -179,6 +183,7 @@ def decode_attention(
     window_left: int = -1,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    logit_softcap: float = 0.0,
 ):
     """Decode attention against a contiguous per-batch KV cache.
 
@@ -251,7 +256,11 @@ def decode_attention(
 
     kernel = functools.partial(
         _decode_kernel,
-        scale_log2e=float(softmax_scale) * _LOG2E,
+        scale_log2e=(_LOG2E if logit_softcap
+                     else float(softmax_scale) * _LOG2E),
+        softcap=float(logit_softcap),
+        softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                     if logit_softcap else 0.0),
         block_k=block_k,
         blocks_per_split=blocks_per_split,
         window_left=window_left,
@@ -303,6 +312,7 @@ def paged_decode_attention(
     num_splits: int = 0,
     window_left: int = -1,
     interpret: Optional[bool] = None,
+    logit_softcap: float = 0.0,
 ) -> jax.Array:
     """Paged decode attention — see mfa_tpu.kernels.paged for the kernel.
 
@@ -321,4 +331,5 @@ def paged_decode_attention(
         softmax_scale=softmax_scale,
         window_left=window_left,
         interpret=interpret,
+        logit_softcap=logit_softcap,
     )

@@ -64,6 +64,8 @@ def _varlen_kernel(
     *,
     scale_log2e: float,
     causal: bool,
+    softcap: float = 0.0,
+    softcap_mul: float = 0.0,
 ):
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -85,6 +87,8 @@ def _varlen_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if softcap:
+            s = jnp.tanh(s * softcap_mul) * softcap  # Gemma2-style softcap
         s = s * scale_log2e
 
         mask = seg_q_ref[...] == seg_k_ref[...]  # [bq, bk] via broadcast
@@ -136,6 +140,7 @@ def _segments_from_cu(cu: jax.Array, total: int, pad_to: int, fill: int):
         "softmax_scale",
         "block_q",
         "block_k",
+        "logit_softcap",
         "interpret",
     ),
 )
@@ -153,6 +158,7 @@ def varlen_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: Optional[bool] = None,
+    logit_softcap: float = 0.0,
 ) -> jax.Array:
     """Packed varlen attention.
 
@@ -194,7 +200,7 @@ def varlen_attention(
             q_pad, pool, pool_v, lens_k,
             jnp.zeros((batch,), jnp.int32), dense_table,
             q_lens=lens_q, causal=causal, softmax_scale=softmax_scale,
-            interpret=interpret,
+            interpret=interpret, logit_softcap=logit_softcap,
         )
         return out4[seg, pos]
 
@@ -269,7 +275,11 @@ def varlen_attention(
 
     kernel = functools.partial(
         _varlen_kernel,
-        scale_log2e=float(softmax_scale) * _LOG2E,
+        scale_log2e=(_LOG2E if logit_softcap
+                     else float(softmax_scale) * _LOG2E),
+        softcap=float(logit_softcap),
+        softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                     if logit_softcap else 0.0),
         causal=causal,
     )
 
