@@ -91,3 +91,36 @@ def test_engine_chunked_prefill_quantized_burst():
         return req.generated
 
     assert run(16, 4) == run(None, 1)
+
+
+def test_chunked_equals_whole_prefill_gemma2_style():
+    """Chunked ingestion must agree with whole-prompt prefill when layers
+    alternate sliding/global windows and carry post-norms + softcaps
+    (the chunk kernel sees a different window per scanned sub-layer)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, sliding_window=12, alt_window=True, post_norms=True,
+        norm_offset=True, embed_scale=True, hidden_act="gelu_tanh",
+        attn_softcap=50.0, logit_softcap=30.0, n_layers=2,
+    )
+    params = llama.init_params(jax.random.key(3), cfg)
+    # sharpen: random post-norm weights (zeros-init would hide bugs)
+    params["layers"]["post_attn_norm"] = jax.random.normal(
+        jax.random.key(4), params["layers"]["post_attn_norm"].shape) * 0.1
+    prompt = list(np.random.RandomState(1).randint(0, cfg.vocab_size, 29))
+    pages = list(range(1, 9))
+
+    cache_a = llama.build_kv_caches(cfg, 16, 8, 2, 8)
+    cache_a, logits_a = llama.prefill_step(params, cfg, cache_a, 0, pages,
+                                           jnp.asarray(prompt, jnp.int32))
+
+    cache_b = llama.build_kv_caches(cfg, 16, 8, 2, 8)
+    logits_b = None
+    for pos in range(0, len(prompt), 16):
+        cache_b, logits_b = llama.prefill_chunk(
+            params, cfg, cache_b, 0, pages, prompt[pos : pos + 16],
+            pos, len(prompt),
+        )
+    np.testing.assert_allclose(np.asarray(logits_b), np.asarray(logits_a),
+                               atol=2e-4, rtol=1e-4)
