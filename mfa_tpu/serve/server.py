@@ -91,7 +91,9 @@ class ServingLoop:
                 if stream is None:
                     continue
                 req = self._reqs[uid]
-                stream.put(list(toks))
+                done = len(req.generated)
+                lps = req.logprobs[done - len(toks):done]
+                stream.put((list(toks), [float(x) for x in lps]))
                 if req.done:
                     stream.put(_DONE)
                     with self._lock:
@@ -201,16 +203,22 @@ class _Handler(BaseHTTPRequestHandler):
             return self._stream_response(rid, out_q)
 
         tokens: List[int] = []
+        logprobs: List[float] = []
         while True:
             chunk = out_q.get()
             if chunk is _DONE:
                 break
-            tokens.extend(chunk)
+            toks, lps = chunk
+            tokens.extend(toks)
+            logprobs.extend(lps)
         choice = {
             "index": 0,
             "token_ids": tokens,
             "finish_reason": _finish_reason(tokens, max_tokens, eos, stop),
         }
+        if body.get("logprobs"):
+            choice["logprobs"] = {"token_logprobs": logprobs,
+                                  "tokens": tokens}
         if self.decode is not None:
             choice["text"] = self.decode(tokens)
         self._json(200, {
@@ -238,11 +246,13 @@ class _Handler(BaseHTTPRequestHandler):
             chunk = out_q.get()
             if chunk is _DONE:
                 break
+            toks, lps = chunk
             delta = {"id": rid, "object": "text_completion.chunk",
                      "model": self.loop.model_name,
-                     "choices": [{"index": 0, "token_ids": chunk}]}
+                     "choices": [{"index": 0, "token_ids": toks,
+                                  "logprobs": {"token_logprobs": lps}}]}
             if self.decode is not None:
-                delta["choices"][0]["text"] = self.decode(chunk)
+                delta["choices"][0]["text"] = self.decode(toks)
             send_event(delta)
         send_event("[DONE]")
         self.wfile.write(b"0\r\n\r\n")

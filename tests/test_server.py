@@ -134,3 +134,13 @@ def test_bad_requests(server):
             _post(base, "/v1/completions", body)
         assert ei.value.code == 400
         assert frag in json.loads(ei.value.read())["error"]["message"]
+
+
+def test_logprobs_in_response(server):
+    base, _, _ = server
+    resp = _post(base, "/v1/completions",
+                 {"prompt": [2, 4, 6], "max_tokens": 5, "logprobs": 1})
+    ch = resp["choices"][0]
+    lps = ch["logprobs"]["token_logprobs"]
+    assert len(lps) == len(ch["token_ids"]) == 5
+    assert all(isinstance(x, float) and x <= 0.0 for x in lps)
