@@ -27,7 +27,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from mfa_tpu.kernels.quant import quantize_rows, storage_dtype
+from mfa_tpu.kernels.quant import payload_dim, quantize_rows, storage_dtype
 
 
 @jax.tree_util.register_dataclass
@@ -76,7 +76,15 @@ def create_cache(
     quant_dtype: Optional[str] = None,
 ) -> PagedKVCache:
     store = storage_dtype(quant_dtype) if quant_dtype else dtype
-    shape = (num_kv_heads, num_pages, page_size, head_dim)
+    if quant_dtype == "int4" and page_size % 2:
+        raise ValueError("int4 KV needs an even page_size (row pairing)")
+    # int4 pages are row-PAIRED: two tokens' d/2-byte payloads share one
+    # d-wide int8 row (narrow int8 rows can't be DMA'd on TPU) — see
+    # kernels/paged.py:_unpack_int4.
+    rows = page_size // 2 if quant_dtype == "int4" else page_size
+    shape = (num_kv_heads, num_pages, rows,
+             head_dim if quant_dtype == "int4"
+             else payload_dim(head_dim, quant_dtype))
     scales = (
         jnp.ones((num_kv_heads, num_pages, page_size), jnp.float32)
         if quant_dtype
@@ -153,9 +161,16 @@ def create_stacked_cache(
     quant_dtype: Optional[str] = None,
 ) -> StackedKVCache:
     store = storage_dtype(quant_dtype) if quant_dtype else dtype
-    shape = (n_layers, num_kv_heads, num_pages, page_size, head_dim)
+    if quant_dtype == "int4" and page_size % 2:
+        raise ValueError("int4 KV needs an even page_size (row pairing)")
+    rows = page_size // 2 if quant_dtype == "int4" else page_size
+    shape = (n_layers, num_kv_heads, num_pages, rows,
+             head_dim if quant_dtype == "int4"
+             else payload_dim(head_dim, quant_dtype))
+    # scales stay per-TOKEN (page_size rows) even when payload rows pair
     scales = (
-        jnp.ones(shape[:-1], jnp.float32) if quant_dtype else None
+        jnp.ones((n_layers, num_kv_heads, num_pages, page_size),
+                 jnp.float32) if quant_dtype else None
     )
     return StackedKVCache(
         k_pages=jnp.zeros(shape, store),
@@ -233,6 +248,58 @@ class PageAllocator:
                 self._free.append(int(p))
 
 
+def pack_pages_payload(quant_dtype, kq: jax.Array, n_pages: int,
+                       page: int) -> jax.Array:
+    """Whole-page payload [hkv, n_tokens(=n_pages*page), d] -> the pages'
+    stored shape: [.., page, d], or token-pair nibble-packed
+    [.., page/2, d] for int4 (quant.pack_int4_pairs)."""
+    from mfa_tpu.kernels.quant import pack_int4_pairs
+
+    hkv = kq.shape[0]
+    kq = kq.reshape(hkv, n_pages * page, -1)
+    if quant_dtype == "int4":
+        return pack_int4_pairs(kq).reshape(hkv, n_pages, page // 2, -1)
+    return kq.reshape(hkv, n_pages, page, -1)
+
+
+def scatter_token_rows(pages: jax.Array, page_ids: jax.Array,
+                       offs: jax.Array, kq: jax.Array,
+                       quant_dtype) -> jax.Array:
+    """Scatter per-token payload rows kq [hkv, n, pdim] at
+    (page_ids[i], token offset offs[i]). For int4 this is a
+    read-modify-write nibble blend into the token pair's shared row; two
+    tokens of the same pair must NOT appear in one call (use
+    scatter_span_rows for arbitrary position sets)."""
+    if quant_dtype != "int4":
+        return pages.at[:, page_ids, offs, :].set(kq)
+    rows = offs // 2
+    old = pages[:, page_ids, rows]  # [hkv, n, d] packed bytes
+    parity = (offs % 2)[None, :, None]
+    nib = jnp.bitwise_and(kq, 0x0F)  # two's-complement low nibble
+    as_even = jnp.bitwise_or(jnp.bitwise_and(old, jnp.int8(-16)), nib)
+    as_odd = jnp.bitwise_or(jnp.bitwise_and(old, jnp.int8(0x0F)),
+                            jnp.left_shift(nib, 4))
+    new = jnp.where(parity == 0, as_even, as_odd).astype(jnp.int8)
+    return pages.at[:, page_ids, rows].set(new)
+
+
+def scatter_span_rows(pages: jax.Array, page_ids: jax.Array,
+                      offs: jax.Array, kq: jax.Array,
+                      quant_dtype) -> jax.Array:
+    """scatter_token_rows for ARBITRARY position sets: paired int4 writes
+    go in two parity passes (even offsets, then odd) so both halves of a
+    shared row land; the off-parity entries of each pass are routed to the
+    reserved null page 0 (never read)."""
+    if quant_dtype != "int4":
+        return pages.at[:, page_ids, offs, :].set(kq)
+    for parity in (0, 1):
+        m = (offs % 2) == parity
+        pids = jnp.where(m, page_ids, 0)
+        offs_p = jnp.where(m, offs, parity)
+        pages = scatter_token_rows(pages, pids, offs_p, kq, "int4")
+    return pages
+
+
 def _maybe_quant(cache: PagedKVCache, x: jax.Array):
     """-> (payload, scales|None) with payload in cache storage dtype."""
     if cache.quant_dtype is None:
@@ -259,8 +326,10 @@ def append_token(
     kq, ks = _maybe_quant(cache, jnp.swapaxes(new_k, 0, 1))  # [hkv, n, d]
     vq, vs = _maybe_quant(cache, jnp.swapaxes(new_v, 0, 1))
 
-    k_pages = cache.k_pages.at[:, page_ids, offs, :].set(kq)
-    v_pages = cache.v_pages.at[:, page_ids, offs, :].set(vq)
+    k_pages = scatter_token_rows(cache.k_pages, page_ids, offs, kq,
+                                 cache.quant_dtype)
+    v_pages = scatter_token_rows(cache.v_pages, page_ids, offs, vq,
+                                 cache.quant_dtype)
     k_scales = cache.k_scales
     v_scales = cache.v_scales
     if ks is not None:
@@ -300,8 +369,8 @@ def write_prompt(
     # [hkv, n_pages, page, d]
     kq, ks = _maybe_quant(cache, jnp.swapaxes(k_prompt, 0, 1))
     vq, vs = _maybe_quant(cache, jnp.swapaxes(v_prompt, 0, 1))
-    kq = kq.reshape(cache.num_kv_heads, n_pages, page, cache.head_dim)
-    vq = vq.reshape(cache.num_kv_heads, n_pages, page, cache.head_dim)
+    kq = pack_pages_payload(cache.quant_dtype, kq, n_pages, page)
+    vq = pack_pages_payload(cache.quant_dtype, vq, n_pages, page)
     page_ids = jnp.asarray(list(pages[:n_pages]), jnp.int32)
 
     k_pages = cache.k_pages.at[:, page_ids].set(kq)

@@ -49,6 +49,36 @@ from mfa_tpu.dispatch.config import (
 )
 
 _LOG2E = math.log2(math.e)
+
+
+def _unpack_int4(b):
+    """Token-pair nibble-packed int4 pages: b [rows, d] int8, where byte
+    (r, c) holds token 2r's feature c in its LOW nibble and token 2r+1's
+    feature c in its HIGH nibble (quant.pack_int4_pairs). Returns
+    [2*rows, d] int32 values ordered [even tokens..., odd tokens...] — a
+    PERMUTED token order, which is sound because softmax accumulation is
+    order-invariant; masks and per-token scales are permuted to match
+    (_pair_permute_iota + host-side scale shuffle).
+
+    Why this layout: int8 HBM arrays narrower than 128 lanes can't be
+    sliced by the strided per-page DMA on v5e, and lane-slicing inside the
+    kernel costs vector relayouts — lane-aligned token pairing needs only
+    two full-width shift chains and one sublane concat. Arithmetic in
+    int32 (sub-word int8 shifts fail to lower on v5e).
+    """
+    b32 = b.astype(jnp.int32)
+    even = jnp.right_shift(jnp.left_shift(b32, 28), 28)
+    odd = jnp.right_shift(jnp.left_shift(b32, 24), 28)
+    return jnp.concatenate([even, odd], axis=0)
+
+
+def _pair_permute_iota(rows_p, bt, base):
+    """[rows_p, bt] int32 token positions matching _unpack_int4's
+    [evens..., odds...] column order: column i is token base + 2i for
+    i < bt/2, else base + 2(i - bt/2) + 1."""
+    off = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 1)
+    perm = jnp.where(off < bt // 2, 2 * off, 2 * off - bt + 1)
+    return perm + base
 _LN2 = math.log(2.0)
 _MASK = -1e30
 _LANES = 128
@@ -99,6 +129,8 @@ def _paged_kernel_body(
     num_pages: int,
     max_blocks: int,
     quantized: bool,
+    pack2: bool,
+    head_dim: int,
     window_left: int,
     q_span: int,
     group: int,
@@ -231,7 +263,11 @@ def _paged_kernel_body(
         # Row si's absolute position is length - q_span + si, so it sees
         # cols < length - q_span + 1 + si (multi-query causal alignment).
         rows_p = max(8, -(-(q_span * group) // 8) * 8)
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 1) + i * bt
+        if pack2:  # paired int4: kv columns are in [evens, odds] order
+            col = _pair_permute_iota(rows_p, bt, i * bt)
+        else:
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_p, bt), 1) + i * bt
         if q_span == 1:
             in_len = col < length
             if window_left >= 0:
@@ -248,8 +284,12 @@ def _paged_kernel_body(
 
         for h in range(num_kv_heads):  # static unroll over kv heads
             q = q_ref[0, h]  # [group_p, d]
-            k = k_buf[slot, h].reshape(bt, -1)
-            v = v_buf[slot, h].reshape(bt, -1)
+            if pack2:  # paired int4 rows -> [bt, d] in [evens, odds] order
+                k = _unpack_int4(k_buf[slot, h].reshape(bt // 2, -1))
+                v = _unpack_int4(v_buf[slot, h].reshape(bt // 2, -1))
+            else:
+                k = k_buf[slot, h].reshape(bt, -1)
+                v = v_buf[slot, h].reshape(bt, -1)
             if quantized:
                 k = k.astype(jnp.bfloat16)
                 v = v.astype(jnp.bfloat16)
@@ -310,6 +350,7 @@ def paged_attention(
     return_lse: bool = False,
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
+    quant_dtype: Optional[str] = None,
 ):
     """Paged decode attention (seqlen_q == 1, or a small speculative span).
 
@@ -335,10 +376,17 @@ def paged_attention(
         batch, num_heads, head_dim = q.shape
     else:
         batch, q_span, num_heads, head_dim = q.shape
-    num_kv_heads, num_pages, page_size, _ = k_pages.shape
+    num_kv_heads, num_pages, page_rows, pwidth = k_pages.shape
     group = num_heads // num_kv_heads
     pages_per_seq = block_table.shape[1]
     quantized = k_scales is not None
+    # int4: row-PAIRED pages [hkv, P, page_size/2, head_dim] (see
+    # _unpack_int4) — quant_dtype="int4" must be passed since the shape is
+    # ambiguous with an int8 cache of half the page size.
+    pack2 = quant_dtype == "int4"
+    if pack2 and not quantized:
+        raise ValueError("int4 pages require k_scales/v_scales")
+    page_size = page_rows * 2 if pack2 else page_rows
     if softmax_scale is None:
         softmax_scale = softmax_scale_default(head_dim)
     if interpret is None:
@@ -351,7 +399,7 @@ def paged_attention(
         # DMA skipping makes oversized blocks free for short sequences.
         # Capped so the double-buffered KV stays within the VMEM budget.
         budget = 32 * 1024 * 1024  # bytes for the 2x2 KV buffers
-        per_page = 4 * num_kv_heads * page_size * head_dim * k_pages.dtype.itemsize
+        per_page = 4 * num_kv_heads * page_rows * pwidth * k_pages.dtype.itemsize
         ppb_vmem = max(1, budget // per_page)
         pages_per_compute_block = max(1, min(pages_per_seq, ppb_vmem))
     ppb = pages_per_compute_block
@@ -390,11 +438,13 @@ def paged_attention(
             pad = max_blocks * bt - g.shape[-1]
             if pad:
                 g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
+            g = g.reshape(batch, num_kv_heads, max_blocks, bt)
+            if pack2:
+                # match the kernel's [evens, odds] token order per block
+                g = jnp.concatenate([g[..., 0::2], g[..., 1::2]], axis=-1)
             # [b, max_blocks, hkv, bt]: the (hkv, bt) trailing dims satisfy
             # Mosaic's (full, 128-multiple) block tiling rule.
-            return jnp.transpose(
-                g.reshape(batch, num_kv_heads, max_blocks, bt), (0, 2, 1, 3)
-            )
+            return jnp.transpose(g, (0, 2, 1, 3))
 
         scale_spec = pl.BlockSpec(
             (1, 1, num_kv_heads, bt), lambda b, i, *refs: (b, i, 0, 0)
@@ -422,6 +472,8 @@ def paged_attention(
         num_pages=num_pages,
         max_blocks=max_blocks,
         quantized=quantized,
+        pack2=pack2,
+        head_dim=head_dim,
         window_left=window_left,
         q_span=q_span,
         group=group,
@@ -446,9 +498,9 @@ def paged_attention(
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
             pltpu.VMEM((num_kv_heads, rows_p, head_dim), jnp.float32),
-            pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
+            pltpu.VMEM((2, num_kv_heads, ppb, page_rows, pwidth),
                        k_pages.dtype),
-            pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
+            pltpu.VMEM((2, num_kv_heads, ppb, page_rows, pwidth),
                        v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, ppb)),
             pltpu.SemaphoreType.DMA((2, ppb)),
@@ -476,7 +528,7 @@ def paged_attention(
             flops=int(4 * batch * num_heads * pages_per_seq * page_size
                       * head_dim),
             bytes_accessed=int(
-                kv_stream * pages_per_seq * page_size * head_dim
+                kv_stream * pages_per_seq * page_rows * pwidth
                 * k_pages.dtype.itemsize
             ),
             transcendentals=int(batch * num_heads * pages_per_seq * page_size),

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mfa_tpu.dispatch.config import cdiv, default_interpret, round_up, \
     softmax_scale_default
-from mfa_tpu.kernels.paged import _page_copy
+from mfa_tpu.kernels.paged import (_page_copy, _pair_permute_iota,
+                                   _unpack_int4)
 
 _LOG2E = math.log2(math.e)
 _MASK = -1e30
@@ -75,6 +76,8 @@ def _body(
     num_pages: int,
     max_blocks: int,
     quantized: bool,
+    pack2: bool,
+    head_dim: int,
     window_left: int,
     causal: bool,
 ):
@@ -216,7 +219,11 @@ def _body(
         # (head-group major keeps each head's rows contiguous for the MXU)
         r_in_q = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 0) % block_q
         pos = qstart_ref[b] + i * block_q + r_in_q
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 1) + j * bt
+        if pack2:  # paired int4: kv columns are in [evens, odds] order
+            col = _pair_permute_iota(rows_p, bt, j * bt)
+        else:
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_p, bt), 1) + j * bt
         vis = col < lens_ref[b]
         if causal:
             vis = jnp.logical_and(vis, col <= pos)
@@ -225,8 +232,12 @@ def _body(
 
         for h in range(num_kv_heads):
             q = q_ref[0, 0, h]  # [group*bq, d]
-            k = k_buf[slot, h].reshape(bt, -1)
-            v = v_buf[slot, h].reshape(bt, -1)
+            if pack2:  # paired int4 rows -> [bt, d], [evens, odds] order
+                k = _unpack_int4(k_buf[slot, h].reshape(bt // 2, -1))
+                v = _unpack_int4(v_buf[slot, h].reshape(bt // 2, -1))
+            else:
+                k = k_buf[slot, h].reshape(bt, -1)
+                v = v_buf[slot, h].reshape(bt, -1)
             if quantized:
                 k = k.astype(jnp.bfloat16)
                 v = v.astype(jnp.bfloat16)
@@ -282,6 +293,7 @@ def paged_prefill_attention(
     pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
+    quant_dtype: Optional[str] = None,
 ) -> jax.Array:
     """Chunk prefill against a paged KV cache. Returns [b, sq, h, d].
 
@@ -297,10 +309,15 @@ def paged_prefill_attention(
             "defined alignment here)"
         )
     batch, sq, num_heads, head_dim = q.shape
-    num_kv_heads, num_pages, page_size, _ = k_pages.shape
+    num_kv_heads, num_pages, page_rows, pwidth = k_pages.shape
     group = num_heads // num_kv_heads
     pages_per_seq = block_table.shape[1]
     quantized = k_scales is not None
+    # int4: row-paired pages (see kernels/paged.py:_unpack_int4)
+    pack2 = quant_dtype == "int4"
+    if pack2 and not quantized:
+        raise ValueError("int4 pages require k_scales/v_scales")
+    page_size = page_rows * 2 if pack2 else page_rows
     if softmax_scale is None:
         softmax_scale = softmax_scale_default(head_dim)
     if interpret is None:
@@ -314,7 +331,7 @@ def paged_prefill_attention(
 
     if pages_per_compute_block is None:
         budget = 16 * 1024 * 1024
-        per_page = 4 * num_kv_heads * page_size * head_dim * k_pages.dtype.itemsize
+        per_page = 4 * num_kv_heads * page_rows * pwidth * k_pages.dtype.itemsize
         pages_per_compute_block = max(1, min(pages_per_seq,
                                              budget // per_page))
     ppb = pages_per_compute_block
@@ -353,8 +370,11 @@ def paged_prefill_attention(
             pad = max_blocks * bt - g.shape[-1]
             if pad:
                 g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
+            g = g.reshape(batch, num_kv_heads, max_blocks, bt)
+            if pack2:  # match the kernel's [evens, odds] order per block
+                g = jnp.concatenate([g[..., 0::2], g[..., 1::2]], axis=-1)
             return jnp.transpose(
-                g.reshape(batch, num_kv_heads, max_blocks, bt), (0, 2, 1, 3)
+                g, (0, 2, 1, 3)
             )[:, None].repeat(1, axis=1)  # [b, 1, max_blocks, hkv, bt]
 
         # scales blocked on (b, j); the q-block axis views the same block
@@ -387,6 +407,8 @@ def paged_prefill_attention(
         num_pages=num_pages,
         max_blocks=max_blocks,
         quantized=quantized,
+        pack2=pack2,
+        head_dim=head_dim,
         window_left=window_left,
         causal=causal,
     )
@@ -409,9 +431,9 @@ def paged_prefill_attention(
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
             pltpu.VMEM((num_kv_heads, rows_p, head_dim), jnp.float32),
-            pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
+            pltpu.VMEM((2, num_kv_heads, ppb, page_rows, pwidth),
                        k_pages.dtype),
-            pltpu.VMEM((2, num_kv_heads, ppb, page_size, head_dim),
+            pltpu.VMEM((2, num_kv_heads, ppb, page_rows, pwidth),
                        v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, ppb)),
             pltpu.SemaphoreType.DMA((2, ppb)),

@@ -27,9 +27,12 @@ __all__ = [
     "quantize_rows",
     "dequantize_rows",
     "quant_max",
+    "payload_dim",
+    "pack_int4_pairs",
+    "unpack_int4_pairs",
 ]
 
-KV_QUANT_DTYPES = ("int8", "fp8")
+KV_QUANT_DTYPES = ("int8", "fp8", "int4")
 
 _FP8_DTYPE = jnp.float8_e4m3fn
 
@@ -37,13 +40,48 @@ _FP8_DTYPE = jnp.float8_e4m3fn
 def quant_max(quant_dtype: str) -> float:
     if quant_dtype == "int8":
         return 127.0
+    if quant_dtype == "int4":
+        return 7.0
     if quant_dtype == "fp8":
         return float(jnp.finfo(_FP8_DTYPE).max)  # 448 for e4m3fn
     raise ValueError(f"unsupported quant dtype {quant_dtype!r}")
 
 
 def storage_dtype(quant_dtype: str):
-    return jnp.int8 if quant_dtype == "int8" else _FP8_DTYPE
+    # int4 stores two values per int8 byte (nibble-packed: this backend's
+    # device layer mishandles native jnp.int4 arrays, and packed int8 is
+    # portable anyway); see pack/unpack below.
+    return jnp.int8 if quant_dtype in ("int8", "int4") else _FP8_DTYPE
+
+
+def payload_dim(head_dim: int, quant_dtype) -> int:
+    """Last-axis size of the stored payload for a head_dim vector (the
+    int4 byte-halving happens across TOKEN PAIRS, not features — see
+    pack_int4_pairs — so the per-token row width stays head_dim)."""
+    return head_dim
+
+
+def pack_int4_pairs(vals: jax.Array) -> jax.Array:
+    """[..., n_tokens, d] int8 4-bit values in [-7, 7] -> nibble-packed
+    [..., n_tokens//2, d]: byte (r, c) = token 2r's feature c (low nibble)
+    | token 2r+1's feature c (high nibble). Lane-aligned pairing: every
+    byte's two nibbles belong to the SAME feature of adjacent tokens, so
+    the in-kernel unpack is two full-width shifts + one sublane concat —
+    no lane slicing (which costs vector relayouts on TPU).
+    """
+    lo = jnp.bitwise_and(vals[..., 0::2, :], 0x0F)
+    hi = jnp.left_shift(vals[..., 1::2, :], 4)  # int8 wrap = 2's-compl nibble
+    return jnp.bitwise_or(lo, hi).astype(jnp.int8)
+
+
+def unpack_int4_pairs(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_int4_pairs: [..., rows, d] -> [..., 2*rows, d] in
+    NATURAL token order (host/oracle path; the kernel keeps the permuted
+    [evens, odds] order instead)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., rows, 2, d]
+    return stacked.reshape(*packed.shape[:-2], -1, packed.shape[-1])
 
 
 def quantize_rows(x: jax.Array, quant_dtype: str) -> Tuple[jax.Array, jax.Array]:
@@ -59,12 +97,19 @@ def quantize_rows(x: jax.Array, quant_dtype: str) -> Tuple[jax.Array, jax.Array]
     scaled = x.astype(jnp.float32) / scale[..., None]
     if quant_dtype == "int8":
         payload = jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
+    elif quant_dtype == "int4":
+        # UNPACKED 4-bit values; token-pair packing happens at the cache
+        # layer (pack_pages_payload / scatter helpers)
+        payload = jnp.clip(jnp.round(scaled), -7, 7).astype(jnp.int8)
     else:
         payload = jnp.clip(scaled, -qmax, qmax).astype(_FP8_DTYPE)
     return payload, scale.astype(jnp.float32)
 
 
 def dequantize_rows(payload: jax.Array, scales: jax.Array,
-                    dtype=jnp.float32) -> jax.Array:
-    """Inverse of quantize_rows (test/oracle path)."""
+                    dtype=jnp.float32, quant_dtype: str = None) -> jax.Array:
+    """Inverse of quantize_rows (test/oracle path). quantize_rows outputs
+    are unpacked for every format (int4 included), so this is one
+    multiply; use unpack_int4_pairs first for CACHE pages."""
+    del quant_dtype  # all quantize_rows payloads are per-token rows
     return (payload.astype(jnp.float32) * scales[..., None]).astype(dtype)

@@ -477,7 +477,7 @@ def _store_rows(quant_dtype: Optional[str], store_dtype, x):
 def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
                              lengths, tables, mesh: Optional[Mesh],
                              out_dtype, cfg: "LlamaConfig",
-                             window_left: int = -1):
+                             window_left: int = -1, quant_dtype=None):
     """Paged decode attention on one layer's pages, TP-sharded by kv head
     when a mesh with a 'model' axis is active. q3: [n, heads, d].
 
@@ -487,7 +487,8 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
     from mfa_tpu.kernels.paged import paged_attention
 
     pkw = dict(window_left=window_left, softmax_scale=cfg.attn_scale,
-               logit_softcap=cfg.attn_softcap or 0.0)
+               logit_softcap=cfg.attn_softcap or 0.0,
+               quant_dtype=quant_dtype)
     if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return paged_attention(
             q3.astype(out_dtype), k_pages, v_pages, lengths, tables,
@@ -602,10 +603,12 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
                                  jnp.transpose(k, (2, 0, 1, 3)))
         vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
                                  jnp.transpose(v, (2, 0, 1, 3)))
+        from mfa_tpu.cache.paged_cache import pack_pages_payload
+
         kp = kp.at[:, flat_ids].set(
-            kq.reshape(cfg.n_kv_heads, n * npg, page, hd))
+            pack_pages_payload(cache.quant_dtype, kq, n * npg, page))
         vp = vp.at[:, flat_ids].set(
-            vq.reshape(cfg.n_kv_heads, n * npg, page, hd))
+            pack_pages_payload(cache.quant_dtype, vq, n * npg, page))
         if ksc is not None:
             ksc = ksc.at[:, flat_ids].set(
                 ks_new.reshape(cfg.n_kv_heads, n * npg, page))
@@ -634,13 +637,15 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
 
 def _paged_prefill_sharded(q, k_pages, v_pages, k_scales, v_scales,
                            kv_len, q_start, table, mesh: Optional[Mesh],
-                           cfg: "LlamaConfig", window_left: int):
+                           cfg: "LlamaConfig", window_left: int,
+                           quant_dtype=None):
     """Chunk attention against the paged cache, TP-sharded by kv head when
     a 'model' mesh is active. q: [b, chunk, h, d]."""
     from mfa_tpu.kernels.paged_prefill import paged_prefill_attention
 
     kwargs = dict(window_left=window_left, softmax_scale=cfg.attn_scale,
-                  logit_softcap=cfg.attn_softcap or 0.0)
+                  logit_softcap=cfg.attn_softcap or 0.0,
+                  quant_dtype=quant_dtype)
     if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return paged_prefill_attention(
             q, k_pages, v_pages, kv_len, q_start, table,
@@ -722,10 +727,12 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
         vq, vs_new = _store_rows(
             cache.quant_dtype, vp.dtype,
             jnp.transpose(v, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
+        from mfa_tpu.cache.paged_cache import pack_pages_payload
+
         kp = kp.at[:, page_ids].set(
-            kq.reshape(cfg.n_kv_heads, n * chunk_pages, page, hd))
+            pack_pages_payload(cache.quant_dtype, kq, n * chunk_pages, page))
         vp = vp.at[:, page_ids].set(
-            vq.reshape(cfg.n_kv_heads, n * chunk_pages, page, hd))
+            pack_pages_payload(cache.quant_dtype, vq, n * chunk_pages, page))
         if ksc is not None:
             ksc = ksc.at[:, page_ids].set(
                 ks_new.reshape(cfg.n_kv_heads, n * chunk_pages, page))
@@ -733,7 +740,7 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
                 vs_new.reshape(cfg.n_kv_heads, n * chunk_pages, page))
         attn = _paged_prefill_sharded(
             q.astype(cfg.dtype), kp, vp, ksc, vsc, kv_len, offsets,
-            table_rows, _prefill_mesh(mesh), cfg, wl,
+            table_rows, _prefill_mesh(mesh), cfg, wl, cache.quant_dtype,
         )
         x = _attn_residual(x, attn.reshape(n, chunk, cfg.n_heads * hd),
                            lp, cfg)
@@ -850,14 +857,16 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
                                  jnp.swapaxes(k[:, 0], 0, 1))  # [hkv, n, d]
         vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
                                  jnp.swapaxes(v[:, 0], 0, 1))
-        kp = kp.at[:, write_pages, offs, :].set(kq)
-        vp = vp.at[:, write_pages, offs, :].set(vq)
+        from mfa_tpu.cache.paged_cache import scatter_token_rows
+
+        kp = scatter_token_rows(kp, write_pages, offs, kq, cache.quant_dtype)
+        vp = scatter_token_rows(vp, write_pages, offs, vq, cache.quant_dtype)
         if ksc is not None:
             ksc = ksc.at[:, write_pages, offs].set(ks_new)
             vsc = vsc.at[:, write_pages, offs].set(vs_new)
         attn = _paged_attention_sharded(
             q[:, 0], kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype,
-            cfg, wl,
+            cfg, wl, cache.quant_dtype,
         )  # [n, heads, hd]
         x = _attn_residual(x, attn.reshape(n, 1, cfg.n_heads * hd), lp, cfg)
         x = _mlp(x, lp, cfg)
@@ -916,14 +925,16 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         vq, vs_new = _store_rows(
             cache.quant_dtype, vp.dtype,
             jnp.transpose(v, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
-        kp = kp.at[:, write_pages, offs, :].set(kq)
-        vp = vp.at[:, write_pages, offs, :].set(vq)
+        from mfa_tpu.cache.paged_cache import scatter_span_rows
+
+        kp = scatter_span_rows(kp, write_pages, offs, kq, cache.quant_dtype)
+        vp = scatter_span_rows(vp, write_pages, offs, vq, cache.quant_dtype)
         if ksc is not None:
             ksc = ksc.at[:, write_pages, offs].set(ks_new)
             vsc = vsc.at[:, write_pages, offs].set(vs_new)
         attn = _paged_attention_sharded(
             q, kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype,
-            cfg, wl,
+            cfg, wl, cache.quant_dtype,
         )  # [n, span, heads, hd]
         x = _attn_residual(x, attn.reshape(n, span, cfg.n_heads * hd),
                            lp, cfg)

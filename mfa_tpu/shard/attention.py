@@ -73,7 +73,7 @@ def sharded_flash_attn(
 def sharded_paged_decode(
     mesh: Mesh,
     softmax_scale: Optional[float] = None,
-    quantized: bool = False,
+    quantized=False,  # False | True (int8/fp8) | "int4"
     data_axis: str = DATA_AXIS,
     model_axis: str = MODEL_AXIS,
 ):
@@ -99,6 +99,7 @@ def sharded_paged_decode(
         P(data_axis),
         P(data_axis, None),
     ]
+    qd = quantized if isinstance(quantized, str) else None
     if quantized:
         in_specs += [scale_spec, scale_spec]
 
@@ -106,7 +107,7 @@ def sharded_paged_decode(
             return paged_attention(
                 q, k_pages, v_pages, lengths, block_table,
                 k_scales=k_scales, v_scales=v_scales,
-                softmax_scale=softmax_scale,
+                softmax_scale=softmax_scale, quant_dtype=qd,
             )
     else:
 
@@ -181,7 +182,7 @@ def context_parallel_decode(
 def context_parallel_paged_decode(
     mesh: Mesh,
     softmax_scale: Optional[float] = None,
-    quantized: bool = False,
+    quantized=False,  # False | True (int8/fp8) | "int4"
     ctx_axis: str = CTX_AXIS,
 ):
     """KV-PAGE-POOL-sharded (context-parallel) paged decode.
@@ -215,13 +216,14 @@ def context_parallel_paged_decode(
     ]
     if quantized:
         in_specs += [P(None, ctx_axis, None), P(None, ctx_axis, None)]
+    qd = quantized if isinstance(quantized, str) else None
 
     def _fn(q, kp, vp, lens, tables, *scales):
         kw = (dict(k_scales=scales[0], v_scales=scales[1])
               if scales else {})
         o, lse = paged_attention(
             q, kp, vp, lens[0], tables[0], softmax_scale=softmax_scale,
-            return_lse=True, **kw,
+            return_lse=True, quant_dtype=qd, **kw,
         )
         o = o.astype(jnp.float32)
         # cross-chip max-normalized LSE combine (decode.cuh:718-747 over ICI)

@@ -89,3 +89,84 @@ def test_quantized_vs_full_precision_quality():
     )
     diff = np.abs(np.asarray(quant, np.float32) - np.asarray(full, np.float32)).max()
     assert diff < 0.08, f"int8 KV quality degradation too large: {diff}"
+
+
+def test_int4_pack_roundtrip_exact():
+    from mfa_tpu.kernels.quant import pack_int4_pairs, unpack_int4_pairs
+
+    ints = jnp.round(jnp.clip(
+        jax.random.normal(jax.random.key(1), (6, 8)) * 3, -7, 7)
+    ).astype(jnp.int8)
+    packed = pack_int4_pairs(ints)
+    assert packed.shape == (3, 8)
+    assert bool(jnp.all(unpack_int4_pairs(packed) == ints))
+
+
+def test_int4_quantize_shapes_and_error():
+    from mfa_tpu.kernels.quant import dequantize_rows, quantize_rows
+
+    x = jax.random.normal(jax.random.key(0), (2, 16, 64))
+    q4, s4 = quantize_rows(x, "int4")  # unpacked 4-bit values, full d
+    assert q4.shape == (2, 16, 64) and q4.dtype == jnp.int8
+    assert int(jnp.max(jnp.abs(q4))) <= 7
+    xr = dequantize_rows(q4, s4)
+    rel = float(jnp.max(jnp.abs(xr - x)) / jnp.max(jnp.abs(x)))
+    assert rel < 0.12  # 4-bit per-row symmetric: coarse but bounded
+
+
+def test_int4_paged_decode_matches_dequant_oracle():
+    from mfa_tpu.cache.paged_cache import pack_pages_payload
+    from mfa_tpu.kernels.paged import paged_attention
+    from mfa_tpu.kernels.quant import dequantize_rows, quantize_rows
+    from mfa_tpu.ref.oracle import paged_decode_ref
+
+    batch, heads, kvh, d, page, pps = 3, 4, 2, 64, 16, 4
+    num_pages = batch * pps + 1
+    kp = jax.random.normal(jax.random.key(2), (kvh, num_pages, page, d))
+    vp = jax.random.normal(jax.random.key(3), (kvh, num_pages, page, d))
+    kq, ks = quantize_rows(kp, "int4")  # [kvh, P, page, d] 4-bit values
+    vq, vs = quantize_rows(vp, "int4")
+    # pages store token-pair nibble-packed payloads [kvh, P, page/2, d]
+    kq_p = pack_pages_payload("int4", kq.reshape(kvh, -1, d),
+                              num_pages, page)
+    vq_p = pack_pages_payload("int4", vq.reshape(kvh, -1, d),
+                              num_pages, page)
+    table = jnp.arange(1, batch * pps + 1, dtype=jnp.int32).reshape(batch, pps)
+    lens = jnp.asarray([37, 64, 11], jnp.int32)
+    q = jax.random.normal(jax.random.key(4), (batch, heads, d), jnp.bfloat16)
+    out = paged_attention(q, kq_p, vq_p, lens, table, k_scales=ks,
+                          v_scales=vs, quant_dtype="int4")
+    kd = dequantize_rows(kq, ks)
+    vd = dequantize_rows(vq, vs)
+    ref = paged_decode_ref(
+        q[:, None].astype(jnp.float32),
+        jnp.transpose(kd, (1, 2, 0, 3)),
+        jnp.transpose(vd, (1, 2, 0, 3)), lens, table)[:, 0]
+    diff = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+    assert diff < 0.02, diff  # bf16 compute noise only (quant is in both)
+
+
+def test_engine_int4_kv_serves():
+    """End-to-end: int4 nibble-packed KV through prefill, chunked writes,
+    and decode — generations stay sane (finite logprobs, right length)."""
+    from mfa_tpu.models import llama
+    from mfa_tpu.serve.engine import Engine
+
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                 kv_heads=2, ffn=96, dtype=jnp.float32)
+    params = llama.init_params(jax.random.key(0), cfg)
+    eng = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=2,
+                 pages_per_seq=8, quant_dtype="int4")
+    reqs = [eng.submit([1, 2, 3, 4, 5], 6), eng.submit([7] * 9, 6)]
+    eng.run(burst=3)
+    assert all(len(r.generated) == 6 for r in reqs)
+    assert all(np.isfinite(r.logprobs).all() for r in reqs)
+    # row-paired int4: half the page rows, full head_dim width
+    assert eng.cache.k_pages.shape[-2:] == (4, cfg.head_dim)
+    # int4 must track the bf16-cache generation closely on a tiny model:
+    # compare against full-precision engine prefix (first token often equal)
+    eng_ref = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=2,
+                     pages_per_seq=8)
+    r_ref = eng_ref.submit([1, 2, 3, 4, 5], 6)
+    eng_ref.run(burst=3)
+    assert r_ref.generated[0] == reqs[0].generated[0]
