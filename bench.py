@@ -39,7 +39,8 @@ from mfa_tpu.utils.timing import (  # noqa: E402
 
 
 def bench_decode_int8(rtt, batch=24, heads=32, kv_heads=8, d=128, kv_len=8192,
-                      page=128):
+                      page=128, quant="int8"):
+    from mfa_tpu.cache.paged_cache import pack_pages_payload
     from mfa_tpu.kernels.paged import paged_attention
     from mfa_tpu.kernels.quant import quantize_rows
 
@@ -48,8 +49,13 @@ def bench_decode_int8(rtt, batch=24, heads=32, kv_heads=8, d=128, kv_len=8192,
     q0 = jax.random.normal(jax.random.key(0), (batch, heads, d), jnp.bfloat16)
     k_pages = jax.random.normal(jax.random.key(1), (kv_heads, num_pages, page, d))
     v_pages = jax.random.normal(jax.random.key(2), (kv_heads, num_pages, page, d))
-    kq, ks = quantize_rows(k_pages, "int8")
-    vq, vs = quantize_rows(v_pages, "int8")
+    kq, ks = quantize_rows(k_pages, quant)
+    vq, vs = quantize_rows(v_pages, quant)
+    if quant == "int4":  # token-pair nibble-packed pages
+        kq = pack_pages_payload("int4", kq.reshape(kv_heads, -1, d),
+                                num_pages, page)
+        vq = pack_pages_payload("int4", vq.reshape(kv_heads, -1, d),
+                                num_pages, page)
     table = (
         jax.random.permutation(jax.random.key(3), num_pages - 1)[: batch * pps] + 1
     ).reshape(batch, pps).astype(jnp.int32)
@@ -57,12 +63,15 @@ def bench_decode_int8(rtt, batch=24, heads=32, kv_heads=8, d=128, kv_len=8192,
     jax.block_until_ready((kq, vq, ks, vs))
 
     def step(q, kq, vq, lens, table, ks, vs):
-        out = paged_attention(q, kq, vq, lens, table, k_scales=ks, v_scales=vs)
+        out = paged_attention(q, kq, vq, lens, table, k_scales=ks, v_scales=vs,
+                              quant_dtype=(quant if quant == "int4" else None))
         return _chain(q, out)
 
     dt = scan_timeit(step, q0, args=(kq, vq, lens, table, ks, vs), rtt=rtt)
 
-    payload = 2 * batch * kv_heads * kv_len * d  # int8 K+V
+    payload = 2 * batch * kv_heads * kv_len * d  # int8 K+V bytes
+    if quant == "int4":
+        payload //= 2
     scales = 2 * batch * kv_heads * kv_len * 4  # fp32 row scales
     qo = batch * heads * d * (2 + 4)
     bytes_moved = payload + scales + qo
@@ -112,6 +121,12 @@ def main():
         file=sys.stderr,
     )
     try:
+        dt4, _, _ = bench_decode_int8(rtt, quant="int4")
+        print(
+            f"[bench] int4 paged decode kv=8192 (same shapes): {dt4*1e3:.3f} ms "
+            f"({dt/dt4:.2f}x vs int8, 2x KV density)",
+            file=sys.stderr,
+        )
         dtb, gbpsb, pctb = bench_decode_bf16(rtt)
         print(
             f"[bench] bf16 decode kv=8192 (b24 h24 MHA): {dtb*1e3:.3f} ms, "

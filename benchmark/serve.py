@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=512)
     ap.add_argument("--gen", type=int, default=32)
     ap.add_argument("--page", type=int, default=128)
-    ap.add_argument("--quant", choices=["none", "int8", "fp8"], default="none")
+    ap.add_argument("--quant", choices=["none", "int8", "fp8", "int4"], default="none")
     ap.add_argument("--tp", type=int, default=1, help="model-axis mesh size")
     ap.add_argument("--burst", type=int, default=8,
                     help="decode steps fused on-device per host sync")

@@ -27,7 +27,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from mfa_tpu.kernels.quant import payload_dim, quantize_rows, storage_dtype
+from mfa_tpu.kernels.quant import quantize_rows, storage_dtype
 
 
 @jax.tree_util.register_dataclass
@@ -82,9 +82,7 @@ def create_cache(
     # d-wide int8 row (narrow int8 rows can't be DMA'd on TPU) — see
     # kernels/paged.py:_unpack_int4.
     rows = page_size // 2 if quant_dtype == "int4" else page_size
-    shape = (num_kv_heads, num_pages, rows,
-             head_dim if quant_dtype == "int4"
-             else payload_dim(head_dim, quant_dtype))
+    shape = (num_kv_heads, num_pages, rows, head_dim)
     scales = (
         jnp.ones((num_kv_heads, num_pages, page_size), jnp.float32)
         if quant_dtype
@@ -164,9 +162,7 @@ def create_stacked_cache(
     if quant_dtype == "int4" and page_size % 2:
         raise ValueError("int4 KV needs an even page_size (row pairing)")
     rows = page_size // 2 if quant_dtype == "int4" else page_size
-    shape = (n_layers, num_kv_heads, num_pages, rows,
-             head_dim if quant_dtype == "int4"
-             else payload_dim(head_dim, quant_dtype))
+    shape = (n_layers, num_kv_heads, num_pages, rows, head_dim)
     # scales stay per-TOKEN (page_size rows) even when payload rows pair
     scales = (
         jnp.ones((n_layers, num_kv_heads, num_pages, page_size),

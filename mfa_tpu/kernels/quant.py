@@ -27,7 +27,6 @@ __all__ = [
     "quantize_rows",
     "dequantize_rows",
     "quant_max",
-    "payload_dim",
     "pack_int4_pairs",
     "unpack_int4_pairs",
 ]
@@ -52,13 +51,6 @@ def storage_dtype(quant_dtype: str):
     # device layer mishandles native jnp.int4 arrays, and packed int8 is
     # portable anyway); see pack/unpack below.
     return jnp.int8 if quant_dtype in ("int8", "int4") else _FP8_DTYPE
-
-
-def payload_dim(head_dim: int, quant_dtype) -> int:
-    """Last-axis size of the stored payload for a head_dim vector (the
-    int4 byte-halving happens across TOKEN PAIRS, not features — see
-    pack_int4_pairs — so the per-token row width stays head_dim)."""
-    return head_dim
 
 
 def pack_int4_pairs(vals: jax.Array) -> jax.Array:

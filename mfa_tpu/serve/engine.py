@@ -99,6 +99,15 @@ class Engine:
         # `sampling` wins over the legacy `greedy` flag; default is greedy.
         self.sampling = sampling or SamplingParams()
         self.greedy = self.sampling.greedy
+        # Repetition penalty: a device-resident [max_seqs, vocab] context
+        # mask keyed by SLOT — rows are marked as prompts admit and tokens
+        # sample (tiny device scatters), gathered per batch at sample time.
+        # Rebuilding host-side per step would ship ~vocab*batch bools
+        # through the dispatch tunnel every decode step.
+        self._pres_dev = (
+            jnp.zeros((max_seqs, cfg.vocab_size), bool)
+            if self.sampling.needs_presence else None
+        )
         self._key = jax.random.key(seed)
         self.stats = EngineStats()
         self._next_uid = 0
@@ -180,6 +189,7 @@ class Engine:
         normal decode step."""
         if not reqs:
             return
+        self._pres_mark_context(reqs)  # prompts count for the penalty
         chunk_limit = self.prefill_chunk
         for r in reqs:
             toks = r.prompt + r.generated[:-1]
@@ -202,8 +212,10 @@ class Engine:
                 self.draft_params, self.draft_cfg, self.draft_cache,
                 [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
             )
-        ids, lps = self._sample(logits)
+        ids, lps = self._sample(
+            logits, self._pres_rows([r.slot for r in reqs]))
         firsts, first_lps = np.asarray(ids), np.asarray(lps)
+        self._pres_mark([r.slot for r in reqs], firsts)
         for req, toks, first, flp in zip(reqs, token_lists, firsts,
                                          first_lps):
             self.stats.prefill_tokens += len(toks)
@@ -243,17 +255,32 @@ class Engine:
         ids = sample(logits, sub, self.sampling, presence)
         return ids, token_logprobs(logits, ids)
 
-    def _presence(self, active, rows: int):
-        """[rows, vocab] bool context mask (prompt + generated) for the
-        repetition penalty; None when the sampler doesn't need it."""
-        if not self.sampling.needs_presence:
+    def _pres_rows(self, slots):
+        """Gather the presence rows for a batch of slots (device op), or
+        None when the sampler doesn't need them."""
+        if self._pres_dev is None:
             return None
-        pres = np.zeros((rows, self.cfg.vocab_size), bool)
-        for i, r in enumerate(active):
-            pres[i, r.prompt] = True
-            if r.generated:
-                pres[i, r.generated] = True
-        return jnp.asarray(pres)
+        return self._pres_dev[jnp.asarray(slots, jnp.int32)]
+
+    def _pres_mark(self, slots, tokens) -> None:
+        """Mark token ids as present for their slots (one device scatter;
+        slots and tokens are equal-length flat sequences)."""
+        if self._pres_dev is None or len(slots) == 0:
+            return
+        self._pres_dev = self._pres_dev.at[
+            jnp.asarray(slots, jnp.int32), jnp.asarray(tokens, jnp.int32)
+        ].set(True)
+
+    def _pres_mark_context(self, reqs) -> None:
+        """Mark each request's full context (prompt + generated so far)."""
+        if self._pres_dev is None:
+            return
+        slots, toks = [], []
+        for r in reqs:
+            ctx = r.prompt + r.generated
+            slots.extend([r.slot] * len(ctx))
+            toks.extend(ctx)
+        self._pres_mark(slots, toks)
 
     def _advance_chunked_prefill(self) -> None:
         """Advance EVERY in-progress long prompt by one chunk, in a single
@@ -304,8 +331,10 @@ class Engine:
                 self.draft_params, self.draft_cfg, self.draft_cache, slots,
                 pages_l, chunk_toks, offs, totals, chunk,
             )
-        ids, lps = self._sample(logits)
+        ids, lps = self._sample(
+            logits, self._pres_rows([it[0].slot for it in items]))
         ids_np, lps_np = np.asarray(ids), np.asarray(lps)
+        mark_slots, mark_toks = [], []
         for i, (req, pos, tokens) in enumerate(items):
             pos += min(chunk, len(tokens) - pos)
             if pos >= len(tokens):
@@ -316,11 +345,14 @@ class Engine:
                 if not req.generated:
                     req.generated.append(int(ids_np[i]))
                     req.logprobs.append(float(lps_np[i]))
+                    mark_slots.append(req.slot)
+                    mark_toks.append(int(ids_np[i]))
                     self.stats.decode_tokens += 1
                 if req.done:
                     self._finish(req)
             else:
                 self._prefilling[req.uid] = (req, pos, tokens)
+        self._pres_mark(mark_slots, mark_toks)
 
     def _decode_ready(self):
         return [r for r in self.sched.active.values()
@@ -369,8 +401,10 @@ class Engine:
             # roll back the scratch slot the padded rows appended into
             self.cache = release_slot(self.cache, scratch)
 
-        ids, lps = self._sample(logits[:n], self._presence(active, n))
+        ids, lps = self._sample(
+            logits[:n], self._pres_rows([r.slot for r in active]))
         next_tokens, next_lps = np.asarray(ids), np.asarray(lps)
+        self._pres_mark([r.slot for r in active], next_tokens)
         self.stats.steps += 1
         for i, req in enumerate(active):
             req.generated.append(int(next_tokens[i]))
@@ -425,22 +459,26 @@ class Engine:
             self.params, self.cfg, self.cache,
             jnp.asarray(slots), jnp.asarray(tokens), n_eff, mesh=self.mesh,
             sampling=self.sampling, key=sub,
-            presence=self._presence(active, len(slots)),
+            presence=self._pres_rows(slots),
         )
         if scratch is not None:
             self.cache = release_slot(self.cache, scratch)
         toks_np = np.asarray(toks)  # [n_eff, nb]
         lps_np = np.asarray(burst_lps)
         self.stats.steps += n_eff
+        mark_slots, mark_toks = [], []
         for i, req in enumerate(active):
             for t, lp in zip(toks_np[:, i], lps_np[:, i]):
                 if req.done:
                     break
                 req.generated.append(int(t))
                 req.logprobs.append(float(lp))
+                mark_slots.append(req.slot)
+                mark_toks.append(int(t))
                 self.stats.decode_tokens += 1
             if req.done:
                 self._finish(req)
+        self._pres_mark(mark_slots, mark_toks)
 
     def step_speculative(self) -> None:
         """One speculative iteration: the draft model proposes spec_tokens
@@ -539,6 +577,8 @@ class Engine:
         from mfa_tpu.cache.paged_cache import release_slot
 
         slot = req.slot
+        if self._pres_dev is not None:
+            self._pres_dev = self._pres_dev.at[slot].set(False)
         self.sched.finish(req)
         self.cache = release_slot(self.cache, slot)
         if self.draft_cache is not None:
@@ -551,6 +591,8 @@ class Engine:
         is rebuilt by re-prefilling on re-admission. Returns the number of
         requeued requests."""
         self._prefilling.clear()
+        if self._pres_dev is not None:
+            self._pres_dev = jnp.zeros_like(self._pres_dev)
         active = sorted(self.sched.active.values(), key=lambda r: r.uid)
         for req in list(active):
             self.sched.finish(req)

@@ -33,6 +33,15 @@ from typing import Any, Callable, Dict, List, Optional
 _DONE = object()  # stream sentinel
 
 
+class _Err:
+    """Stream error sentinel: delivered instead of a token chunk when the
+    request failed (bad submit or engine failure)."""
+
+    def __init__(self, msg: str, code: int = 500):
+        self.msg = msg
+        self.code = code
+
+
 class ServingLoop:
     """Owns the Engine on one thread; bridges it to concurrent callers."""
 
@@ -68,11 +77,28 @@ class ServingLoop:
                 prompt, mnt, eos, stop, out = self._submit_q.get_nowait()
             except queue.Empty:
                 return admitted
-            req = self.engine.submit(prompt, mnt, eos_token=eos, stop=stop)
+            try:
+                req = self.engine.submit(prompt, mnt, eos_token=eos,
+                                         stop=stop)
+            except Exception as e:  # reject THIS request, keep serving
+                out.put(_Err(str(e), code=400))
+                out.put(_DONE)
+                continue
             with self._lock:
                 self._streams[req.uid] = out
                 self._reqs[req.uid] = req
             admitted = True
+
+    def _fail_all(self, msg: str):
+        """Engine failure: error out every in-flight stream; the loop
+        thread stays alive for future requests."""
+        with self._lock:
+            streams = list(self._streams.values())
+            self._streams.clear()
+            self._reqs.clear()
+        for stream in streams:
+            stream.put(_Err(msg))
+            stream.put(_DONE)
 
     def _run(self):
         while not self._stop.is_set():
@@ -85,7 +111,17 @@ class ServingLoop:
                 except queue.Empty:
                     continue
                 continue
-            self.engine.step_burst(self.burst)
+            try:
+                self.engine.step_burst(self.burst)
+            except Exception as e:
+                # a dead loop thread would hang every present and future
+                # request — recover the engine and fail the in-flight ones
+                try:
+                    self.engine.recover()
+                except Exception:
+                    pass
+                self._fail_all(f"engine failure: {e}")
+                continue
             for uid, toks in self.engine.poll().items():
                 stream = self._streams.get(uid)
                 if stream is None:
@@ -159,12 +195,18 @@ class _Handler(BaseHTTPRequestHandler):
     # -------------- POST --------------
 
     def do_POST(self):
+        # drain the body FIRST: returning before reading it desyncs
+        # HTTP/1.1 keep-alive (leftover bytes parse as the next request)
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+        except ValueError:
+            return self._error(400, "bad Content-Length")
         if self.path not in ("/v1/completions", "/completions"):
             return self._error(404, f"no route {self.path}")
         try:
-            n = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(n) or b"{}")
-        except (ValueError, json.JSONDecodeError) as e:
+            body = json.loads(raw or b"{}")
+        except json.JSONDecodeError as e:
             return self._error(400, f"bad JSON body: {e}")
 
         prompt = body.get("prompt")
@@ -181,6 +223,12 @@ class _Handler(BaseHTTPRequestHandler):
         max_tokens = int(body.get("max_tokens", 16))
         if max_tokens < 1:
             return self._error(400, "max_tokens must be >= 1")
+        sched = self.loop.engine.sched
+        capacity = sched.pages_per_seq * sched.page_size
+        if len(prompt) + max_tokens > capacity:
+            return self._error(
+                400, f"prompt + max_tokens ({len(prompt) + max_tokens}) "
+                     f"exceeds per-request capacity ({capacity})")
         eos = body.get("eos_token")
         eos = int(eos) if eos is not None else None
         stop = body.get("stop")
@@ -208,6 +256,9 @@ class _Handler(BaseHTTPRequestHandler):
             chunk = out_q.get()
             if chunk is _DONE:
                 break
+            if isinstance(chunk, _Err):
+                out_q.get()  # consume the trailing _DONE
+                return self._error(chunk.code, chunk.msg)
             toks, lps = chunk
             tokens.extend(toks)
             logprobs.extend(lps)
@@ -242,9 +293,18 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
             self.wfile.flush()
 
+        def send_raw(payload: str):
+            data = f"data: {payload}\n\n".encode()
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
         while True:
             chunk = out_q.get()
             if chunk is _DONE:
+                break
+            if isinstance(chunk, _Err):
+                send_event({"error": {"message": chunk.msg}})
+                out_q.get()  # trailing _DONE
                 break
             toks, lps = chunk
             delta = {"id": rid, "object": "text_completion.chunk",
@@ -254,7 +314,7 @@ class _Handler(BaseHTTPRequestHandler):
             if self.decode is not None:
                 delta["choices"][0]["text"] = self.decode(toks)
             send_event(delta)
-        send_event("[DONE]")
+        send_raw("[DONE]")  # OpenAI protocol literal, NOT json-encoded
         self.wfile.write(b"0\r\n\r\n")
         self.wfile.flush()
 

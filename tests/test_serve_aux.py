@@ -248,3 +248,29 @@ def test_repetition_penalty_burst_matches_stepwise(params):
         return [r.generated for r in reqs]
 
     assert gen_b != run_plain()
+
+
+def test_repetition_penalty_applies_to_first_token(params):
+    """The first token (sampled from prefill logits) must see the prompt's
+    presence mask, not just later decode steps."""
+    import jax.numpy as jnp
+
+    from mfa_tpu.serve.engine import Engine
+    from mfa_tpu.serve.sampling import SamplingParams
+
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    pen = 1.7
+    eng = Engine(params, CFG, num_pages=32, page_size=8, max_seqs=4,
+                 pages_per_seq=8,
+                 sampling=SamplingParams(temperature=0.0,
+                                         repetition_penalty=pen))
+    req = eng.submit(prompt, 3)
+    eng.run(burst=2)
+
+    logits = llama.forward(params, jnp.asarray([prompt], jnp.int32),
+                           CFG)[0, -1]
+    present = jnp.zeros((CFG.vocab_size,), bool).at[jnp.asarray(prompt)].set(True)
+    penalized = jnp.where(present,
+                          jnp.where(logits > 0, logits / pen, logits * pen),
+                          logits)
+    assert req.generated[0] == int(jnp.argmax(penalized))

@@ -92,7 +92,7 @@ def test_streaming_collects_same_tokens(server):
             if not line.startswith("data: "):
                 continue
             payload = line[len("data: "):]
-            if payload == '"[DONE]"':
+            if payload == "[DONE]":  # OpenAI protocol literal
                 break
             evt = json.loads(payload)
             tokens.extend(evt["choices"][0]["token_ids"])
@@ -129,6 +129,7 @@ def test_bad_requests(server):
         ({"prompt": "hello", "max_tokens": 4}, "tokenizer"),
         ({"prompt": [], "max_tokens": 4}, "non-empty"),
         ({"prompt": [1, 2], "max_tokens": 0}, "max_tokens"),
+        ({"prompt": [1, 2], "max_tokens": 10_000}, "capacity"),
     ]:
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base, "/v1/completions", body)
