@@ -78,11 +78,12 @@ def create_cache(
     store = storage_dtype(quant_dtype) if quant_dtype else dtype
     if quant_dtype == "int4" and page_size % 2:
         raise ValueError("int4 KV needs an even page_size (row pairing)")
-    # int4 pages are row-PAIRED: two tokens' d/2-byte payloads share one
-    # d-wide int8 row (narrow int8 rows can't be DMA'd on TPU) — see
-    # kernels/paged.py:_unpack_int4.
+    # int4 pages are row-PAIRED: two tokens share one row — see
+    # kernels/paged.py:_unpack_int4. All page rows are 128-lane padded:
+    # the strided per-page DMA can't address sub-128-lane rows on TPU,
+    # and zero-padded features are inert in attention.
     rows = page_size // 2 if quant_dtype == "int4" else page_size
-    shape = (num_kv_heads, num_pages, rows, head_dim)
+    shape = (num_kv_heads, num_pages, rows, stored_width(head_dim))
     scales = (
         jnp.ones((num_kv_heads, num_pages, page_size), jnp.float32)
         if quant_dtype
@@ -162,7 +163,8 @@ def create_stacked_cache(
     if quant_dtype == "int4" and page_size % 2:
         raise ValueError("int4 KV needs an even page_size (row pairing)")
     rows = page_size // 2 if quant_dtype == "int4" else page_size
-    shape = (n_layers, num_kv_heads, num_pages, rows, head_dim)
+    shape = (n_layers, num_kv_heads, num_pages, rows,
+             stored_width(head_dim))
     # scales stay per-TOKEN (page_size rows) even when payload rows pair
     scales = (
         jnp.ones((n_layers, num_kv_heads, num_pages, page_size),
@@ -244,15 +246,30 @@ class PageAllocator:
                 self._free.append(int(p))
 
 
+def stored_width(head_dim: int) -> int:
+    """Page-row lane count: head_dim rounded up to a 128-lane multiple
+    (TPU DMA constraint; padded features are zeros and attention-inert)."""
+    return -(-head_dim // 128) * 128
+
+
+def _pad_width(kq: jax.Array) -> jax.Array:
+    w = stored_width(kq.shape[-1])
+    if w == kq.shape[-1]:
+        return kq
+    pad = [(0, 0)] * (kq.ndim - 1) + [(0, w - kq.shape[-1])]
+    return jnp.pad(kq, pad)
+
+
 def pack_pages_payload(quant_dtype, kq: jax.Array, n_pages: int,
                        page: int) -> jax.Array:
     """Whole-page payload [hkv, n_tokens(=n_pages*page), d] -> the pages'
-    stored shape: [.., page, d], or token-pair nibble-packed
-    [.., page/2, d] for int4 (quant.pack_int4_pairs)."""
+    stored shape: [.., page, W], or token-pair nibble-packed
+    [.., page/2, W] for int4 (quant.pack_int4_pairs), where
+    W = stored_width(d)."""
     from mfa_tpu.kernels.quant import pack_int4_pairs
 
     hkv = kq.shape[0]
-    kq = kq.reshape(hkv, n_pages * page, -1)
+    kq = _pad_width(kq.reshape(hkv, n_pages * page, -1))
     if quant_dtype == "int4":
         return pack_int4_pairs(kq).reshape(hkv, n_pages, page // 2, -1)
     return kq.reshape(hkv, n_pages, page, -1)
@@ -266,10 +283,11 @@ def scatter_token_rows(pages: jax.Array, page_ids: jax.Array,
     read-modify-write nibble blend into the token pair's shared row; two
     tokens of the same pair must NOT appear in one call (use
     scatter_span_rows for arbitrary position sets)."""
+    kq = _pad_width(kq)
     if quant_dtype != "int4":
         return pages.at[:, page_ids, offs, :].set(kq)
     rows = offs // 2
-    old = pages[:, page_ids, rows]  # [hkv, n, d] packed bytes
+    old = pages[:, page_ids, rows]  # [hkv, n, W] packed bytes
     parity = (offs % 2)[None, :, None]
     nib = jnp.bitwise_and(kq, 0x0F)  # two's-complement low nibble
     as_even = jnp.bitwise_or(jnp.bitwise_and(old, jnp.int8(-16)), nib)
@@ -286,6 +304,7 @@ def scatter_span_rows(pages: jax.Array, page_ids: jax.Array,
     go in two parity passes (even offsets, then odd) so both halves of a
     shared row land; the off-parity entries of each pass are routed to the
     reserved null page 0 (never read)."""
+    kq = _pad_width(kq)
     if quant_dtype != "int4":
         return pages.at[:, page_ids, offs, :].set(kq)
     for parity in (0, 1):

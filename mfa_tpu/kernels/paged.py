@@ -387,6 +387,14 @@ def paged_attention(
     if pack2 and not quantized:
         raise ValueError("int4 pages require k_scales/v_scales")
     page_size = page_rows * 2 if pack2 else page_rows
+    # Narrow head dims are stored 128-lane padded (the strided per-page
+    # DMA can't address sub-128-lane rows; zero features are inert in
+    # both QK^T and PV) — pad q to match and slice the output back.
+    if pwidth < head_dim:
+        raise ValueError(
+            f"page width {pwidth} < head_dim {head_dim}: pages must be "
+            f"created with a 128-lane-padded width (cache layer does this)")
+    hd_p = pwidth
     if softmax_scale is None:
         softmax_scale = softmax_scale_default(head_dim)
     if interpret is None:
@@ -416,8 +424,9 @@ def paged_attention(
             q.reshape(batch, q_span, num_kv_heads, group, head_dim),
             (0, 2, 1, 3, 4),
         ).reshape(batch, num_kv_heads, rows, head_dim)
-    if rows_p != rows:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
+    if rows_p != rows or hd_p != head_dim:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows_p - rows),
+                          (0, hd_p - head_dim)))
     if quantized and qg.dtype not in (jnp.bfloat16, jnp.float32):
         qg = qg.astype(jnp.bfloat16)
 
@@ -425,7 +434,7 @@ def paged_attention(
     table_flat = jnp.asarray(block_table, jnp.int32).reshape(-1)
 
     in_specs = [
-        pl.BlockSpec((1, num_kv_heads, rows_p, head_dim),
+        pl.BlockSpec((1, num_kv_heads, rows_p, hd_p),
                      lambda b, i, *refs: (b, 0, 0, 0)),
     ]
     inputs = [qg]
@@ -489,7 +498,7 @@ def paged_attention(
         grid=(batch, max_blocks),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, num_kv_heads, rows_p, head_dim),
+            pl.BlockSpec((1, num_kv_heads, rows_p, hd_p),
                          lambda b, i, *refs: (b, 0, 0, 0)),
             pl.BlockSpec((1, num_kv_heads, rows_p, _LANES),
                          lambda b, i, *refs: (b, 0, 0, 0)),
@@ -497,7 +506,7 @@ def paged_attention(
         scratch_shapes=[
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
-            pltpu.VMEM((num_kv_heads, rows_p, head_dim), jnp.float32),
+            pltpu.VMEM((num_kv_heads, rows_p, hd_p), jnp.float32),
             pltpu.VMEM((2, num_kv_heads, ppb, page_rows, pwidth),
                        k_pages.dtype),
             pltpu.VMEM((2, num_kv_heads, ppb, page_rows, pwidth),
@@ -514,7 +523,7 @@ def paged_attention(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (batch, num_kv_heads, rows_p, head_dim), jnp.float32
+                (batch, num_kv_heads, rows_p, hd_p), jnp.float32
             ),
             jax.ShapeDtypeStruct(
                 (batch, num_kv_heads, rows_p, _LANES), jnp.float32
@@ -536,7 +545,7 @@ def paged_attention(
         interpret=interpret,
     )(lens32, table_flat, *inputs)
 
-    out = o_parts[:, :, :rows]
+    out = o_parts[:, :, :rows, :head_dim]
     if q.ndim == 3:
         out = out.reshape(batch, num_heads, head_dim).astype(q.dtype)
         if return_lse:

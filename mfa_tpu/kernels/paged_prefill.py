@@ -318,6 +318,11 @@ def paged_prefill_attention(
     if pack2 and not quantized:
         raise ValueError("int4 pages require k_scales/v_scales")
     page_size = page_rows * 2 if pack2 else page_rows
+    if pwidth < head_dim:
+        raise ValueError(
+            f"page width {pwidth} < head_dim {head_dim}: pages must be "
+            f"created with a 128-lane-padded width (cache layer does this)")
+    hd_p = pwidth  # narrow head dims are stored 128-lane padded
     if softmax_scale is None:
         softmax_scale = softmax_scale_default(head_dim)
     if interpret is None:
@@ -345,8 +350,9 @@ def paged_prefill_attention(
         q.reshape(batch, num_q_blocks, bq, num_kv_heads, group, head_dim),
         (0, 1, 3, 4, 2, 5),
     ).reshape(batch, num_q_blocks, num_kv_heads, rows, head_dim)
-    if rows_p != rows:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
+    if rows_p != rows or hd_p != head_dim:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, rows_p - rows),
+                          (0, hd_p - head_dim)))
     if quantized and qg.dtype not in (jnp.bfloat16, jnp.float32):
         qg = qg.astype(jnp.bfloat16)
 
@@ -359,7 +365,7 @@ def paged_prefill_attention(
     table_flat = jnp.asarray(block_table, jnp.int32).reshape(-1)
 
     in_specs = [
-        pl.BlockSpec((1, 1, num_kv_heads, rows_p, head_dim),
+        pl.BlockSpec((1, 1, num_kv_heads, rows_p, hd_p),
                      lambda b, i, j, *refs: (b, i, 0, 0, 0)),
     ]
     inputs = [qg]
@@ -424,13 +430,13 @@ def paged_prefill_attention(
         grid=(batch, num_q_blocks, max_blocks),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, num_kv_heads, rows_p, head_dim),
+            pl.BlockSpec((1, 1, num_kv_heads, rows_p, hd_p),
                          lambda b, i, j, *refs: (b, i, 0, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
-            pltpu.VMEM((num_kv_heads, rows_p, head_dim), jnp.float32),
+            pltpu.VMEM((num_kv_heads, rows_p, hd_p), jnp.float32),
             pltpu.VMEM((2, num_kv_heads, ppb, page_rows, pwidth),
                        k_pages.dtype),
             pltpu.VMEM((2, num_kv_heads, ppb, page_rows, pwidth),
@@ -446,7 +452,7 @@ def paged_prefill_attention(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (batch, num_q_blocks, num_kv_heads, rows_p, head_dim),
+                (batch, num_q_blocks, num_kv_heads, rows_p, hd_p),
                 jnp.float32,
             ),
         ],
@@ -468,7 +474,7 @@ def paged_prefill_attention(
     )(lens32, qstart32, qlens32, table_flat, *inputs)
 
     # [b, nq, hkv, group, bq, d] -> [b, sq, h, d]
-    out = o_parts[:, :, :, :rows].reshape(
+    out = o_parts[:, :, :, :rows, :head_dim].reshape(
         batch, num_q_blocks, num_kv_heads, group, bq, head_dim
     )
     out = jnp.transpose(out, (0, 1, 4, 2, 3, 5)).reshape(

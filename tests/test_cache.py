@@ -70,8 +70,11 @@ def test_prompt_then_decode(quant):
         k_full, v_full = cache.k_pages, cache.v_pages
     # oracle: gather this sequence's pages
     tbl = np.asarray(cache.block_tables[0])
-    kg = np.asarray(k_full)[:, tbl].reshape(kvh, -1, d).swapaxes(0, 1)[None]
-    vg = np.asarray(v_full)[:, tbl].reshape(kvh, -1, d).swapaxes(0, 1)[None]
+    W = cache.k_pages.shape[-1]  # stored width (128-lane padded)
+    kg = np.asarray(k_full)[:, tbl].reshape(kvh, -1, W)[..., :d]
+    vg = np.asarray(v_full)[:, tbl].reshape(kvh, -1, W)[..., :d]
+    kg = kg.swapaxes(0, 1)[None]
+    vg = vg.swapaxes(0, 1)[None]
     ref = decode_ref(q[:, None], jnp.asarray(kg), jnp.asarray(vg), cache.lengths[:1])
     tol = 0.05 if quant else 1e-4
     diff = np.abs(np.asarray(out, np.float32) - np.asarray(ref[:, 0], np.float32)).max()

@@ -162,7 +162,8 @@ def test_engine_int4_kv_serves():
     assert all(len(r.generated) == 6 for r in reqs)
     assert all(np.isfinite(r.logprobs).all() for r in reqs)
     # row-paired int4: half the page rows, full head_dim width
-    assert eng.cache.k_pages.shape[-2:] == (4, cfg.head_dim)
+    from mfa_tpu.cache.paged_cache import stored_width
+    assert eng.cache.k_pages.shape[-2:] == (4, stored_width(cfg.head_dim))
     # int4 must track the bf16-cache generation closely on a tiny model:
     # compare against full-precision engine prefix (first token often equal)
     eng_ref = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=2,
