@@ -25,7 +25,7 @@ _MASK = -1e30
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
 )
 def flash_attention_grad(
     q: jax.Array,
@@ -35,26 +35,36 @@ def flash_attention_grad(
     softmax_scale: Optional[float] = None,
     window_size: tuple[int, int] = (-1, -1),
     logit_softcap: float = 0.0,
+    sink_tokens: int = 0,
 ) -> jax.Array:
-    """Differentiable attention on [batch, heads, seq, head_dim] layout."""
+    """Differentiable attention on [batch, heads, seq, head_dim] layout.
+    sink_tokens (StreamingLLM) is forward/serving-only: the backward pass
+    raises for sinked windows (no training use case)."""
     return prefill_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
         window_size=window_size, logit_softcap=logit_softcap,
+        sink_tokens=sink_tokens,
     )
 
 
-def _fwd(q, k, v, causal, softmax_scale, window_size, logit_softcap):
+def _fwd(q, k, v, causal, softmax_scale, window_size, logit_softcap,
+         sink_tokens):
     out, lse = prefill_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
         window_size=window_size, return_lse=True,
-        logit_softcap=logit_softcap,
+        logit_softcap=logit_softcap, sink_tokens=sink_tokens,
     )
     return out, (q, k, v, out, lse)
 
 
-def _bwd(causal, softmax_scale, window_size, logit_softcap, res, do):
+def _bwd(causal, softmax_scale, window_size, logit_softcap, sink_tokens,
+         res, do):
     from mfa_tpu.kernels.backward import flash_attention_bwd
 
+    if sink_tokens:
+        raise NotImplementedError(
+            "attention sinks are a serving feature; the backward pass "
+            "does not support them")
     q, k, v, out, lse = res
     return flash_attention_bwd(
         q, k, v, out, lse, do,

@@ -67,6 +67,7 @@ def _decode_kernel(
     window_left: int,
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
+    sinks: int = 0,
 ):
     b = pl.program_id(0)
     n = pl.program_id(3)
@@ -87,10 +88,10 @@ def _decode_kernel(
         else jnp.int32(0)
     )
     global_blk = s * blocks_per_split + n
-    run = jnp.logical_and(
-        global_blk * block_k < length,
-        (global_blk + 1) * block_k > start,
-    )
+    in_view = (global_blk + 1) * block_k > start
+    if sinks > 0:  # StreamingLLM sink prefix stays visible
+        in_view = jnp.logical_or(in_view, global_blk * block_k < sinks)
+    run = jnp.logical_and(global_blk * block_k < length, in_view)
 
     @pl.when(run)
     def _step():
@@ -107,7 +108,10 @@ def _decode_kernel(
         )
         visible = col < length
         if window_left >= 0:
-            visible = jnp.logical_and(visible, col >= start)
+            in_win = col >= start
+            if sinks > 0:
+                in_win = jnp.logical_or(in_win, col < sinks)
+            visible = jnp.logical_and(visible, in_win)
         sc = jnp.where(visible, sc, _MASK)
 
         m_prev = m_scr[...]
@@ -168,7 +172,7 @@ def combine_splits(o_parts: jax.Array, lse: jax.Array, axis: int = 2,
     jax.jit,
     static_argnames=(
         "softmax_scale", "num_splits", "block_k", "window_left",
-        "return_lse", "interpret", "logit_softcap"
+        "return_lse", "interpret", "logit_softcap", "sink_tokens"
     ),
 )
 def decode_attention(
@@ -184,6 +188,7 @@ def decode_attention(
     return_lse: bool = False,
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
+    sink_tokens: int = 0,
 ):
     """Decode attention against a contiguous per-batch KV cache.
 
@@ -229,7 +234,12 @@ def decode_attention(
             first_valid = jnp.maximum(0, lens_ref[b] - 1 - window_left) // block_k
         else:
             first_valid = 0
-        return (b, h, jnp.clip(blk, first_valid, last_valid), 0)
+        clipped = jnp.clip(blk, first_valid, last_valid)
+        if window_left >= 0 and sink_tokens > 0:
+            # sink blocks must fetch their own data, not the clamp target
+            clipped = jnp.where(blk * block_k < sink_tokens,
+                                jnp.minimum(blk, last_valid), clipped)
+        return (b, h, clipped, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -264,6 +274,7 @@ def decode_attention(
         block_k=block_k,
         blocks_per_split=blocks_per_split,
         window_left=window_left,
+        sinks=int(sink_tokens) if window_left >= 0 else 0,
     )
 
     o_parts, lse = pl.pallas_call(

@@ -132,6 +132,7 @@ def _paged_kernel_body(
     pack2: bool,
     head_dim: int,
     window_left: int,
+    sinks: int,
     q_span: int,
     group: int,
 ):
@@ -148,6 +149,8 @@ def _paged_kernel_body(
         return jnp.maximum(0, lens_ref[bb] - q_span - window_left)
 
     def _first_block(bb):
+        if sinks > 0:  # sink blocks precede the window band
+            return jnp.int32(0)
         return _win_start(bb) // bt
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
@@ -159,9 +162,10 @@ def _paged_kernel_body(
         # Page j of block blk intersects the visible range [start, length).
         valid = (blk * bt + j * page_size) < lens_ref[bb]
         if window_left >= 0:
-            valid = jnp.logical_and(
-                valid, blk * bt + (j + 1) * page_size > _win_start(bb)
-            )
+            in_win = blk * bt + (j + 1) * page_size > _win_start(bb)
+            if sinks > 0:  # StreamingLLM: sink pages stay visible
+                in_win = jnp.logical_or(in_win, blk * bt + j * page_size < sinks)
+            valid = jnp.logical_and(valid, in_win)
         return valid
 
     def start_block(bb, blk, slot):
@@ -198,9 +202,17 @@ def _paged_kernel_body(
                            num_pages=num_pages).wait()
 
     def next_valid_cell(bb, blk):
-        """Lexicographic successor, skipping past-length blocks and empty
-        sequences."""
+        """Lexicographic successor, skipping past-length blocks, empty
+        sequences, and (with attention sinks) the invisible gap between
+        the sink prefix and the window band — the double-buffer pipeline
+        must only ever prefetch cells that will actually compute."""
         blk1 = blk + 1
+        if window_left >= 0 and sinks > 0:
+            win_blk = _win_start(bb) // bt
+            in_gap = jnp.logical_and(
+                blk1 * bt >= sinks, (blk1 + 1) * bt <= _win_start(bb)
+            )
+            blk1 = jnp.where(in_gap, win_blk, blk1)
         seq_done = jnp.logical_or(
             blk1 * bt >= lens_ref[bb], blk1 >= max_blocks
         )
@@ -229,7 +241,10 @@ def _paged_kernel_body(
 
     block_valid = i * bt < length
     if window_left >= 0:
-        block_valid = jnp.logical_and(block_valid, (i + 1) * bt > _win_start(b))
+        in_win = (i + 1) * bt > _win_start(b)
+        if sinks > 0:
+            in_win = jnp.logical_or(in_win, i * bt < sinks)
+        block_valid = jnp.logical_and(block_valid, in_win)
 
     @pl.when(block_valid)
     def _compute():
@@ -271,7 +286,10 @@ def _paged_kernel_body(
         if q_span == 1:
             in_len = col < length
             if window_left >= 0:
-                in_len = jnp.logical_and(in_len, col >= _win_start(b))
+                vis = col >= _win_start(b)
+                if sinks > 0:
+                    vis = jnp.logical_or(vis, col < sinks)
+                in_len = jnp.logical_and(in_len, vis)
         else:
             si = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 0) // group
             in_len = col < (length - q_span + 1 + si)
@@ -279,7 +297,10 @@ def _paged_kernel_body(
                 row_start = jnp.maximum(
                     0, (length - q_span + si) - window_left
                 )
-                in_len = jnp.logical_and(in_len, col >= row_start)
+                vis = col >= row_start
+                if sinks > 0:
+                    vis = jnp.logical_or(vis, col < sinks)
+                in_len = jnp.logical_and(in_len, vis)
         last_block = cdiv(length, bt) - 1
 
         for h in range(num_kv_heads):  # static unroll over kv heads
@@ -351,6 +372,7 @@ def paged_attention(
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
     quant_dtype: Optional[str] = None,
+    sink_tokens: int = 0,
 ):
     """Paged decode attention (seqlen_q == 1, or a small speculative span).
 
@@ -484,6 +506,7 @@ def paged_attention(
         pack2=pack2,
         head_dim=head_dim,
         window_left=window_left,
+        sinks=int(sink_tokens) if window_left >= 0 else 0,
         q_span=q_span,
         group=group,
     )

@@ -78,6 +78,7 @@ def _body(
     quantized: bool,
     pack2: bool,
     head_dim: int,
+    sinks: int,
     window_left: int,
     causal: bool,
 ):
@@ -105,6 +106,8 @@ def _body(
         return qlens_ref[bb]
 
     def _first_block(bb, ii):
+        if sinks > 0:  # sink blocks precede the window band
+            return jnp.int32(0)
         return _row_lo(bb, ii) // bt
 
     def _last_block(bb, ii):
@@ -123,7 +126,10 @@ def _body(
         lo = blk * bt + p * page_size
         valid = lo < _row_hi(bb, ii)
         if window_left >= 0:
-            valid = jnp.logical_and(valid, lo + page_size > _row_lo(bb, ii))
+            in_win = lo + page_size > _row_lo(bb, ii)
+            if sinks > 0:
+                in_win = jnp.logical_or(in_win, lo < sinks)
+            valid = jnp.logical_and(valid, in_win)
         return valid
 
     def start_block(bb, ii, blk, slot):
@@ -179,10 +185,22 @@ def _body(
         bb2 = jax.lax.while_loop(skip_dead, lambda c: c + 1, bb1)
         bbc = jnp.minimum(bb2, batch - 1)
         blk1 = jnp.where(row_done, _first_block(bbc, ii1), blk1)
+        if window_left >= 0 and sinks > 0:
+            # skip the sink-to-window gap so the pipeline only prefetches
+            # cells that compute
+            lo_blk = _row_lo(bbc, ii1) // bt
+            in_gap = jnp.logical_and(blk1 * bt >= sinks,
+                                     (blk1 + 1) * bt <= _row_lo(bbc, ii1))
+            blk1 = jnp.where(in_gap, lo_blk, blk1)
         return bb2, ii1, blk1
 
     live = _cell_live(b, i)
     blk_ok = jnp.logical_and(j >= _first_block(b, i), j <= _last_block(b, i))
+    if window_left >= 0 and sinks > 0:
+        # exclude the invisible gap between the sink prefix and the window
+        in_gap = jnp.logical_and(j * bt >= sinks,
+                                 (j + 1) * bt <= _row_lo(b, i))
+        blk_ok = jnp.logical_and(blk_ok, jnp.logical_not(in_gap))
     run = jnp.logical_and(live, blk_ok)
 
     @pl.when(jnp.logical_and(jnp.logical_not(live), j == 0))
@@ -228,7 +246,10 @@ def _body(
         if causal:
             vis = jnp.logical_and(vis, col <= pos)
             if window_left >= 0:
-                vis = jnp.logical_and(vis, col >= pos - window_left)
+                in_win = col >= pos - window_left
+                if sinks > 0:
+                    in_win = jnp.logical_or(in_win, col < sinks)
+                vis = jnp.logical_and(vis, in_win)
 
         for h in range(num_kv_heads):
             q = q_ref[0, 0, h]  # [group*bq, d]
@@ -294,6 +315,7 @@ def paged_prefill_attention(
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
     quant_dtype: Optional[str] = None,
+    sink_tokens: int = 0,
 ) -> jax.Array:
     """Chunk prefill against a paged KV cache. Returns [b, sq, h, d].
 
@@ -415,6 +437,7 @@ def paged_prefill_attention(
         quantized=quantized,
         pack2=pack2,
         head_dim=head_dim,
+        sinks=int(sink_tokens) if (window_left >= 0 and causal) else 0,
         window_left=window_left,
         causal=causal,
     )

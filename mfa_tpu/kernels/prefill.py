@@ -109,8 +109,13 @@ def _prefill_body(
     with_lse: bool,
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
+    sinks: int = 0,
 ):
-    @pl.when(j == first_j)
+    # with sinks, a q block's first enumerated cell is sink block 0
+    # (the triangular table lists sink blocks ahead of the window band)
+    init_j = 0 if sinks > 0 else first_j
+
+    @pl.when(j == init_j)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, _MASK)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -161,7 +166,12 @@ def _prefill_body(
                 if window_right >= 0:
                     mask = jnp.logical_and(mask, col <= row + window_right)
                 if window_left >= 0:
-                    mask = jnp.logical_and(mask, col >= row - window_left)
+                    in_window = col >= row - window_left
+                    if sinks > 0:
+                        # StreamingLLM attention sinks: the first `sinks`
+                        # tokens stay visible through the window
+                        in_window = jnp.logical_or(in_window, col < sinks)
+                    mask = jnp.logical_and(mask, in_window)
             s = jnp.where(mask, s, _MASK)
 
         m_prev = m_scr[...]  # [block_q, LANES], raw domain
@@ -230,6 +240,7 @@ def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_rig
         "return_lse",
         "interpret",
         "logit_softcap",
+        "sink_tokens",
     ),
 )
 def prefill_attention(
@@ -245,6 +256,7 @@ def prefill_attention(
     return_lse: bool = False,
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
+    sink_tokens: int = 0,
 ):
     """Flash-attention forward on [batch, heads, seq, head_dim] layout.
 
@@ -264,6 +276,8 @@ def prefill_attention(
     window_left, window_right = window_size
     if causal:
         window_right = 0
+    if sink_tokens and window_left < 0:
+        sink_tokens = 0  # without a left window, sinks are a no-op
 
     cfg = choose_prefill_config(sq, sk, head_dim, q.dtype.itemsize)
     bq = block_q or cfg.block_q
@@ -301,6 +315,7 @@ def prefill_attention(
         softcap=float(logit_softcap),
         softcap_mul=(float(softmax_scale) / float(logit_softcap)
                      if logit_softcap else 0.0),
+        sinks=int(sink_tokens),
     )
     kernel = functools.partial(_prefill_kernel, **kparams)
 
@@ -336,12 +351,17 @@ def prefill_attention(
     # block axes to just these cells (triangular grid) so dead cells are
     # never enumerated — the reference's n_block_max pruning, inverted for
     # TPU's static grids.
+    sink_blocks = cdiv(int(sink_tokens), bk) if sink_tokens else 0
     cells_i, cells_j = [], []
     for bi in range(num_q_blocks):
         first = 0 if window_left < 0 else max(0, (bi * bq - window_left) // bk)
         last = (num_kv_blocks - 1 if window_right < 0 else
                 min(num_kv_blocks - 1,
                     ((bi + 1) * bq - 1 + window_right) // bk))
+        # attention-sink blocks stay visible ahead of the window band
+        for bj in range(min(sink_blocks, first)):
+            cells_i.append(bi)
+            cells_j.append(bj)
         for bj in range(first, max(last, first) + 1):
             cells_i.append(bi)
             cells_j.append(bj)

@@ -65,6 +65,9 @@ class LlamaConfig:
     query_scale: Optional[float] = None      # softmax scale override
     post_norms: bool = False                 # extra norms on attn/mlp OUTPUT
     alt_window: bool = False                 # even layers sliding, odd global
+    # StreamingLLM attention sinks: with a sliding window, the first
+    # attn_sinks tokens stay visible to every query (serving feature)
+    attn_sinks: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -345,7 +348,8 @@ def _attention_sharded(q, k, v, mesh: Optional[Mesh],
     attn = functools.partial(flash_attention_grad, causal=True,
                              softmax_scale=cfg.attn_scale,
                              window_size=(window_left, -1),
-                             logit_softcap=cfg.attn_softcap or 0.0)
+                             logit_softcap=cfg.attn_softcap or 0.0,
+                             sink_tokens=cfg.attn_sinks)
     if mesh is not None and MODEL_AXIS in mesh.axis_names:
         spec = P(DATA_AXIS if DATA_AXIS in mesh.axis_names else None,
                  MODEL_AXIS, None, None)
@@ -488,7 +492,7 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
 
     pkw = dict(window_left=window_left, softmax_scale=cfg.attn_scale,
                logit_softcap=cfg.attn_softcap or 0.0,
-               quant_dtype=quant_dtype)
+               quant_dtype=quant_dtype, sink_tokens=cfg.attn_sinks)
     if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return paged_attention(
             q3.astype(out_dtype), k_pages, v_pages, lengths, tables,
@@ -645,7 +649,7 @@ def _paged_prefill_sharded(q, k_pages, v_pages, k_scales, v_scales,
 
     kwargs = dict(window_left=window_left, softmax_scale=cfg.attn_scale,
                   logit_softcap=cfg.attn_softcap or 0.0,
-                  quant_dtype=quant_dtype)
+                  quant_dtype=quant_dtype, sink_tokens=cfg.attn_sinks)
     if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return paged_prefill_attention(
             q, k_pages, v_pages, kv_len, q_start, table,

@@ -136,4 +136,77 @@ for trial in range(6):
     fails += 0 if ok else 1
     print(f"decode trial {trial}: {'OK' if ok else 'FAIL'}", flush=True)
 
+# ---- int4 paired pages + narrow-head_dim (128-lane padded) stress ----
+# Regression guards for two hardware constraint classes found on v5e:
+# strided page DMA needs 128-lane rows (narrow d served via padded
+# storage) and int4 pages are token-pair nibble-packed with a permuted
+# in-kernel order.
+from mfa_tpu.cache.paged_cache import pack_pages_payload, stored_width
+from mfa_tpu.kernels.quant import dequantize_rows, quantize_rows
+
+for trial in range(4):
+    b = int(rng.choice([1, 2, 3]))
+    hkv = int(rng.choice([1, 2]))
+    group = int(rng.choice([1, 4]))
+    d = int(rng.choice([128, 256]))
+    page = 128
+    pps = int(rng.choice([2, 4]))
+    h = hkv * group
+    num_pages = b * pps + 1
+    pk = jax.random.normal(jax.random.key(trial + 600),
+                           (hkv, num_pages, page, d), jnp.float32)
+    pv = jax.random.normal(jax.random.key(trial + 700),
+                           (hkv, num_pages, page, d), jnp.float32)
+    kq, ks = quantize_rows(pk, "int4")
+    vq, vs = quantize_rows(pv, "int4")
+    kq_p = pack_pages_payload("int4", kq.reshape(hkv, -1, d), num_pages, page)
+    vq_p = pack_pages_payload("int4", vq.reshape(hkv, -1, d), num_pages, page)
+    table = jnp.asarray(rng.permutation(num_pages - 1)[: b * pps] + 1,
+                        jnp.int32).reshape(b, pps)
+    lens_np = [int(rng.randint(1, pps * page + 1)) for _ in range(b)]
+    lens = jnp.asarray(lens_np, jnp.int32)
+    q = jax.random.normal(jax.random.key(trial + 800), (b, h, d), jnp.bfloat16)
+    out = paged_attention(q, kq_p, vq_p, lens, table, k_scales=ks,
+                          v_scales=vs, quant_dtype="int4")
+    kd = dequantize_rows(kq, ks); vd = dequantize_rows(vq, vs)
+    ref = paged_decode_ref(q[:, None].astype(jnp.float32),
+                           jnp.transpose(kd, (1, 2, 0, 3)),
+                           jnp.transpose(vd, (1, 2, 0, 3)), lens, table)[:, 0]
+    dmax = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+    ok = dmax < 1e-2
+    fails += 0 if ok else 1
+    print(f"int4 trial {trial} (d={d}): {'OK' if ok else f'FAIL {dmax:.5f}'}",
+          flush=True)
+
+for trial in range(3):
+    # narrow head_dim through the ENGINE path (padded cache storage)
+    d = int(rng.choice([32, 64, 96]))
+    hkv, group = 2, 2
+    page, pps = 64, 4
+    b = 2
+    num_pages = b * pps + 1
+    W = stored_width(d)
+    pk = jnp.zeros((hkv, num_pages, page, W), jnp.float32)
+    pk = pk.at[..., :d].set(jax.random.normal(
+        jax.random.key(trial + 900), (hkv, num_pages, page, d)))
+    pv = jnp.zeros((hkv, num_pages, page, W), jnp.float32)
+    pv = pv.at[..., :d].set(jax.random.normal(
+        jax.random.key(trial + 950), (hkv, num_pages, page, d)))
+    table = jnp.asarray(rng.permutation(num_pages - 1)[: b * pps] + 1,
+                        jnp.int32).reshape(b, pps)
+    lens_np = [int(rng.randint(1, pps * page + 1)) for _ in range(b)]
+    lens = jnp.asarray(lens_np, jnp.int32)
+    q = jax.random.normal(jax.random.key(trial + 980), (b, hkv * group, d),
+                          jnp.float32)
+    out = paged_attention(q, pk, pv, lens, table)
+    ref = paged_decode_ref(q[:, None],
+                           jnp.transpose(pk[..., :d], (1, 2, 0, 3)),
+                           jnp.transpose(pv[..., :d], (1, 2, 0, 3)),
+                           lens, table)[:, 0]
+    dmax = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+    ok = dmax < 1e-2
+    fails += 0 if ok else 1
+    print(f"narrow-d trial {trial} (d={d}): {'OK' if ok else f'FAIL {dmax:.5f}'}",
+          flush=True)
+
 print(f"STRESS {'PASS' if fails == 0 else f'FAIL ({fails})'}")

@@ -1,0 +1,140 @@
+"""StreamingLLM attention sinks: with a sliding window, the first
+`sink` tokens stay visible to every query. Covered across the prefill,
+paged decode (incl. the double-buffer pipeline's sink-to-window gap
+skipping), contiguous decode, and the serving engine."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfa_tpu.models import llama
+
+
+def _prefill_oracle(q, k, v, wl, sinks):
+    b, h, s, d = q.shape
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q, k) * d ** -0.5
+    row = jnp.arange(s)[:, None]
+    col = jnp.arange(s)[None, :]
+    vis = (col <= row) & ((col >= row - wl) | (col < sinks))
+    sc = jnp.where(vis, sc, -jnp.inf)
+    return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1), v)
+
+
+@pytest.mark.parametrize("wl,sinks,s", [(63, 10, 400), (31, 4, 130),
+                                        (100, 140, 260)])
+def test_prefill_sinks_match_oracle(wl, sinks, s):
+    from mfa_tpu.kernels.prefill import prefill_attention
+
+    b, h, d = 1, 2, 64
+    q = jax.random.normal(jax.random.key(0), (b, h, s, d))
+    k = jax.random.normal(jax.random.key(1), (b, h, s, d))
+    v = jax.random.normal(jax.random.key(2), (b, h, s, d))
+    out = prefill_attention(q, k, v, causal=True, window_size=(wl, -1),
+                            sink_tokens=sinks, block_q=128, block_k=128)
+    ref = _prefill_oracle(q, k, v, wl, sinks)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
+def test_paged_decode_sinks_match_oracle():
+    from mfa_tpu.kernels.paged import paged_attention
+
+    b, h, kvh, d, page, pps = 3, 4, 2, 64, 16, 16
+    P = b * pps + 1
+    kp = jax.random.normal(jax.random.key(1), (kvh, P, page, d))
+    vp = jax.random.normal(jax.random.key(2), (kvh, P, page, d))
+    table = jnp.arange(1, b * pps + 1, dtype=jnp.int32).reshape(b, pps)
+    lens = jnp.asarray([250, 97, 16], jnp.int32)
+    q = jax.random.normal(jax.random.key(0), (b, h, d))
+    wl, sinks = 40, 12
+    # small compute blocks force the pipeline across the sink->window gap
+    out = paged_attention(q, kp, vp, lens, table, window_left=wl,
+                          sink_tokens=sinks, pages_per_compute_block=2)
+    kk = jnp.transpose(kp, (1, 2, 0, 3))[table].reshape(b, -1, kvh, d)
+    vv = jnp.transpose(vp, (1, 2, 0, 3))[table].reshape(b, -1, kvh, d)
+    kg = jnp.repeat(jnp.swapaxes(kk, 1, 2), h // kvh, 1)
+    vg = jnp.repeat(jnp.swapaxes(vv, 1, 2), h // kvh, 1)
+    sc = jnp.einsum("bhd,bhSd->bhS", q, kg) * d ** -0.5
+    col = jnp.arange(pps * page)[None, None]
+    pos = (lens - 1)[:, None, None]
+    vis = (col < lens[:, None, None]) & ((col >= pos - wl) | (col < sinks))
+    ref = jnp.einsum("bhS,bhSd->bhd",
+                     jax.nn.softmax(jnp.where(vis, sc, -jnp.inf), -1), vg)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+    # and sinks actually matter for the long row
+    out0 = paged_attention(q, kp, vp, lens, table, window_left=wl,
+                           pages_per_compute_block=2)
+    assert float(jnp.max(jnp.abs(out - out0))) > 1e-4
+
+
+def test_contiguous_decode_sinks_match_oracle():
+    from mfa_tpu.kernels.decode import decode_attention
+
+    b, h, kvh, d, s = 2, 4, 2, 64, 300
+    q = jax.random.normal(jax.random.key(0), (b, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, kvh, s, d))
+    v = jax.random.normal(jax.random.key(2), (b, kvh, s, d))
+    lens = jnp.asarray([288, 100], jnp.int32)
+    wl, sinks = 50, 7
+    out = decode_attention(q, k, v, lens, window_left=wl, sink_tokens=sinks,
+                           block_k=128)
+    kg = jnp.repeat(k, h // kvh, 1)
+    vg = jnp.repeat(v, h // kvh, 1)
+    sc = jnp.einsum("bhd,bhSd->bhS", q, kg) * d ** -0.5
+    col = jnp.arange(s)[None, None]
+    pos = (lens - 1)[:, None, None]
+    vis = (col < lens[:, None, None]) & ((col >= pos - wl) | (col < sinks))
+    ref = jnp.einsum("bhS,bhSd->bhd",
+                     jax.nn.softmax(jnp.where(vis, sc, -jnp.inf), -1), vg)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
+CFG_SINK = dataclasses.replace(
+    llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4, kv_heads=2,
+                           ffn=96, dtype=jnp.float32),
+    sliding_window=24, attn_sinks=4,
+)
+
+
+def test_engine_sinks_burst_matches_stepwise():
+    from mfa_tpu.serve.engine import Engine
+
+    params = llama.init_params(jax.random.key(0), CFG_SINK)
+    prompts = [[1, 2, 3] * 12, [5] * 9]  # first prompt exceeds the window
+
+    def run(burst):
+        eng = Engine(params, CFG_SINK, num_pages=48, page_size=8, max_seqs=4,
+                     pages_per_seq=12)
+        reqs = [eng.submit(p, 6) for p in prompts]
+        eng.run(burst=burst)
+        return [r.generated for r in reqs]
+
+    gen = run(4)
+    assert gen == run(1)
+    # sinks change the output vs plain sliding window
+    cfg_nosink = dataclasses.replace(CFG_SINK, attn_sinks=0)
+    eng = Engine(params, cfg_nosink, num_pages=48, page_size=8, max_seqs=4,
+                 pages_per_seq=12)
+    reqs = [eng.submit(p, 6) for p in prompts]
+    eng.run(burst=4)
+    assert gen[0] != reqs[0].generated
+
+
+def test_engine_sinks_chunked_matches_whole():
+    params = llama.init_params(jax.random.key(1), CFG_SINK)
+    prompt = list(np.random.RandomState(0).randint(0, 64, 45))
+    pages = list(range(1, 9))
+
+    cache_a = llama.build_kv_caches(CFG_SINK, 16, 8, 2, 8)
+    cache_a, la = llama.prefill_step(params, CFG_SINK, cache_a, 0, pages,
+                                     jnp.asarray(prompt, jnp.int32))
+    cache_b = llama.build_kv_caches(CFG_SINK, 16, 8, 2, 8)
+    lb = None
+    for pos in range(0, len(prompt), 16):
+        cache_b, lb = llama.prefill_chunk(
+            params, CFG_SINK, cache_b, 0, pages, prompt[pos:pos + 16],
+            pos, len(prompt))
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                               atol=2e-4, rtol=1e-4)
