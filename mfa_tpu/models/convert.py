@@ -73,6 +73,7 @@ def config_from_hf(hf_config) -> LlamaConfig:
         query_scale=(float(qpas) ** -0.5 if (qpas := getattr(
             hf_config, "query_pre_attn_scalar", None)) else None),
         post_norms=(model_type == "gemma2"),
+        qk_norm=(model_type == "qwen3"),
         alt_window=(model_type == "gemma2"
                     and getattr(hf_config, "sliding_window", None)
                     is not None),
@@ -105,11 +106,18 @@ def from_hf(model_or_state_dict, hf_config=None,
         layers.update(bq=[], bk=[], bv=[])
     if cfg.post_norms:
         layers.update(post_attn_norm=[], post_mlp_norm=[])
+    if cfg.qk_norm:
+        layers.update(q_norm=[], k_norm=[])
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
         layers["wq"].append(w(p + "self_attn.q_proj.weight"))
         layers["wk"].append(w(p + "self_attn.k_proj.weight"))
         layers["wv"].append(w(p + "self_attn.v_proj.weight"))
+        if cfg.qk_norm:
+            layers["q_norm"].append(jnp.asarray(
+                _np(sd[p + "self_attn.q_norm.weight"]), jnp.float32))
+            layers["k_norm"].append(jnp.asarray(
+                _np(sd[p + "self_attn.k_norm.weight"]), jnp.float32))
         if cfg.qkv_bias:
             layers["bq"].append(
                 jnp.asarray(_np(sd[p + "self_attn.q_proj.bias"]), dtype))

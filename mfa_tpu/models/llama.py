@@ -68,6 +68,7 @@ class LlamaConfig:
     # StreamingLLM attention sinks: with a sliding window, the first
     # attn_sinks tokens stay visible to every query (serving feature)
     attn_sinks: int = 0
+    qk_norm: bool = False                    # Qwen3: RMSNorm per q/k head
 
     @property
     def head_dim(self) -> int:
@@ -117,6 +118,16 @@ class LlamaConfig:
             n_kv_heads=16, ffn_dim=24576, rope_theta=10000.0,
             norm_eps=1e-6, head_dim_override=256, hidden_act="gelu_tanh",
             norm_offset=True, embed_scale=True,
+        )
+
+    @staticmethod
+    def qwen3_8b() -> "LlamaConfig":
+        """Qwen3-8B shape: per-head q/k RMSNorm (no qkv bias), head_dim
+        128 with dim 4096 / 32 heads."""
+        return LlamaConfig(
+            vocab_size=151936, dim=4096, n_layers=36, n_heads=32,
+            n_kv_heads=8, ffn_dim=12288, rope_theta=1000000.0,
+            norm_eps=1e-6, head_dim_override=128, qk_norm=True,
         )
 
     @staticmethod
@@ -179,6 +190,9 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
                 bk=jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype),
                 bv=jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype),
             )
+        if cfg.qk_norm:
+            lp.update(q_norm=norm_init((hd,), jnp.float32),
+                      k_norm=norm_init((hd,), jnp.float32))
         layers.append(lp)
     norm_init = jnp.zeros if cfg.norm_offset else jnp.ones
     return dict(
@@ -214,6 +228,8 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Params:
                      bv=ns(None, MODEL_AXIS))
     if cfg.post_norms:
         layer.update(post_attn_norm=ns(None), post_mlp_norm=ns(None))
+    if cfg.qk_norm:
+        layer.update(q_norm=ns(None), k_norm=ns(None))
     return dict(
         embed=ns(None, None),
         final_norm=ns(None),
@@ -231,15 +247,20 @@ def _rms_norm(x, w, cfg: "LlamaConfig"):
 
 
 def _qkv(h, lp, cfg: "LlamaConfig", *lead):
-    """Shared q/k/v projection (+ optional Qwen2-style bias) for every
-    execution path. lead: leading output dims (e.g. batch, seq)."""
+    """Shared q/k/v projection (+ optional Qwen2-style bias, optional
+    Qwen3-style per-head q/k RMSNorm) for every execution path. lead:
+    leading output dims (e.g. batch, seq)."""
     q, k, v = h @ lp["wq"], h @ lp["wk"], h @ lp["wv"]
     if cfg.qkv_bias:
         q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
     hd = cfg.head_dim
-    return (q.reshape(*lead, cfg.n_heads, hd),
-            k.reshape(*lead, cfg.n_kv_heads, hd),
-            v.reshape(*lead, cfg.n_kv_heads, hd))
+    q = q.reshape(*lead, cfg.n_heads, hd)
+    k = k.reshape(*lead, cfg.n_kv_heads, hd)
+    v = v.reshape(*lead, cfg.n_kv_heads, hd)
+    if cfg.qk_norm:  # Qwen3: normalize each head before RoPE
+        q = _rms_norm(q, lp["q_norm"], cfg)
+        k = _rms_norm(k, lp["k_norm"], cfg)
+    return q, k, v
 
 
 def _mlp(x, lp, cfg: "LlamaConfig"):

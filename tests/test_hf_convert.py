@@ -50,6 +50,11 @@ elif family == "gemma":
         hidden_activation="gelu_pytorch_tanh",
         tie_word_embeddings=True, **common)
     cls = transformers.GemmaForCausalLM
+elif family == "qwen3":
+    cfg = transformers.Qwen3Config(
+        rms_norm_eps=1e-6, head_dim=32,
+        tie_word_embeddings=False, **common)
+    cls = transformers.Qwen3ForCausalLM
 elif family == "gemma2":
     common["num_hidden_layers"] = 4  # 2 sliding/global pairs
     cfg = transformers.Gemma2Config(
@@ -79,7 +84,7 @@ np.savez(out, __tokens__=tokens, __logits__=logits,
          **sd)
 '''
 
-FAMILIES = ("llama", "qwen2", "gemma", "gemma2")
+FAMILIES = ("llama", "qwen2", "gemma", "qwen3", "gemma2")
 
 
 @pytest.fixture(scope="module", params=FAMILIES)
@@ -110,6 +115,9 @@ def test_converted_forward_matches_transformers(hf_artifacts):
     if family == "gemma":
         assert cfg.head_dim == 32 and cfg.norm_offset and cfg.embed_scale
         assert cfg.hidden_act == "gelu_tanh"
+    if family == "qwen3":
+        assert cfg.qk_norm and "q_norm" in params["layers"]
+        assert cfg.head_dim == 32  # head_dim override (not dim/heads)
     if family == "gemma2":
         assert cfg.post_norms and cfg.alt_window
         assert cfg.attn_softcap == 50.0 and cfg.logit_softcap == 30.0
