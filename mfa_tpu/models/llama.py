@@ -997,7 +997,8 @@ def rollback(cache, seq_slots, new_lengths):
 def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
                  n_steps: int, mesh: Optional[Mesh] = None,
                  sampling=None, key: Optional[jax.Array] = None,
-                 presence: Optional[jax.Array] = None):
+                 presence: Optional[jax.Array] = None,
+                 sampling_vecs=None):
     """n_steps decode steps fused on-device (one host round trip).
 
     The per-step host sync (sample -> feed back) costs a device->host round
@@ -1009,21 +1010,28 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     None/greedy -> argmax); key: PRNG key (required for stochastic
     sampling), folded per step; presence: optional [batch, vocab] bool
     context mask for the repetition penalty, updated on-device as tokens
-    are sampled.
+    are sampled; sampling_vecs: optional (temperature, top_p, min_p,
+    repetition_penalty) [batch] fp32 arrays for PER-REQUEST sampling in
+    one compiled program (temperature 0 rows decode greedily).
     """
-    from mfa_tpu.serve.sampling import SamplingParams, sample
+    from mfa_tpu.serve.sampling import (SamplingParams, sample,
+                                        sample_dynamic, token_logprobs)
 
     sampling = sampling or SamplingParams()
     if key is None:
         key = jax.random.key(0)
 
-    from mfa_tpu.serve.sampling import token_logprobs
-
     def body(carry, i):
         cache, toks, pres = carry
         cache, logits = decode_step(params, cfg, cache, seq_slots, toks,
                                     mesh=mesh)
-        nxt = sample(logits, jax.random.fold_in(key, i), sampling, pres)
+        if sampling_vecs is not None:  # per-request knobs (one program)
+            temp, tp, mp, pen = sampling_vecs
+            nxt = sample_dynamic(logits, jax.random.fold_in(key, i),
+                                 temp, tp, mp, pen,
+                                 top_k=sampling.top_k, presence=pres)
+        else:
+            nxt = sample(logits, jax.random.fold_in(key, i), sampling, pres)
         if pres is not None:  # track the new token for repetition penalty
             pres = pres.at[jnp.arange(pres.shape[0]), nxt].set(True)
         return (cache, nxt, pres), (nxt, token_logprobs(logits, nxt))

@@ -145,11 +145,25 @@ class Engine:
 
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_token: Optional[int] = None,
-               stop: Optional[List[List[int]]] = None) -> Request:
+               stop: Optional[List[List[int]]] = None,
+               sampling=None) -> Request:
         """stop: token-id sequences that end generation when the output
-        ends with one of them (the matched tokens stay in the output)."""
+        ends with one of them (the matched tokens stay in the output).
+        sampling: per-request SamplingParams override (temperature/top_p/
+        min_p/repetition_penalty; top_k stays engine-level). Mixed batches
+        run in ONE compiled program via per-row parameter vectors."""
+        if sampling is not None:
+            if self.draft_params is not None:
+                raise ValueError("per-request sampling is incompatible "
+                                 "with speculative decoding (greedy-only)")
+            if (sampling.needs_presence and self._pres_dev is None):
+                # lazily materialize the presence mask; rows for requests
+                # without a penalty stay zero and their penalty is 1 (a
+                # no-op), so late creation is sound
+                self._pres_dev = jnp.zeros(
+                    (self.sched.max_seqs, self.cfg.vocab_size), bool)
         req = Request(self._next_uid, list(prompt), max_new_tokens,
-                      eos_token, stop=stop)
+                      eos_token, stop=stop, sampling=sampling)
         self._next_uid += 1
         self.sched.submit(req)
         self._stream_pos[req.uid] = 0
@@ -213,7 +227,8 @@ class Engine:
                 [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
             )
         ids, lps = self._sample(
-            logits, self._pres_rows([r.slot for r in reqs]))
+            logits, self._pres_rows([r.slot for r in reqs]),
+            self._sampling_vecs(reqs, len(reqs)))
         firsts, first_lps = np.asarray(ids), np.asarray(lps)
         self._pres_mark([r.slot for r in reqs], firsts)
         for req, toks, first, flp in zip(reqs, token_lists, firsts,
@@ -246,14 +261,41 @@ class Engine:
                 self.draft_cache = map_pages(
                     self.draft_cache, m_slots, m_idx, m_ids)
 
-    def _sample(self, logits, presence=None):
+    def _sample(self, logits, presence=None, vecs=None):
         """-> (ids [n], logprobs [n]) — logprobs under the unfiltered
-        model distribution (standard serving semantics)."""
-        from mfa_tpu.serve.sampling import sample, token_logprobs
+        model distribution (standard serving semantics). vecs: per-row
+        sampling parameter vectors (see _sampling_vecs)."""
+        from mfa_tpu.serve.sampling import (sample, sample_dynamic,
+                                            token_logprobs)
 
         self._key, sub = jax.random.split(self._key)
-        ids = sample(logits, sub, self.sampling, presence)
+        if vecs is not None:
+            ids = sample_dynamic(logits, sub, *vecs,
+                                 top_k=self.sampling.top_k,
+                                 presence=presence)
+        else:
+            ids = sample(logits, sub, self.sampling, presence)
         return ids, token_logprobs(logits, ids)
+
+    def _sampling_vecs(self, reqs, rows: int):
+        """Per-row (temperature, top_p, min_p, repetition_penalty) fp32
+        vectors when any request overrides the engine default, else None
+        (static fast path). Padding rows get the engine defaults."""
+        if not any(r.sampling is not None for r in reqs):
+            return None
+        d = self.sampling
+        vecs = np.zeros((4, rows), np.float32)
+        vecs[0] = d.temperature
+        vecs[1] = d.top_p
+        vecs[2] = d.min_p
+        vecs[3] = d.repetition_penalty
+        for i, r in enumerate(reqs):
+            s = r.sampling or d
+            vecs[0, i] = s.temperature
+            vecs[1, i] = s.top_p
+            vecs[2, i] = s.min_p
+            vecs[3, i] = s.repetition_penalty
+        return tuple(jnp.asarray(v) for v in vecs)
 
     def _pres_rows(self, slots):
         """Gather the presence rows for a batch of slots (device op), or
@@ -332,7 +374,8 @@ class Engine:
                 pages_l, chunk_toks, offs, totals, chunk,
             )
         ids, lps = self._sample(
-            logits, self._pres_rows([it[0].slot for it in items]))
+            logits, self._pres_rows([it[0].slot for it in items]),
+            self._sampling_vecs([it[0] for it in items], len(items)))
         ids_np, lps_np = np.asarray(ids), np.asarray(lps)
         mark_slots, mark_toks = [], []
         for i, (req, pos, tokens) in enumerate(items):
@@ -402,7 +445,8 @@ class Engine:
             self.cache = release_slot(self.cache, scratch)
 
         ids, lps = self._sample(
-            logits[:n], self._pres_rows([r.slot for r in active]))
+            logits[:n], self._pres_rows([r.slot for r in active]),
+            self._sampling_vecs(active, n))
         next_tokens, next_lps = np.asarray(ids), np.asarray(lps)
         self._pres_mark([r.slot for r in active], next_tokens)
         self.stats.steps += 1
@@ -460,6 +504,7 @@ class Engine:
             jnp.asarray(slots), jnp.asarray(tokens), n_eff, mesh=self.mesh,
             sampling=self.sampling, key=sub,
             presence=self._pres_rows(slots),
+            sampling_vecs=self._sampling_vecs(active, len(slots)),
         )
         if scratch is not None:
             self.cache = release_slot(self.cache, scratch)

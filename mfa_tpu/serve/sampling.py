@@ -80,6 +80,45 @@ def sample(logits: jax.Array, key: jax.Array, params: SamplingParams,
     return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
 
 
+def sample_dynamic(logits: jax.Array, key: jax.Array,
+                   temperature: jax.Array, top_p: jax.Array,
+                   min_p: jax.Array, rep_penalty: jax.Array,
+                   top_k: int = 0,
+                   presence: jax.Array = None) -> jax.Array:
+    """Per-ROW sampling parameters: one compiled sampler serves a batch
+    mixing greedy and stochastic requests with different knobs.
+
+    temperature/top_p/min_p/rep_penalty: [n] fp32 (temperature == 0 means
+    greedy for that row; rep_penalty == 1 disables the penalty; top_k
+    stays static — lax.top_k needs a static k — and applies batch-wide
+    when > 0). presence: optional [n, vocab] bool context mask.
+    """
+    l = logits.astype(jnp.float32)
+    pen = rep_penalty[:, None]
+    if presence is not None:
+        penalized = jnp.where(l > 0, l / pen, l * pen)
+        l = jnp.where(presence, penalized, l)
+    greedy_ids = jnp.argmax(l, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    ls = l / t
+    vocab = ls.shape[-1]
+    if top_k and top_k < vocab:
+        kth = jax.lax.top_k(ls, top_k)[0][..., -1:]
+        ls = jnp.where(ls < kth, -jnp.inf, ls)
+    probs = jax.nn.softmax(ls, axis=-1)
+    floor = min_p[:, None] * jnp.max(probs, axis=-1, keepdims=True)
+    ls = jnp.where((min_p[:, None] > 0.0) & (probs < floor), -jnp.inf, ls)
+    sorted_l = jnp.sort(ls, axis=-1)[..., ::-1]
+    sp = jax.nn.softmax(sorted_l, axis=-1)
+    cum = jnp.cumsum(sp, axis=-1)
+    keep = cum - sp < top_p[:, None]
+    cutoff = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
+                     keepdims=True)
+    ls = jnp.where((top_p[:, None] < 1.0) & (ls < cutoff), -jnp.inf, ls)
+    sampled = jax.random.categorical(key, ls, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy_ids, sampled)
+
+
 def token_logprobs(logits: jax.Array, ids: jax.Array) -> jax.Array:
     """Log-probability of the chosen ids under the UNfiltered distribution
     (the conventional serving semantics: logprobs reflect the model, not

@@ -49,6 +49,9 @@ class Request:
     # token-id lists (the matched sequence stays in `generated`; callers
     # can trim it — the reference has no serving layer at all)
     stop: Optional[List[List[int]]] = None
+    # per-request sampling override (serve.sampling.SamplingParams);
+    # None -> the engine's default. top_k stays engine-level (static).
+    sampling: Optional[object] = None
     # filled during execution
     generated: List[int] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)

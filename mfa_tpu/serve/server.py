@@ -59,11 +59,13 @@ class ServingLoop:
 
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_token: Optional[int] = None,
-               stop: Optional[List[List[int]]] = None) -> "queue.Queue":
+               stop: Optional[List[List[int]]] = None,
+               sampling=None) -> "queue.Queue":
         """Thread-safe submit; returns the queue this request's token
         chunks arrive on (terminated by the _DONE sentinel)."""
         out: "queue.Queue" = queue.Queue()
-        self._submit_q.put((prompt, max_new_tokens, eos_token, stop, out))
+        self._submit_q.put((prompt, max_new_tokens, eos_token, stop,
+                            sampling, out))
         return out
 
     def close(self):
@@ -74,12 +76,13 @@ class ServingLoop:
         admitted = False
         while True:
             try:
-                prompt, mnt, eos, stop, out = self._submit_q.get_nowait()
+                (prompt, mnt, eos, stop, sampling,
+                 out) = self._submit_q.get_nowait()
             except queue.Empty:
                 return admitted
             try:
                 req = self.engine.submit(prompt, mnt, eos_token=eos,
-                                         stop=stop)
+                                         stop=stop, sampling=sampling)
             except Exception as e:  # reject THIS request, keep serving
                 out.put(_Err(str(e), code=400))
                 out.put(_DONE)
@@ -243,10 +246,26 @@ class _Handler(BaseHTTPRequestHandler):
                        for s in stop):
                 return self._error(400, "stop must contain token-id lists")
         stream = bool(body.get("stream", False))
+        sampling = None
+        knobs = {k: body[k] for k in ("temperature", "top_p", "min_p",
+                                      "repetition_penalty") if k in body}
+        if knobs:
+            from mfa_tpu.serve.sampling import SamplingParams
+
+            try:
+                sampling = SamplingParams(
+                    temperature=float(knobs.get("temperature", 0.0)),
+                    top_p=float(knobs.get("top_p", 1.0)),
+                    min_p=float(knobs.get("min_p", 0.0)),
+                    repetition_penalty=float(
+                        knobs.get("repetition_penalty", 1.0)),
+                )
+            except (TypeError, ValueError) as e:
+                return self._error(400, f"bad sampling parameter: {e}")
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
 
         out_q = self.loop.submit(prompt, max_tokens, eos_token=eos,
-                                 stop=stop)
+                                 stop=stop, sampling=sampling)
         if stream:
             return self._stream_response(rid, out_q)
 

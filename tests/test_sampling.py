@@ -172,3 +172,55 @@ def test_repetition_penalty_flips_argmax():
     presence2 = jnp.asarray([[False, False, False, True]])
     l2 = jnp.asarray([[-2.0, -1.9, -3.0, -1.0]])
     assert int(sample(l2, jax.random.key(0), greedy_pen, presence2)[0]) == 1
+
+
+def test_per_request_sampling_mixed_batch():
+    """A batch mixing a greedy request, a penalized greedy request, and an
+    engine-default request runs in one program; the greedy rows are
+    deterministic and the penalized row matches its single-request run."""
+    import numpy as np
+
+    from mfa_tpu.models import llama
+    from mfa_tpu.serve.engine import Engine
+    from mfa_tpu.serve.sampling import SamplingParams
+
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                 kv_heads=2, ffn=96, dtype=jnp.float32)
+    params = llama.init_params(jax.random.key(0), cfg)
+    pen = SamplingParams(temperature=0.0, repetition_penalty=1.7)
+
+    def fresh():
+        return Engine(params, cfg, num_pages=48, page_size=8, max_seqs=4,
+                      pages_per_seq=8)
+
+    # single-request references
+    e1 = fresh(); r_plain = e1.submit([1, 2, 3], 6); e1.run(burst=3)
+    e2 = fresh(); r_pen = e2.submit([1, 2, 3], 6, sampling=pen)
+    e2.run(burst=3)
+    assert r_plain.generated != r_pen.generated  # penalty changes output
+
+    # mixed batch reproduces both, stepwise AND burst
+    for burst in (1, 3):
+        eng = fresh()
+        a = eng.submit([1, 2, 3], 6)
+        b = eng.submit([1, 2, 3], 6, sampling=pen)
+        c = eng.submit([9, 8], 6)
+        eng.run(burst=burst)
+        assert a.generated == r_plain.generated, burst
+        assert b.generated == r_pen.generated, burst
+        assert len(c.generated) == 6
+
+
+def test_per_request_sampling_rejected_with_speculative():
+    import pytest
+    from mfa_tpu.models import llama
+    from mfa_tpu.serve.engine import Engine
+    from mfa_tpu.serve.sampling import SamplingParams
+
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                 kv_heads=2, ffn=96, dtype=jnp.float32)
+    params = llama.init_params(jax.random.key(0), cfg)
+    eng = Engine(params, cfg, num_pages=48, page_size=8, max_seqs=4,
+                 pages_per_seq=8, draft_params=params, draft_cfg=cfg)
+    with pytest.raises(ValueError):
+        eng.submit([1, 2], 4, sampling=SamplingParams(temperature=0.5))
