@@ -43,6 +43,9 @@ class PagedKVCache:
     lengths: jax.Array  # [max_seqs] int32
     page_size: int = dataclasses.field(metadata=dict(static=True))
     quant_dtype: Optional[str] = dataclasses.field(metadata=dict(static=True))
+    # true model head_dim; k_pages.shape[-1] is the 128-lane-padded
+    # STORED width (and for int4 shape[-2] is page_size/2)
+    head_dim: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_kv_heads(self) -> int:
@@ -53,7 +56,7 @@ class PagedKVCache:
         return self.k_pages.shape[1]
 
     @property
-    def head_dim(self) -> int:
+    def page_width(self) -> int:
         return self.k_pages.shape[-1]
 
     @property
@@ -98,6 +101,7 @@ def create_cache(
         lengths=jnp.zeros((max_seqs,), jnp.int32),
         page_size=page_size,
         quant_dtype=quant_dtype,
+        head_dim=head_dim,
     )
 
 
@@ -122,6 +126,7 @@ class StackedKVCache:
     lengths: jax.Array  # [max_seqs] int32 (all layers)
     page_size: int = dataclasses.field(metadata=dict(static=True))
     quant_dtype: Optional[str] = dataclasses.field(metadata=dict(static=True))
+    head_dim: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_layers(self) -> int:
@@ -136,7 +141,7 @@ class StackedKVCache:
         return self.k_pages.shape[2]
 
     @property
-    def head_dim(self) -> int:
+    def page_width(self) -> int:
         return self.k_pages.shape[-1]
 
     @property
@@ -179,6 +184,7 @@ def create_stacked_cache(
         lengths=jnp.zeros((max_seqs,), jnp.int32),
         page_size=page_size,
         quant_dtype=quant_dtype,
+        head_dim=head_dim,
     )
 
 

@@ -203,6 +203,12 @@ class Engine:
         normal decode step."""
         if not reqs:
             return
+        if self._pres_dev is not None:
+            # one scatter per admission wave: freed slots may carry stale
+            # bits (finished requests' rows are NOT cleared eagerly — that
+            # would be a per-request device op in the hot loop)
+            self._pres_dev = self._pres_dev.at[
+                jnp.asarray([r.slot for r in reqs], jnp.int32)].set(False)
         self._pres_mark_context(reqs)  # prompts count for the penalty
         chunk_limit = self.prefill_chunk
         for r in reqs:
@@ -230,7 +236,9 @@ class Engine:
             logits, self._pres_rows([r.slot for r in reqs]),
             self._sampling_vecs(reqs, len(reqs)))
         firsts, first_lps = np.asarray(ids), np.asarray(lps)
-        self._pres_mark([r.slot for r in reqs], firsts)
+        self._pres_mark(
+            [r.slot for r in reqs if not r.generated],
+            [int(f) for r, f in zip(reqs, firsts) if not r.generated])
         for req, toks, first, flp in zip(reqs, token_lists, firsts,
                                          first_lps):
             self.stats.prefill_tokens += len(toks)
@@ -622,8 +630,6 @@ class Engine:
         from mfa_tpu.cache.paged_cache import release_slot
 
         slot = req.slot
-        if self._pres_dev is not None:
-            self._pres_dev = self._pres_dev.at[slot].set(False)
         self.sched.finish(req)
         self.cache = release_slot(self.cache, slot)
         if self.draft_cache is not None:

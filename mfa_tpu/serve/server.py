@@ -121,6 +121,10 @@ class ServingLoop:
                 # request — recover the engine and fail the in-flight ones
                 try:
                     self.engine.recover()
+                    # recover() requeues the in-flight requests, but their
+                    # clients are about to be errored — drop the orphans
+                    # instead of decoding them into nothing
+                    self.engine.sched.waiting.clear()
                 except Exception:
                     pass
                 self._fail_all(f"engine failure: {e}")
@@ -202,6 +206,8 @@ class _Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 keep-alive (leftover bytes parse as the next request)
         try:
             n = int(self.headers.get("Content-Length", 0))
+            if n < 0:
+                raise ValueError(n)
             raw = self.rfile.read(n)
         except ValueError:
             return self._error(400, "bad Content-Length")
@@ -226,12 +232,8 @@ class _Handler(BaseHTTPRequestHandler):
         max_tokens = int(body.get("max_tokens", 16))
         if max_tokens < 1:
             return self._error(400, "max_tokens must be >= 1")
-        sched = self.loop.engine.sched
-        capacity = sched.pages_per_seq * sched.page_size
-        if len(prompt) + max_tokens > capacity:
-            return self._error(
-                400, f"prompt + max_tokens ({len(prompt) + max_tokens}) "
-                     f"exceeds per-request capacity ({capacity})")
+        # per-request capacity is validated by Scheduler.submit; its
+        # ValueError surfaces to this caller as a 400 _Err
         eos = body.get("eos_token")
         eos = int(eos) if eos is not None else None
         stop = body.get("stop")
@@ -252,13 +254,16 @@ class _Handler(BaseHTTPRequestHandler):
         if knobs:
             from mfa_tpu.serve.sampling import SamplingParams
 
+            d = self.loop.engine.sampling  # unspecified knobs inherit
             try:
                 sampling = SamplingParams(
-                    temperature=float(knobs.get("temperature", 0.0)),
-                    top_p=float(knobs.get("top_p", 1.0)),
-                    min_p=float(knobs.get("min_p", 0.0)),
+                    temperature=float(knobs.get("temperature",
+                                                d.temperature)),
+                    top_p=float(knobs.get("top_p", d.top_p)),
+                    min_p=float(knobs.get("min_p", d.min_p)),
                     repetition_penalty=float(
-                        knobs.get("repetition_penalty", 1.0)),
+                        knobs.get("repetition_penalty",
+                                  d.repetition_penalty)),
                 )
             except (TypeError, ValueError) as e:
                 return self._error(400, f"bad sampling parameter: {e}")

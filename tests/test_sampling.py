@@ -224,3 +224,33 @@ def test_per_request_sampling_rejected_with_speculative():
                  pages_per_seq=8, draft_params=params, draft_cfg=cfg)
     with pytest.raises(ValueError):
         eng.submit([1, 2], 4, sampling=SamplingParams(temperature=0.5))
+
+
+def test_penalty_slot_reuse_no_stale_presence():
+    """A finished request's presence bits must not leak into the next
+    request admitted to the same slot (rows are cleared per admission
+    wave, not eagerly at finish)."""
+    from mfa_tpu.models import llama
+    from mfa_tpu.serve.engine import Engine
+    from mfa_tpu.serve.sampling import SamplingParams
+
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                 kv_heads=2, ffn=96, dtype=jnp.float32)
+    params = llama.init_params(jax.random.key(0), cfg)
+    pen = SamplingParams(temperature=0.0, repetition_penalty=1.7)
+
+    # reference: B alone on a fresh engine
+    e_ref = Engine(params, cfg, num_pages=48, page_size=8, max_seqs=1,
+                   pages_per_seq=8, sampling=pen)
+    r_ref = e_ref.submit([9, 8, 7], 6)
+    e_ref.run(burst=3)
+
+    # A runs to completion (its tokens mark slot 0), then B reuses slot 0
+    eng = Engine(params, cfg, num_pages=48, page_size=8, max_seqs=1,
+                 pages_per_seq=8, sampling=pen)
+    a = eng.submit([1, 2, 3], 6)
+    eng.run(burst=3)
+    assert len(a.generated) == 6
+    b = eng.submit([9, 8, 7], 6)
+    eng.run(burst=3)
+    assert b.generated == r_ref.generated, (b.generated, r_ref.generated)

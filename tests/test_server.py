@@ -129,7 +129,7 @@ def test_bad_requests(server):
         ({"prompt": "hello", "max_tokens": 4}, "tokenizer"),
         ({"prompt": [], "max_tokens": 4}, "non-empty"),
         ({"prompt": [1, 2], "max_tokens": 0}, "max_tokens"),
-        ({"prompt": [1, 2], "max_tokens": 10_000}, "capacity"),
+        ({"prompt": [1, 2], "max_tokens": 10_000}, "longer"),
     ]:
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base, "/v1/completions", body)
