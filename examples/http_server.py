@@ -3,6 +3,9 @@
 Run:  PYTHONPATH=/root/.axon_site:/root/repo python examples/http_server.py
 Then: curl -s localhost:8000/v1/completions -d '{"prompt":[1,2,3],"max_tokens":8}'
       curl -N  localhost:8000/v1/completions -d '{"prompt":[1,2,3],"max_tokens":8,"stream":true}'
+      curl -s localhost:8000/v1/completions -d \
+        '{"prompt":[1,2,3],"max_tokens":8,"temperature":0.8,"top_p":0.9,
+          "repetition_penalty":1.3,"stop":[[42]],"logprobs":1}'
       curl -s localhost:8000/stats
 
 Uses a small randomly initialized model by default; load real weights with
