@@ -34,6 +34,15 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, np.float32)
 
 
+def _min_period(flags: tuple) -> tuple:
+    """Smallest repeating period of a boolean per-layer pattern."""
+    n = len(flags)
+    for p in range(1, n + 1):
+        if n % p == 0 and flags == flags[:p] * (n // p):
+            return flags[:p]
+    return flags
+
+
 def config_from_hf(hf_config) -> LlamaConfig:
     model_type = getattr(hf_config, "model_type", "llama")
     heads = hf_config.num_attention_heads
@@ -46,6 +55,17 @@ def config_from_hf(hf_config) -> LlamaConfig:
     sliding_window = getattr(hf_config, "sliding_window", None)
     if not getattr(hf_config, "use_sliding_window", True):
         sliding_window = None
+    # Per-layer attention types (Gemma2 pairs, Gemma3 5-local+1-global):
+    # derive the smallest repeating sliding/global period.
+    layer_types = getattr(hf_config, "layer_types", None)
+    layer_pattern = None
+    if layer_types and sliding_window:
+        flags = tuple(t == "sliding_attention" for t in layer_types)
+        if any(flags) and not all(flags):
+            layer_pattern = _min_period(flags)
+        elif not any(flags):
+            sliding_window = None  # no sliding layers at all
+    is_gemma3 = model_type in ("gemma3", "gemma3_text")
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
         dim=hf_config.hidden_size,
@@ -72,11 +92,13 @@ def config_from_hf(hf_config) -> LlamaConfig:
         attn_softcap=getattr(hf_config, "attn_logit_softcapping", None),
         query_scale=(float(qpas) ** -0.5 if (qpas := getattr(
             hf_config, "query_pre_attn_scalar", None)) else None),
-        post_norms=(model_type == "gemma2"),
-        qk_norm=(model_type == "qwen3"),
+        post_norms=(model_type == "gemma2" or is_gemma3),
+        qk_norm=(model_type == "qwen3" or is_gemma3),
         alt_window=(model_type == "gemma2"
                     and getattr(hf_config, "sliding_window", None)
                     is not None),
+        layer_pattern=layer_pattern,
+        rope_theta_local=getattr(hf_config, "rope_local_base_freq", None),
     )
 
 

@@ -68,7 +68,14 @@ class LlamaConfig:
     # StreamingLLM attention sinks: with a sliding window, the first
     # attn_sinks tokens stay visible to every query (serving feature)
     attn_sinks: int = 0
-    qk_norm: bool = False                    # Qwen3: RMSNorm per q/k head
+    qk_norm: bool = False                    # Qwen3/Gemma3: RMSNorm per q/k head
+    # Generalized layer alternation (Gemma3: 5 sliding + 1 global per 6):
+    # a repeating period of booleans, True = sliding-window sub-layer.
+    # alt_window=True is the legacy (True, False) pair.
+    layer_pattern: Optional[tuple] = None
+    # RoPE theta for SLIDING sub-layers when it differs from rope_theta
+    # (Gemma3: 10k local vs 1M global)
+    rope_theta_local: Optional[float] = None
 
     @property
     def head_dim(self) -> int:
@@ -83,6 +90,15 @@ class LlamaConfig:
     @property
     def window_left(self) -> int:
         return -1 if self.sliding_window is None else self.sliding_window - 1
+
+    @property
+    def sliding_pattern(self) -> Optional[tuple]:
+        """Repeating per-layer sliding flags, or None (uniform layers)."""
+        if self.layer_pattern is not None:
+            return tuple(self.layer_pattern)
+        if self.alt_window:
+            return (True, False)
+        return None
 
     @staticmethod
     def llama3_8b() -> "LlamaConfig":
@@ -285,48 +301,60 @@ def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig"):
     return x + out
 
 
+def _sub_theta(cfg: "LlamaConfig", sliding: bool) -> float:
+    if sliding and cfg.rope_theta_local is not None:
+        return cfg.rope_theta_local  # Gemma3: local layers use 10k theta
+    return cfg.rope_theta
+
+
 def _scan_layers(cfg: "LlamaConfig", body, x, layers, cache_xs,
                  remat: bool = False):
-    """Scan `body(x, lp, cache_leaves, window_left) -> (x, new_leaves)`
-    over the stacked layer axis. With cfg.alt_window (Gemma2), layers scan
-    as PAIRS — sub-layer 0 sliding-window, sub-layer 1 global — so both
-    static window variants live in one compiled scan body (a per-layer
-    dynamic window is impossible: the window shapes the kernel grid)."""
-    if not cfg.alt_window:
+    """Scan `body(x, lp, cache_leaves, window_left, rope_theta) ->
+    (x, new_leaves)` over the stacked layer axis. With a sliding pattern
+    (Gemma2 pairs, Gemma3 5-local+1-global periods), layers scan as
+    PERIODS — every static window/theta variant lives in one compiled
+    scan body (a per-layer dynamic window is impossible: the window
+    shapes the kernel grid)."""
+    pattern = cfg.sliding_pattern
+    if pattern is None:
         def fn(x, xs):
             lp, *leaves = xs
-            x, new = body(x, lp, tuple(leaves), cfg.window_left)
+            x, new = body(x, lp, tuple(leaves), cfg.window_left,
+                          cfg.rope_theta)
             return x, new
         fn = jax.checkpoint(fn) if remat else fn
         return jax.lax.scan(fn, x, (layers,) + cache_xs)
-    assert cfg.n_layers % 2 == 0, "alt_window needs an even layer count"
+    period = len(pattern)
+    assert cfg.n_layers % period == 0, (
+        f"layer pattern period {period} must divide n_layers")
 
-    def pair(t):
+    def group(t):
         return jax.tree.map(
-            lambda a: a.reshape(a.shape[0] // 2, 2, *a.shape[1:]), t)
+            lambda a: a.reshape(a.shape[0] // period, period,
+                                *a.shape[1:]), t)
 
-    def unpair(t):
+    def ungroup(t):
         return jax.tree.map(
-            lambda a: a.reshape(a.shape[0] * 2, *a.shape[2:]), t)
+            lambda a: a.reshape(a.shape[0] * period, *a.shape[2:]), t)
 
     def fn(x, xs):
-        lp2, *leaves2 = xs
+        lpg, *leavesg = xs
         news = []
-        for sub in range(2):
-            lp = jax.tree.map(lambda a: a[sub], lp2)
+        for sub in range(period):
+            lp = jax.tree.map(lambda a: a[sub], lpg)
             leaves = tuple(jax.tree.map(lambda a: a[sub], l)
-                           for l in leaves2)
-            wl = cfg.window_left if sub == 0 else -1
-            x, new = body(x, lp, leaves, wl)
+                           for l in leavesg)
+            wl = cfg.window_left if pattern[sub] else -1
+            x, new = body(x, lp, leaves, wl,
+                          _sub_theta(cfg, pattern[sub]))
             news.append(new)
-        stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
-                               news[0], news[1])
+        stacked = jax.tree.map(lambda *a: jnp.stack(a), *news)
         return x, stacked
 
     fn = jax.checkpoint(fn) if remat else fn
-    x, ys = jax.lax.scan(fn, x, (pair(layers),) + tuple(
-        jax.tree.map(pair, l) for l in cache_xs))
-    return x, unpair(ys)
+    x, ys = jax.lax.scan(fn, x, (group(layers),) + tuple(
+        jax.tree.map(group, l) for l in cache_xs))
+    return x, ungroup(ys)
 
 
 def _embed(params, tokens, cfg: "LlamaConfig"):
@@ -402,11 +430,11 @@ def forward(
     x = _embed(params, tokens, cfg)  # [b, s, d]
     positions = jnp.arange(s, dtype=jnp.int32)[None].repeat(b, 0)
 
-    def body(x, lp, _leaves, wl):
+    def body(x, lp, _leaves, wl, theta):
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, b, s)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, theta)
+        k = _rope(k, positions, theta)
         attn = _attention_sharded(q, k, v, mesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(b, s, cfg.n_heads * hd), lp, cfg)
         x = _mlp(x, lp, cfg)
@@ -617,12 +645,12 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     positions = jnp.arange(s, dtype=jnp.int32)[None]  # broadcast over n
     flat_ids = page_ids.reshape(-1)  # [n*npg]; duplicates only on null page
 
-    def body(x, lp, leaves, wl):
+    def body(x, lp, leaves, wl, theta):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, s)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, theta)
+        k = _rope(k, positions, theta)
         # page writes: [n, s, hkv, d] -> [hkv, n*npg, page, d]
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
                                  jnp.transpose(k, (2, 0, 1, 3)))
@@ -740,12 +768,12 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
     ).reshape(-1)  # [n*chunk_pages]
     kv_len = jnp.minimum(final_lens, offsets + chunk)  # [n]
 
-    def body(x, lp, leaves, wl):
+    def body(x, lp, leaves, wl, theta):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, chunk)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, theta)
+        k = _rope(k, positions, theta)
         kq, ks_new = _store_rows(
             cache.quant_dtype, kp.dtype,
             jnp.transpose(k, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
@@ -872,12 +900,12 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     x = _embed(params, tokens, cfg)[:, None]  # [n, 1, d]
     positions = lens[:, None]
 
-    def body(x, lp, leaves, wl):
+    def body(x, lp, leaves, wl, theta):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, 1)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, theta)
+        k = _rope(k, positions, theta)
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
                                  jnp.swapaxes(k[:, 0], 0, 1))  # [hkv, n, d]
         vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
@@ -938,12 +966,12 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     lens_inc = lens + span
     x = _embed(params, tokens, cfg)  # [n, span, d]
 
-    def body(x, lp, leaves, wl):
+    def body(x, lp, leaves, wl, theta):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, span)
-        q = _rope(q, pos, cfg.rope_theta)
-        k = _rope(k, pos, cfg.rope_theta)
+        q = _rope(q, pos, theta)
+        k = _rope(k, pos, theta)
         kq, ks_new = _store_rows(
             cache.quant_dtype, kp.dtype,
             jnp.transpose(k, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))

@@ -55,6 +55,15 @@ elif family == "qwen3":
         rms_norm_eps=1e-6, head_dim=32,
         tie_word_embeddings=False, **common)
     cls = transformers.Qwen3ForCausalLM
+elif family == "gemma3":
+    common["num_hidden_layers"] = 6  # one 5-sliding + 1-global period
+    cfg = transformers.Gemma3TextConfig(
+        rms_norm_eps=1e-6, head_dim=32, sliding_window=8,
+        query_pre_attn_scalar=16, rope_local_base_freq=10000.0,
+        hidden_activation="gelu_pytorch_tanh",
+        tie_word_embeddings=True, **common)
+    cfg.rope_theta = 1000000.0
+    cls = transformers.Gemma3ForCausalLM
 elif family == "gemma2":
     common["num_hidden_layers"] = 4  # 2 sliding/global pairs
     cfg = transformers.Gemma2Config(
@@ -84,7 +93,8 @@ np.savez(out, __tokens__=tokens, __logits__=logits,
          **sd)
 '''
 
-FAMILIES = ("llama", "qwen2", "gemma", "qwen3", "gemma2")
+FAMILIES = ("llama", "qwen2", "gemma", "qwen3", "gemma2",
+            "gemma3")
 
 
 @pytest.fixture(scope="module", params=FAMILIES)
@@ -118,6 +128,11 @@ def test_converted_forward_matches_transformers(hf_artifacts):
     if family == "qwen3":
         assert cfg.qk_norm and "q_norm" in params["layers"]
         assert cfg.head_dim == 32  # head_dim override (not dim/heads)
+    if family == "gemma3":
+        assert cfg.qk_norm and cfg.post_norms and cfg.norm_offset
+        assert cfg.layer_pattern == (True,) * 5 + (False,)
+        assert cfg.rope_theta_local == 10000.0
+        assert cfg.sliding_window == 8
     if family == "gemma2":
         assert cfg.post_norms and cfg.alt_window
         assert cfg.attn_softcap == 50.0 and cfg.logit_softcap == 30.0
