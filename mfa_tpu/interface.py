@@ -132,6 +132,7 @@ def flash_attn_with_kvcache(
     softmax_scale: Optional[float] = None,
     window_size: tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
+    sink_tokens: int = 0,
 ) -> jax.Array:
     """Decode attention against a KV cache (reference: interface.py:95-124).
 
@@ -148,6 +149,8 @@ def flash_attn_with_kvcache(
     for decode (the query is the last token) — attend to the final left+1
     tokens. The reference carries these params but never exposes them
     (_C.pyi:4-41); here they are first-class.
+    sink_tokens: StreamingLLM attention sinks - with a left window, the
+    first k cache tokens stay visible (extension; no reference analog).
     """
     if q.shape[1] != 1:
         raise ValueError(
@@ -167,17 +170,18 @@ def flash_attn_with_kvcache(
         cache_seqlens = jnp.asarray(cache_seqlens, jnp.int32)
     return _kvcache_jit(
         q, k_cache, v_cache, cache_seqlens, block_table, num_splits,
-        softmax_scale, int(window_size[0]), float(softcap)
+        softmax_scale, int(window_size[0]), float(softcap),
+        int(sink_tokens)
     )
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_splits", "softmax_scale", "window_left",
-                              "softcap")
+                              "softcap", "sink_tokens")
 )
 def _kvcache_jit(
     q, k_cache, v_cache, cache_seqlens, block_table, num_splits,
-    softmax_scale, window_left=-1, softcap=0.0,
+    softmax_scale, window_left=-1, softcap=0.0, sink_tokens=0,
 ):
     from mfa_tpu.kernels.decode import decode_attention, paged_decode_attention
 
@@ -196,6 +200,7 @@ def _kvcache_jit(
             num_splits=num_splits,
             window_left=window_left,
             logit_softcap=softcap,
+            sink_tokens=sink_tokens,
         )
     else:
         kt = jnp.swapaxes(k_cache, 1, 2)  # [batch, hkv, s, d]
@@ -209,5 +214,6 @@ def _kvcache_jit(
             num_splits=num_splits,
             window_left=window_left,
             logit_softcap=softcap,
+            sink_tokens=sink_tokens,
         )
     return out[:, None]  # [batch, 1, nheads, d]

@@ -324,6 +324,7 @@ def paged_decode_attention(
     window_left: int = -1,
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
+    sink_tokens: int = 0,
 ) -> jax.Array:
     """Paged decode attention — see mfa_tpu.kernels.paged for the kernel.
 
@@ -343,4 +344,5 @@ def paged_decode_attention(
         window_left=window_left,
         interpret=interpret,
         logit_softcap=logit_softcap,
+        sink_tokens=sink_tokens,
     )

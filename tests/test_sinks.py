@@ -138,3 +138,26 @@ def test_engine_sinks_chunked_matches_whole():
             pos, len(prompt))
     np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_public_kvcache_api_sinks():
+    import mfa_tpu
+
+    b, h, d, s = 2, 4, 64, 200
+    q = jax.random.normal(jax.random.key(0), (b, 1, h, d))
+    kc = jax.random.normal(jax.random.key(1), (b, s, 2, d))
+    vc = jax.random.normal(jax.random.key(2), (b, s, 2, d))
+    lens = jnp.asarray([180, 60], jnp.int32)
+    wl, sinks = 30, 5
+    out = mfa_tpu.flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=lens, window_size=(wl, -1),
+        sink_tokens=sinks)[:, 0]
+    kg = jnp.repeat(jnp.swapaxes(kc, 1, 2), 2, 1)
+    vg = jnp.repeat(jnp.swapaxes(vc, 1, 2), 2, 1)
+    sc = jnp.einsum("bshd,bhSd->bhsS", q, kg)[:, :, 0] * d ** -0.5
+    col = jnp.arange(s)[None, None]
+    pos = (lens - 1)[:, None, None]
+    vis = (col < lens[:, None, None]) & ((col >= pos - wl) | (col < sinks))
+    ref = jnp.einsum("bhS,bhSd->bhd",
+                     jax.nn.softmax(jnp.where(vis, sc, -jnp.inf), -1), vg)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
