@@ -44,6 +44,7 @@ def flash_attn_func(
     softmax_scale: Optional[float] = None,
     window_size: tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention forward pass (reference: interface.py:6-37).
 
@@ -61,6 +62,9 @@ def flash_attn_func(
             present-but-unexposed in the reference, _C.pyi:4-41).
         softcap: > 0 applies a Gemma2-style tanh cap to the attention
             logits (extension; matches flash-attn v2.6's softcap arg).
+        alibi_slopes: [nheads] fp32 per-head ALiBi slopes; adds
+            -slope * |i - j| to the logits (top-left aligned positions;
+            matches the official flash-attn argument).
 
     Return:
         out: (batch_size, seqlen_q, nheads, headdim)
@@ -77,6 +81,7 @@ def flash_attn_func(
         softmax_scale=softmax_scale,
         window_size=tuple(window_size),
         logit_softcap=float(softcap),
+        alibi_slopes=alibi_slopes,
     )
     return jnp.swapaxes(out, 1, 2)
 
@@ -98,6 +103,7 @@ def flash_attn_varlen_func(
     block_table: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Varlen (continuous batching) attention (reference: interface.py:40-92).
 
@@ -119,6 +125,7 @@ def flash_attn_varlen_func(
         block_table=block_table,
         softmax_scale=softmax_scale,
         logit_softcap=float(softcap),
+        alibi_slopes=alibi_slopes,
     )
 
 
@@ -133,6 +140,7 @@ def flash_attn_with_kvcache(
     window_size: tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
     sink_tokens: int = 0,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode attention against a KV cache (reference: interface.py:95-124).
 
@@ -171,7 +179,7 @@ def flash_attn_with_kvcache(
     return _kvcache_jit(
         q, k_cache, v_cache, cache_seqlens, block_table, num_splits,
         softmax_scale, int(window_size[0]), float(softcap),
-        int(sink_tokens)
+        int(sink_tokens), alibi_slopes
     )
 
 
@@ -182,6 +190,7 @@ def flash_attn_with_kvcache(
 def _kvcache_jit(
     q, k_cache, v_cache, cache_seqlens, block_table, num_splits,
     softmax_scale, window_left=-1, softcap=0.0, sink_tokens=0,
+    alibi_slopes=None,
 ):
     from mfa_tpu.kernels.decode import decode_attention, paged_decode_attention
 
@@ -201,6 +210,7 @@ def _kvcache_jit(
             window_left=window_left,
             logit_softcap=softcap,
             sink_tokens=sink_tokens,
+            alibi_slopes=alibi_slopes,
         )
     else:
         kt = jnp.swapaxes(k_cache, 1, 2)  # [batch, hkv, s, d]
@@ -215,5 +225,6 @@ def _kvcache_jit(
             window_left=window_left,
             logit_softcap=softcap,
             sink_tokens=sink_tokens,
+            alibi_slopes=alibi_slopes,
         )
     return out[:, None]  # [batch, 1, nheads, d]

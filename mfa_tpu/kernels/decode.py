@@ -52,15 +52,7 @@ _MASK = -1e30
 
 def _decode_kernel(
     lens_ref,  # scalar prefetch: [batch] int32
-    q_ref,  # [1, 1, group_p, d]
-    k_ref,  # [1, 1, block_k, d]
-    v_ref,  # [1, 1, block_k, d]
-    o_ref,  # [1, 1, 1, group_p, d] fp32 partial
-    lse_ref,  # [1, 1, 1, group_p, LANES] fp32
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,  # q, k, v, [alibi slopes], o, lse, m/l/acc scratch
     scale_log2e: float,
     block_k: int,
     blocks_per_split: int,
@@ -68,7 +60,14 @@ def _decode_kernel(
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
     sinks: int = 0,
+    alibi: bool = False,
 ):
+    if alibi:
+        (q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        slopes_ref = None
     b = pl.program_id(0)
     n = pl.program_id(3)
     s = pl.program_id(2)
@@ -106,6 +105,11 @@ def _decode_kernel(
         col = (
             jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1) + global_blk * block_k
         )
+        if alibi:
+            # per-GROUP-ROW slopes, pre-multiplied by log2(e) (sc is in
+            # the log2 domain here); the decode row sits at length-1
+            sc = sc - slopes_ref[0][:, :1] * jnp.abs(
+                (length - 1) - col).astype(jnp.float32)
         visible = col < length
         if window_left >= 0:
             in_win = col >= start
@@ -189,6 +193,7 @@ def decode_attention(
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
     sink_tokens: int = 0,
+    alibi_slopes: Optional[jax.Array] = None,
 ):
     """Decode attention against a contiguous per-batch KV cache.
 
@@ -226,6 +231,16 @@ def decode_attention(
     qg = q.reshape(batch, num_kv_heads, group, head_dim)
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+    if alibi_slopes is not None:
+        if logit_softcap:
+            raise ValueError("alibi_slopes and logit_softcap are exclusive")
+        # [hkv, group_p, LANES] per-group-row slopes in the log2 domain
+        sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            num_kv_heads, group) * _LOG2E
+        if group_p != group:
+            sl = jnp.pad(sl, ((0, 0), (0, group_p - group)))
+        slopes_in = jnp.broadcast_to(sl[..., None],
+                                     (num_kv_heads, group_p, LANES))
 
     def kv_index_map(b, h, s, n, lens_ref):
         blk = s * blocks_per_split + n
@@ -241,14 +256,21 @@ def decode_attention(
                                 jnp.minimum(blk, last_valid), clipped)
         return (b, h, clipped, 0)
 
+    dec_in_specs = [
+        pl.BlockSpec((1, 1, group_p, head_dim),
+                     lambda b, h, s, n, lens: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+    ]
+    dec_inputs = [qg, k_cache, v_cache]
+    if alibi_slopes is not None:
+        dec_in_specs.append(pl.BlockSpec(
+            (1, group_p, LANES), lambda b, h, s, n, lens: (h, 0, 0)))
+        dec_inputs.append(slopes_in)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch, num_kv_heads, num_splits, blocks_per_split),
-        in_specs=[
-            pl.BlockSpec((1, 1, group_p, head_dim), lambda b, h, s, n, lens: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
-        ],
+        in_specs=dec_in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, 1, group_p, head_dim), lambda b, h, s, n, lens: (b, h, s, 0, 0)
@@ -275,6 +297,7 @@ def decode_attention(
         blocks_per_split=blocks_per_split,
         window_left=window_left,
         sinks=int(sink_tokens) if window_left >= 0 else 0,
+        alibi=alibi_slopes is not None,
     )
 
     o_parts, lse = pl.pallas_call(
@@ -298,7 +321,7 @@ def decode_attention(
             transcendentals=int(batch * num_heads * max_s),
         ),
         interpret=interpret,
-    )(jnp.asarray(cache_seqlens, jnp.int32), qg, k_cache, v_cache)
+    )(jnp.asarray(cache_seqlens, jnp.int32), *dec_inputs)
 
     combined = combine_splits(
         o_parts, lse[..., 0], axis=2, return_lse=return_lse
@@ -325,6 +348,7 @@ def paged_decode_attention(
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
     sink_tokens: int = 0,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Paged decode attention — see mfa_tpu.kernels.paged for the kernel.
 
@@ -345,4 +369,5 @@ def paged_decode_attention(
         interpret=interpret,
         logit_softcap=logit_softcap,
         sink_tokens=sink_tokens,
+        alibi_slopes=alibi_slopes,
     )

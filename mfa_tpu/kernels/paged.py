@@ -103,6 +103,7 @@ def _paged_kernel_body(
     lens_ref,
     table_ref,
     q_ref,  # [1, hkv, group_p, d]
+    slopes_ref,  # [hkv, rows_p, LANES] log2-domain ALiBi slopes or None
     k_scale_ref,  # [1, hkv, 1, bt] or None
     v_scale_ref,
     k_pages,  # HBM [hkv, P, page, d]
@@ -327,6 +328,14 @@ def _paged_kernel_body(
                 # scale_log2e is log2(e) (see prefill.py)
                 sc = jnp.tanh(sc * softcap_mul) * softcap
             sc = sc * scale_log2e
+            if slopes_ref is not None:
+                # ALiBi: per-row slopes (log2 domain); row si sits at
+                # absolute position length - q_span + si
+                si_rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (sc.shape[0], 1), 0) // group
+                pos_rows = (length - q_span) + si_rows
+                sc = sc - slopes_ref[h][:, :1] * jnp.abs(
+                    pos_rows - col).astype(jnp.float32)
             sc = jnp.where(in_len, sc, _MASK)
 
             m_prev = m_scr[h]
@@ -373,6 +382,7 @@ def paged_attention(
     logit_softcap: float = 0.0,
     quant_dtype: Optional[str] = None,
     sink_tokens: int = 0,
+    alibi_slopes: Optional[jax.Array] = None,
 ):
     """Paged decode attention (seqlen_q == 1, or a small speculative span).
 
@@ -460,6 +470,20 @@ def paged_attention(
                      lambda b, i, *refs: (b, 0, 0, 0)),
     ]
     inputs = [qg]
+    if alibi_slopes is not None:
+        if logit_softcap:
+            raise ValueError("alibi_slopes and logit_softcap are exclusive")
+        # per-row slopes: row r of kv head h is q head h*group + r%group;
+        # log2 domain (scores are scaled by scale*log2e in-kernel)
+        sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            num_kv_heads, group) * _LOG2E
+        row_slope = jnp.tile(sl[:, None, :], (1, rows_p // group + 1, 1)
+                             ).reshape(num_kv_heads, -1)[:, :rows_p]
+        slopes_in = jnp.broadcast_to(row_slope[..., None],
+                                     (num_kv_heads, rows_p, _LANES))
+        in_specs.append(pl.BlockSpec((num_kv_heads, rows_p, _LANES),
+                                     lambda b, i, *refs: (0, 0, 0)))
+        inputs.append(slopes_in)
     if quantized:
         # Gather per-row scales by block table outside the kernel (tiny:
         # 4 bytes/token vs ~head_dim payload bytes/token).
@@ -510,11 +534,17 @@ def paged_attention(
         q_span=q_span,
         group=group,
     )
-    if quantized:
-        kernel = body
-    else:
-        def kernel(lens, table, q_ref, kp, vp, *rest):
-            return body(lens, table, q_ref, None, None, kp, vp, *rest)
+    has_alibi = alibi_slopes is not None
+
+    def kernel(lens, table, *refs):
+        refs = list(refs)
+        q_ref = refs.pop(0)
+        sl_ref = refs.pop(0) if has_alibi else None
+        if quantized:
+            ks_ref, vs_ref = refs.pop(0), refs.pop(0)
+        else:
+            ks_ref = vs_ref = None
+        return body(lens, table, q_ref, sl_ref, ks_ref, vs_ref, *refs)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -90,15 +90,7 @@ def _prefill_body(
     run,
     first_j,
     last_j,
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     scale_log2e: float,
     block_q: int,
     block_k: int,
@@ -110,7 +102,15 @@ def _prefill_body(
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
     sinks: int = 0,
+    alibi: bool = False,
 ):
+    if alibi:  # per-head ALiBi slope rides as an extra input block
+        (q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        slopes_ref = None
+
     # with sinks, a q block's first enumerated cell is sink block 0
     # (the triangular table lists sink blocks ahead of the window band)
     init_j = 0 if sinks > 0 else first_j
@@ -152,6 +152,14 @@ def _prefill_body(
         # where a separate `s *= c` pass would cost an extra full [bq, bk]
         # traversal — the inner loop is VPU-bound, reference analog
         # api.cpp:99-100 pre-multiplies for the same reason).
+        if alibi:
+            # slopes arrive pre-divided by the softmax scale so the bias
+            # lands in the raw score domain; top-left-aligned |i - j|
+            rowa = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0) + i * block_q
+            cola = jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1) + j * block_k
+            s = s - slopes_ref[0, 0, 0] * jnp.abs(rowa - cola).astype(jnp.float32)
 
         if masked:
             # Skinny iotas: [bq, 1] rows and [1, bk] cols broadcast inside
@@ -257,6 +265,7 @@ def prefill_attention(
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
     sink_tokens: int = 0,
+    alibi_slopes: Optional[jax.Array] = None,
 ):
     """Flash-attention forward on [batch, heads, seq, head_dim] layout.
 
@@ -316,7 +325,17 @@ def prefill_attention(
         softcap_mul=(float(softmax_scale) / float(logit_softcap)
                      if logit_softcap else 0.0),
         sinks=int(sink_tokens),
+        alibi=alibi_slopes is not None,
     )
+    if alibi_slopes is not None:
+        if logit_softcap:
+            raise ValueError("alibi_slopes and logit_softcap are exclusive")
+        # pre-divide by the scale: the kernel's scores are raw (unscaled)
+        slopes_in = jnp.broadcast_to(
+            (jnp.asarray(alibi_slopes, jnp.float32)
+             / float(softmax_scale))[:, None, None],
+            (num_heads, 8, LANES),  # 8 sublanes: Mosaic block tiling
+        )
     kernel = functools.partial(_prefill_kernel, **kparams)
 
     out_shapes = [
@@ -371,14 +390,20 @@ def prefill_attention(
         tri_kernel = functools.partial(_prefill_tri_kernel, **kparams)
         qo_map = lambda b, h, t, im, jm: (b, h, im[t], 0)  # noqa: E731
         kv_map = lambda b, h, t, im, jm: (b, h // group, jm[t], 0)  # noqa: E731
+        tri_in_specs = [
+            pl.BlockSpec((1, 1, bq, head_dim), qo_map),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+        ]
+        tri_inputs = [q, k, v]
+        if alibi_slopes is not None:
+            tri_in_specs.append(pl.BlockSpec(
+                (1, 8, LANES), lambda b, h, t, im, jm: (h, 0, 0)))
+            tri_inputs.append(slopes_in)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(batch, num_heads, len(cells_i)),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq, head_dim), qo_map),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_map),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_map),
-            ],
+            in_specs=tri_in_specs,
             out_specs=[
                 pl.BlockSpec(spec.block_shape, qo_map) for spec in out_specs
             ],
@@ -397,18 +422,24 @@ def prefill_attention(
         )(
             jnp.asarray(cells_i, jnp.int32),
             jnp.asarray(cells_j, jnp.int32),
-            q, k, v,
+            *tri_inputs,
         )
     else:
+        rect_in_specs = [
+            pl.BlockSpec((1, 1, bq, head_dim),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
+        ]
+        rect_inputs = [q, k, v]
+        if alibi_slopes is not None:
+            rect_in_specs.append(pl.BlockSpec(
+                (1, 8, LANES), lambda b, h, i, j: (h, 0, 0)))
+            rect_inputs.append(slopes_in)
         outs = pl.pallas_call(
             kernel if return_lse else _drop_lse_arg(kernel),
             grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq, head_dim),
-                             lambda b, h, i, j: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
-            ],
+            in_specs=rect_in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
             scratch_shapes=scratch_shapes,
@@ -419,7 +450,7 @@ def prefill_attention(
             ),
             cost_estimate=cost,
             interpret=interpret,
-        )(q, k, v)
+        )(*rect_inputs)
 
     if return_lse:
         out, lse = outs

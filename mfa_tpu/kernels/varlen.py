@@ -57,16 +57,18 @@ def _varlen_kernel(
     pos_q_ref,  # [bq, 1] int32
     seg_k_ref,  # [1, bk] int32
     pos_k_ref,  # [1, bk] int32
-    o_ref,  # [1, bq, d]
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *rest,  # [alibi slopes (1, LANES)], o_ref, m/l/acc scratch
     scale_log2e: float,
     causal: bool,
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
+    alibi: bool = False,
 ):
+    if alibi:
+        slopes_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+        slopes_ref = None
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -90,6 +92,10 @@ def _varlen_kernel(
         if softcap:
             s = jnp.tanh(s * softcap_mul) * softcap  # Gemma2-style softcap
         s = s * scale_log2e
+        if alibi:
+            # ALiBi on SEGMENT-relative positions (log2-domain slopes)
+            s = s - slopes_ref[0, 0, 0] * jnp.abs(
+                pos_q_ref[...] - pos_k_ref[...]).astype(jnp.float32)
 
         mask = seg_q_ref[...] == seg_k_ref[...]  # [bq, bk] via broadcast
         if causal:
@@ -159,6 +165,7 @@ def varlen_attention(
     block_k: int = 512,
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Packed varlen attention.
 
@@ -179,6 +186,9 @@ def varlen_attention(
         # prefill kernel (kernels/paged_prefill.py) — pages stream straight
         # from HBM, no materialized gather of the pool. Reference causal is
         # top-left per sequence (prefill.cuh:393-421) == q_start 0 here.
+        if alibi_slopes is not None:
+            raise NotImplementedError(
+                "alibi_slopes is not supported on the paged varlen route")
         from mfa_tpu.kernels.paged_prefill import paged_prefill_attention
 
         cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
@@ -250,6 +260,14 @@ def varlen_attention(
     kv_last = jnp.clip(kv_last_tok, 0, max(total_k - 1, 0)) // bk
     kv_last = jnp.maximum(kv_last, kv_first)
 
+    varlen_extra = []
+    if alibi_slopes is not None:
+        if logit_softcap:
+            raise ValueError("alibi_slopes and logit_softcap are exclusive")
+        varlen_extra.append(jnp.broadcast_to(
+            (jnp.asarray(alibi_slopes, jnp.float32) * _LOG2E)[:, None, None],
+            (num_heads, 8, LANES)))
+
     def kv_index_map(h, i, j, kv_first_ref, kv_last_ref):
         return (h // group, jnp.clip(j, kv_first_ref[i], kv_last_ref[i]), 0)
 
@@ -264,7 +282,8 @@ def varlen_attention(
             pl.BlockSpec((bq, 1), lambda h, i, j, f, l: (i, 0)),
             pl.BlockSpec((1, bk), lambda h, i, j, f, l: (0, j)),
             pl.BlockSpec((1, bk), lambda h, i, j, f, l: (0, j)),
-        ],
+        ] + ([pl.BlockSpec((1, 8, LANES), lambda h, i, j, f, l: (h, 0, 0))]
+             if alibi_slopes is not None else []),
         out_specs=pl.BlockSpec((1, bq, head_dim), lambda h, i, j, f, l: (h, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((bq, LANES), jnp.float32),
@@ -281,6 +300,7 @@ def varlen_attention(
         softcap_mul=(float(softmax_scale) / float(logit_softcap)
                      if logit_softcap else 0.0),
         causal=causal,
+        alibi=alibi_slopes is not None,
     )
 
     out = pl.pallas_call(
@@ -301,6 +321,7 @@ def varlen_attention(
         pos_q[:, None],
         seg_k[None, :],
         pos_k[None, :],
+        *varlen_extra,
     )
 
     return jnp.swapaxes(out[:, :total_q], 0, 1)
