@@ -99,6 +99,9 @@ def config_from_hf(hf_config) -> LlamaConfig:
                     is not None),
         layer_pattern=layer_pattern,
         rope_theta_local=getattr(hf_config, "rope_local_base_freq", None),
+        # Mixtral-style MoE
+        n_experts=getattr(hf_config, "num_local_experts", 0) or 0,
+        n_active_experts=getattr(hf_config, "num_experts_per_tok", 2) or 2,
     )
 
 
@@ -121,9 +124,12 @@ def from_hf(model_or_state_dict, hf_config=None,
         return jnp.asarray(_np(sd[name]).T, dtype)
 
     layers = dict(
-        wq=[], wk=[], wv=[], wo=[], w_gate=[], w_up=[], w_down=[],
-        attn_norm=[], mlp_norm=[],
+        wq=[], wk=[], wv=[], wo=[], attn_norm=[], mlp_norm=[],
     )
+    if cfg.n_experts:
+        layers.update(w_router=[], we_gate=[], we_up=[], we_down=[])
+    else:
+        layers.update(w_gate=[], w_up=[], w_down=[])
     if cfg.qkv_bias:
         layers.update(bq=[], bk=[], bv=[])
     if cfg.post_norms:
@@ -148,9 +154,21 @@ def from_hf(model_or_state_dict, hf_config=None,
             layers["bv"].append(
                 jnp.asarray(_np(sd[p + "self_attn.v_proj.bias"]), dtype))
         layers["wo"].append(w(p + "self_attn.o_proj.weight"))
-        layers["w_gate"].append(w(p + "mlp.gate_proj.weight"))
-        layers["w_up"].append(w(p + "mlp.up_proj.weight"))
-        layers["w_down"].append(w(p + "mlp.down_proj.weight"))
+        if cfg.n_experts:
+            # Mixtral: block_sparse_moe.gate + experts.N.{w1,w3,w2}
+            layers["w_router"].append(jnp.asarray(
+                _np(sd[p + "block_sparse_moe.gate.weight"]).T, jnp.float32))
+            ep = p + "block_sparse_moe.experts."
+            layers["we_gate"].append(jnp.stack(
+                [w(f"{ep}{e}.w1.weight") for e in range(cfg.n_experts)]))
+            layers["we_up"].append(jnp.stack(
+                [w(f"{ep}{e}.w3.weight") for e in range(cfg.n_experts)]))
+            layers["we_down"].append(jnp.stack(
+                [w(f"{ep}{e}.w2.weight") for e in range(cfg.n_experts)]))
+        else:
+            layers["w_gate"].append(w(p + "mlp.gate_proj.weight"))
+            layers["w_up"].append(w(p + "mlp.up_proj.weight"))
+            layers["w_down"].append(w(p + "mlp.down_proj.weight"))
         def norm(name):
             return jnp.asarray(_np(sd[p + name + ".weight"]), jnp.float32)
 

@@ -76,6 +76,11 @@ class LlamaConfig:
     # RoPE theta for SLIDING sub-layers when it differs from rope_theta
     # (Gemma3: 10k local vs 1M global)
     rope_theta_local: Optional[float] = None
+    # Mixture-of-experts MLP (Mixtral): n_experts > 0 replaces the dense
+    # MLP with a top-k routed expert bank (token-dropless grouped matmuls
+    # via lax.ragged_dot)
+    n_experts: int = 0
+    n_active_experts: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -137,6 +142,16 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def mixtral_8x7b() -> "LlamaConfig":
+        """Mixtral-8x7B shape: 8 experts, top-2 routing, Mistral-style
+        attention (the sliding window is disabled in practice)."""
+        return LlamaConfig(
+            vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+            n_kv_heads=8, ffn_dim=14336, rope_theta=1000000.0,
+            n_experts=8, n_active_experts=2,
+        )
+
+    @staticmethod
     def qwen3_8b() -> "LlamaConfig":
         """Qwen3-8B shape: per-head q/k RMSNorm (no qkv bias), head_dim
         128 with dim 4096 / 32 heads."""
@@ -176,7 +191,7 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
     d, hd = cfg.dim, cfg.head_dim
 
     def dense(key, shape, scale=None):
-        scale = scale if scale is not None else (shape[0] ** -0.5)
+        scale = scale if scale is not None else (shape[-2] ** -0.5)
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(cfg.dtype)
 
     keys = jax.random.split(key, cfg.n_layers + 2)
@@ -191,12 +206,25 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
             wk=dense(ks[1], (d, cfg.n_kv_heads * hd)),
             wv=dense(ks[2], (d, cfg.n_kv_heads * hd)),
             wo=dense(ks[3], (cfg.n_heads * hd, d)),
-            w_gate=dense(ks[4], (d, cfg.ffn_dim)),
-            w_up=dense(ks[5], (d, cfg.ffn_dim)),
-            w_down=dense(ks[6], (cfg.ffn_dim, d)),
             attn_norm=norm_init((d,), jnp.float32),
             mlp_norm=norm_init((d,), jnp.float32),
         )
+        if cfg.n_experts:
+            ke = jax.random.split(ks[4], 4)
+            E = cfg.n_experts
+            lp.update(
+                w_router=(jax.random.normal(ke[0], (d, E), jnp.float32)
+                          * d ** -0.5),
+                we_gate=dense(ke[1], (E, d, cfg.ffn_dim)),
+                we_up=dense(ke[2], (E, d, cfg.ffn_dim)),
+                we_down=dense(ke[3], (E, cfg.ffn_dim, d)),
+            )
+        else:
+            lp.update(
+                w_gate=dense(ks[4], (d, cfg.ffn_dim)),
+                w_up=dense(ks[5], (d, cfg.ffn_dim)),
+                w_down=dense(ks[6], (cfg.ffn_dim, d)),
+            )
         if cfg.post_norms:
             lp.update(post_attn_norm=norm_init((d,), jnp.float32),
                       post_mlp_norm=norm_init((d,), jnp.float32))
@@ -246,6 +274,15 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Params:
         layer.update(post_attn_norm=ns(None), post_mlp_norm=ns(None))
     if cfg.qk_norm:
         layer.update(q_norm=ns(None), k_norm=ns(None))
+    if cfg.n_experts:
+        for k_ in ("w_gate", "w_up", "w_down"):
+            layer.pop(k_, None)
+        layer.update(
+            w_router=ns(None, None, None),
+            we_gate=ns(None, None, None, MODEL_AXIS),
+            we_up=ns(None, None, None, MODEL_AXIS),
+            we_down=ns(None, None, MODEL_AXIS, None),
+        )
     return dict(
         embed=ns(None, None),
         final_norm=ns(None),
@@ -279,7 +316,46 @@ def _qkv(h, lp, cfg: "LlamaConfig", *lead):
     return q, k, v
 
 
+def _moe(x, lp, cfg: "LlamaConfig"):
+    """Mixtral-style top-k routed expert MLP, token-dropless.
+
+    TPU-idiomatic: token-expert pairs are sorted by expert and pushed
+    through ONE grouped matmul per projection (lax.ragged_dot -> MXU),
+    instead of a per-expert python loop or dense all-expert compute.
+    Router runs in fp32; top-k weights renormalize over the selected
+    experts (Mixtral convention)."""
+    h = _rms_norm(x, lp["mlp_norm"], cfg)
+    lead = h.shape[:-1]
+    t = h.reshape(-1, h.shape[-1])  # [T, d]
+    T = t.shape[0]
+    k = cfg.n_active_experts
+    logits = (t.astype(jnp.float32) @ lp["w_router"])  # [T, E]
+    w_top, idx = jax.lax.top_k(logits, k)
+    w_top = jax.nn.softmax(w_top, axis=-1)  # [T, k]
+    flat_e = idx.reshape(-1)  # [T*k]
+    order = jnp.argsort(flat_e)  # stable: ties keep token order
+    tok_of = (jnp.arange(T * k, dtype=jnp.int32) // k)[order]
+    gathered = t[tok_of]  # [T*k, d] expert-sorted
+    gs = jnp.zeros((cfg.n_experts,), jnp.int32).at[flat_e].add(1)
+    gate = jax.lax.ragged_dot(gathered, lp["we_gate"], gs)
+    up = jax.lax.ragged_dot(gathered, lp["we_up"], gs)
+    if cfg.hidden_act == "gelu_tanh":
+        gate = jax.nn.gelu(gate, approximate=True)
+    else:
+        gate = jax.nn.silu(gate)
+    down = jax.lax.ragged_dot(gate * up, lp["we_down"], gs)  # [T*k, d]
+    wflat = w_top.reshape(-1)[order].astype(down.dtype)
+    out = jnp.zeros((T, t.shape[-1]), down.dtype).at[tok_of].add(
+        down * wflat[:, None])
+    out = out.reshape(*lead, -1)
+    if cfg.post_norms:
+        out = _rms_norm(out, lp["post_mlp_norm"], cfg)
+    return x + out.astype(x.dtype)
+
+
 def _mlp(x, lp, cfg: "LlamaConfig"):
+    if cfg.n_experts:
+        return _moe(x, lp, cfg)
     h = _rms_norm(x, lp["mlp_norm"], cfg)
     gate = h @ lp["w_gate"]
     if cfg.hidden_act == "gelu_tanh":

@@ -55,6 +55,12 @@ elif family == "qwen3":
         rms_norm_eps=1e-6, head_dim=32,
         tie_word_embeddings=False, **common)
     cls = transformers.Qwen3ForCausalLM
+elif family == "mixtral":
+    cfg = transformers.MixtralConfig(
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=None, **common)
+    cls = transformers.MixtralForCausalLM
 elif family == "gemma3":
     common["num_hidden_layers"] = 6  # one 5-sliding + 1-global period
     cfg = transformers.Gemma3TextConfig(
@@ -94,7 +100,7 @@ np.savez(out, __tokens__=tokens, __logits__=logits,
 '''
 
 FAMILIES = ("llama", "qwen2", "gemma", "qwen3", "gemma2",
-            "gemma3")
+            "gemma3", "mixtral")
 
 
 @pytest.fixture(scope="module", params=FAMILIES)
@@ -128,6 +134,9 @@ def test_converted_forward_matches_transformers(hf_artifacts):
     if family == "qwen3":
         assert cfg.qk_norm and "q_norm" in params["layers"]
         assert cfg.head_dim == 32  # head_dim override (not dim/heads)
+    if family == "mixtral":
+        assert cfg.n_experts == 4 and cfg.n_active_experts == 2
+        assert "we_gate" in params["layers"]
     if family == "gemma3":
         assert cfg.qk_norm and cfg.post_norms and cfg.norm_offset
         assert cfg.layer_pattern == (True,) * 5 + (False,)

@@ -119,3 +119,18 @@ def test_sharded_gemma2_style_matches_unsharded():
     mesh = make_mesh({MODEL_AXIS: 4}, jax.devices()[:4])
     gen_tp, _ = _run(params, cfg, mesh=mesh)
     assert gen_tp == gen_ref, (gen_tp, gen_ref)
+
+
+def test_sharded_moe_matches_unsharded():
+    """Mixtral-style MoE under TP: expert banks sharded on the ffn dim
+    (GSPMD partitions the grouped matmuls); generations must match the
+    unsharded engine token-for-token."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), n_experts=4, n_active_experts=2)
+    params = llama.init_params(jax.random.key(5), cfg)
+    gen_ref, _ = _run(params, cfg, mesh=None)
+    mesh = make_mesh({MODEL_AXIS: 4}, jax.devices()[:4])
+    gen_tp, eng = _run(params, cfg, mesh=mesh)
+    assert gen_tp == gen_ref, (gen_tp, gen_ref)
+    assert eng.params["layers"]["we_gate"].sharding.spec[3] == MODEL_AXIS
