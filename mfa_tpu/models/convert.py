@@ -93,15 +93,18 @@ def config_from_hf(hf_config) -> LlamaConfig:
         query_scale=(float(qpas) ** -0.5 if (qpas := getattr(
             hf_config, "query_pre_attn_scalar", None)) else None),
         post_norms=(model_type == "gemma2" or is_gemma3),
-        qk_norm=(model_type == "qwen3" or is_gemma3),
+        qk_norm=(model_type in ("qwen3", "qwen3_moe") or is_gemma3),
         alt_window=(model_type == "gemma2"
                     and getattr(hf_config, "sliding_window", None)
                     is not None),
         layer_pattern=layer_pattern,
         rope_theta_local=getattr(hf_config, "rope_local_base_freq", None),
-        # Mixtral-style MoE
-        n_experts=getattr(hf_config, "num_local_experts", 0) or 0,
+        # MoE: Mixtral uses num_local_experts, Qwen3-MoE uses num_experts
+        n_experts=(getattr(hf_config, "num_local_experts", 0)
+                   or getattr(hf_config, "num_experts", 0) or 0),
         n_active_experts=getattr(hf_config, "num_experts_per_tok", 2) or 2,
+        moe_ffn_dim=getattr(hf_config, "moe_intermediate_size", None),
+        norm_topk=bool(getattr(hf_config, "norm_topk_prob", True)),
     )
 
 
@@ -155,16 +158,32 @@ def from_hf(model_or_state_dict, hf_config=None,
                 jnp.asarray(_np(sd[p + "self_attn.v_proj.bias"]), dtype))
         layers["wo"].append(w(p + "self_attn.o_proj.weight"))
         if cfg.n_experts:
-            # Mixtral: block_sparse_moe.gate + experts.N.{w1,w3,w2}
-            layers["w_router"].append(jnp.asarray(
-                _np(sd[p + "block_sparse_moe.gate.weight"]).T, jnp.float32))
-            ep = p + "block_sparse_moe.experts."
-            layers["we_gate"].append(jnp.stack(
-                [w(f"{ep}{e}.w1.weight") for e in range(cfg.n_experts)]))
-            layers["we_up"].append(jnp.stack(
-                [w(f"{ep}{e}.w3.weight") for e in range(cfg.n_experts)]))
-            layers["we_down"].append(jnp.stack(
-                [w(f"{ep}{e}.w2.weight") for e in range(cfg.n_experts)]))
+            if p + "block_sparse_moe.gate.weight" in sd:
+                # Mixtral: block_sparse_moe.gate + experts.N.{w1,w3,w2}
+                layers["w_router"].append(jnp.asarray(
+                    _np(sd[p + "block_sparse_moe.gate.weight"]).T,
+                    jnp.float32))
+                ep = p + "block_sparse_moe.experts."
+                layers["we_gate"].append(jnp.stack(
+                    [w(f"{ep}{e}.w1.weight") for e in range(cfg.n_experts)]))
+                layers["we_up"].append(jnp.stack(
+                    [w(f"{ep}{e}.w3.weight") for e in range(cfg.n_experts)]))
+                layers["we_down"].append(jnp.stack(
+                    [w(f"{ep}{e}.w2.weight") for e in range(cfg.n_experts)]))
+            else:
+                # Qwen3-MoE: mlp.gate + mlp.experts.N.{gate,up,down}_proj
+                layers["w_router"].append(jnp.asarray(
+                    _np(sd[p + "mlp.gate.weight"]).T, jnp.float32))
+                ep = p + "mlp.experts."
+                layers["we_gate"].append(jnp.stack(
+                    [w(f"{ep}{e}.gate_proj.weight")
+                     for e in range(cfg.n_experts)]))
+                layers["we_up"].append(jnp.stack(
+                    [w(f"{ep}{e}.up_proj.weight")
+                     for e in range(cfg.n_experts)]))
+                layers["we_down"].append(jnp.stack(
+                    [w(f"{ep}{e}.down_proj.weight")
+                     for e in range(cfg.n_experts)]))
         else:
             layers["w_gate"].append(w(p + "mlp.gate_proj.weight"))
             layers["w_up"].append(w(p + "mlp.up_proj.weight"))

@@ -81,6 +81,11 @@ class LlamaConfig:
     # via lax.ragged_dot)
     n_experts: int = 0
     n_active_experts: int = 2
+    # expert MLP width when it differs from ffn_dim (Qwen3-MoE); and
+    # whether top-k routing weights renormalize over the selected experts
+    # (Mixtral: yes; Qwen3-MoE default: no — full-softmax weights)
+    moe_ffn_dim: Optional[int] = None
+    norm_topk: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -212,12 +217,13 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
         if cfg.n_experts:
             ke = jax.random.split(ks[4], 4)
             E = cfg.n_experts
+            fe = cfg.moe_ffn_dim or cfg.ffn_dim
             lp.update(
                 w_router=(jax.random.normal(ke[0], (d, E), jnp.float32)
                           * d ** -0.5),
-                we_gate=dense(ke[1], (E, d, cfg.ffn_dim)),
-                we_up=dense(ke[2], (E, d, cfg.ffn_dim)),
-                we_down=dense(ke[3], (E, cfg.ffn_dim, d)),
+                we_gate=dense(ke[1], (E, d, fe)),
+                we_up=dense(ke[2], (E, d, fe)),
+                we_down=dense(ke[3], (E, fe, d)),
             )
         else:
             lp.update(
@@ -331,7 +337,11 @@ def _moe(x, lp, cfg: "LlamaConfig"):
     k = cfg.n_active_experts
     logits = (t.astype(jnp.float32) @ lp["w_router"])  # [T, E]
     w_top, idx = jax.lax.top_k(logits, k)
-    w_top = jax.nn.softmax(w_top, axis=-1)  # [T, k]
+    if cfg.norm_topk:  # Mixtral: softmax over the selected experts
+        w_top = jax.nn.softmax(w_top, axis=-1)  # [T, k]
+    else:  # Qwen3-MoE default: full-softmax weights, not renormalized
+        full = jax.nn.softmax(logits, axis=-1)
+        w_top = jnp.take_along_axis(full, idx, axis=-1)
     flat_e = idx.reshape(-1)  # [T*k]
     order = jnp.argsort(flat_e)  # stable: ties keep token order
     tok_of = (jnp.arange(T * k, dtype=jnp.int32) // k)[order]

@@ -61,6 +61,12 @@ elif family == "mixtral":
         num_local_experts=4, num_experts_per_tok=2,
         sliding_window=None, **common)
     cls = transformers.MixtralForCausalLM
+elif family == "qwen3_moe":
+    cfg = transformers.Qwen3MoeConfig(
+        rms_norm_eps=1e-6, head_dim=32, tie_word_embeddings=False,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48,
+        mlp_only_layers=[], decoder_sparse_step=1, **common)
+    cls = transformers.Qwen3MoeForCausalLM
 elif family == "gemma3":
     common["num_hidden_layers"] = 6  # one 5-sliding + 1-global period
     cfg = transformers.Gemma3TextConfig(
@@ -100,7 +106,7 @@ np.savez(out, __tokens__=tokens, __logits__=logits,
 '''
 
 FAMILIES = ("llama", "qwen2", "gemma", "qwen3", "gemma2",
-            "gemma3", "mixtral")
+            "gemma3", "mixtral", "qwen3_moe")
 
 
 @pytest.fixture(scope="module", params=FAMILIES)
@@ -137,6 +143,11 @@ def test_converted_forward_matches_transformers(hf_artifacts):
     if family == "mixtral":
         assert cfg.n_experts == 4 and cfg.n_active_experts == 2
         assert "we_gate" in params["layers"]
+        assert cfg.norm_topk  # Mixtral renormalizes over the top-k
+    if family == "qwen3_moe":
+        assert cfg.n_experts == 4 and cfg.qk_norm and not cfg.norm_topk
+        assert cfg.moe_ffn_dim == 48
+        assert params["layers"]["we_gate"].shape[-1] == 48
     if family == "gemma3":
         assert cfg.qk_norm and cfg.post_norms and cfg.norm_offset
         assert cfg.layer_pattern == (True,) * 5 + (False,)
