@@ -31,7 +31,7 @@ def bench_contig(rtt, batch, heads, kv_heads, d, kv_len):
     def step(q, k, v, lens):
         return _chain(q, decode_attention(q, k, v, lens))
 
-    dt = scan_timeit(step, q0, args=(k, v, lens), iters=8, rtt=rtt)
+    dt = scan_timeit(step, q0, args=(k, v, lens), rtt=rtt)
     return dt, 2 * batch * kv_heads * kv_len * d * 2
 
 
@@ -58,7 +58,7 @@ def bench_paged(rtt, batch, heads, kv_heads, d, kv_len, page=128, quant=None):
                                              k_scales=ks, v_scales=vs))
 
         dt = scan_timeit(step, q0, args=(kq, vq, lens, table, ks, vs),
-                         iters=8, rtt=rtt)
+                         rtt=rtt)
         itemsize = 1
         extra = 2 * batch * kv_heads * kv_len * 4  # scales
     else:
