@@ -68,7 +68,7 @@ def bench_paged(rtt, batch, heads, kv_heads, d, kv_len, page=128, quant=None):
         def step(q, kp, vp, lens, table):
             return _chain(q, paged_attention(q, kp, vp, lens, table))
 
-        dt = scan_timeit(step, q0, args=(kpb, vpb, lens, table), iters=8,
+        dt = scan_timeit(step, q0, args=(kpb, vpb, lens, table),
                          rtt=rtt)
         itemsize = 2
         extra = 0

@@ -63,8 +63,11 @@ def flash_attn_func(
         softcap: > 0 applies a Gemma2-style tanh cap to the attention
             logits (extension; matches flash-attn v2.6's softcap arg).
         alibi_slopes: [nheads] fp32 per-head ALiBi slopes; adds
-            -slope * |i - j| to the logits (top-left aligned positions;
-            matches the official flash-attn argument).
+            -slope * |i - j| to the logits. DELIBERATE DIVERGENCE from
+            the official flash-attn argument: positions here are
+            TOP-LEFT aligned (matching this API's causal convention),
+            while flash-attn bottom-right-aligns when seqlen_q !=
+            seqlen_k; per-batch (batch, nheads) slopes are not accepted.
 
     Return:
         out: (batch_size, seqlen_q, nheads, headdim)

@@ -65,7 +65,26 @@ def config_from_hf(hf_config) -> LlamaConfig:
             layer_pattern = _min_period(flags)
         elif not any(flags):
             sliding_window = None  # no sliding layers at all
+    elif sliding_window and getattr(hf_config, "sliding_window_pattern",
+                                    None):
+        # older Gemma3 configs: every p-th layer is global
+        per = int(hf_config.sliding_window_pattern)
+        if per > 1:
+            layer_pattern = (True,) * (per - 1) + (False,)
     is_gemma3 = model_type in ("gemma3", "gemma3_text")
+    # rope_scaling: linear position interpolation is supported (Gemma3's
+    # global layers ship factor 8); anything else must not be silently
+    # dropped — refuse loudly.
+    rope_scale = 1.0
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs:
+        rs = dict(rs)
+        rtype = rs.get("rope_type", rs.get("type", "default"))
+        if rtype == "linear":
+            rope_scale = float(rs.get("factor", 1.0))
+        elif rtype not in ("default", None):
+            raise NotImplementedError(
+                f"rope_scaling type {rtype!r} is not supported")
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
         dim=hf_config.hidden_size,
@@ -99,6 +118,7 @@ def config_from_hf(hf_config) -> LlamaConfig:
                     is not None),
         layer_pattern=layer_pattern,
         rope_theta_local=getattr(hf_config, "rope_local_base_freq", None),
+        rope_scale=rope_scale,
         # MoE: Mixtral uses num_local_experts, Qwen3-MoE uses num_experts
         n_experts=(getattr(hf_config, "num_local_experts", 0)
                    or getattr(hf_config, "num_experts", 0) or 0),

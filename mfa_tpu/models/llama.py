@@ -76,6 +76,10 @@ class LlamaConfig:
     # RoPE theta for SLIDING sub-layers when it differs from rope_theta
     # (Gemma3: 10k local vs 1M global)
     rope_theta_local: Optional[float] = None
+    # linear RoPE position scaling (positions divided by this factor).
+    # With a layer pattern it applies to the GLOBAL sub-layers only
+    # (Gemma3 scales the 1M-theta layers by 8); uniform models scale all.
+    rope_scale: float = 1.0
     # Mixture-of-experts MLP (Mixtral): n_experts > 0 replaces the dense
     # MLP with a top-k routed expert bank (token-dropless grouped matmuls
     # via lax.ragged_dot)
@@ -387,10 +391,12 @@ def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig"):
     return x + out
 
 
-def _sub_theta(cfg: "LlamaConfig", sliding: bool) -> float:
+def _sub_rope(cfg: "LlamaConfig", sliding: bool):
+    """(theta, linear position scale) for a sub-layer of the pattern."""
     if sliding and cfg.rope_theta_local is not None:
-        return cfg.rope_theta_local  # Gemma3: local layers use 10k theta
-    return cfg.rope_theta
+        # Gemma3: local layers use 10k theta, UNSCALED positions
+        return (cfg.rope_theta_local, 1.0)
+    return (cfg.rope_theta, cfg.rope_scale)
 
 
 def _scan_layers(cfg: "LlamaConfig", body, x, layers, cache_xs,
@@ -406,7 +412,7 @@ def _scan_layers(cfg: "LlamaConfig", body, x, layers, cache_xs,
         def fn(x, xs):
             lp, *leaves = xs
             x, new = body(x, lp, tuple(leaves), cfg.window_left,
-                          cfg.rope_theta)
+                          (cfg.rope_theta, cfg.rope_scale))
             return x, new
         fn = jax.checkpoint(fn) if remat else fn
         return jax.lax.scan(fn, x, (layers,) + cache_xs)
@@ -432,7 +438,7 @@ def _scan_layers(cfg: "LlamaConfig", body, x, layers, cache_xs,
                            for l in leavesg)
             wl = cfg.window_left if pattern[sub] else -1
             x, new = body(x, lp, leaves, wl,
-                          _sub_theta(cfg, pattern[sub]))
+                          _sub_rope(cfg, pattern[sub]))
             news.append(new)
         stacked = jax.tree.map(lambda *a: jnp.stack(a), *news)
         return x, stacked
@@ -458,10 +464,14 @@ def _unembed(params, x, cfg: "LlamaConfig"):
     return logits
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """Rotary embedding. x: [..., seq, heads, head_dim]; positions: [..., seq]."""
+def _rope(x: jax.Array, positions: jax.Array, theta: float,
+          scale: float = 1.0) -> jax.Array:
+    """Rotary embedding. x: [..., seq, heads, head_dim]; positions:
+    [..., seq]; scale > 1 = linear position interpolation (pos / scale)."""
     hd = x.shape[-1]
     freqs = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    if scale != 1.0:
+        freqs = freqs / scale
     angles = positions[..., None].astype(jnp.float32) * freqs  # [..., seq, hd/2]
     cos = jnp.cos(angles)[..., None, :]  # broadcast over heads
     sin = jnp.sin(angles)[..., None, :]
@@ -516,11 +526,11 @@ def forward(
     x = _embed(params, tokens, cfg)  # [b, s, d]
     positions = jnp.arange(s, dtype=jnp.int32)[None].repeat(b, 0)
 
-    def body(x, lp, _leaves, wl, theta):
+    def body(x, lp, _leaves, wl, rope):
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, b, s)
-        q = _rope(q, positions, theta)
-        k = _rope(k, positions, theta)
+        q = _rope(q, positions, *rope)
+        k = _rope(k, positions, *rope)
         attn = _attention_sharded(q, k, v, mesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(b, s, cfg.n_heads * hd), lp, cfg)
         x = _mlp(x, lp, cfg)
@@ -731,12 +741,12 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     positions = jnp.arange(s, dtype=jnp.int32)[None]  # broadcast over n
     flat_ids = page_ids.reshape(-1)  # [n*npg]; duplicates only on null page
 
-    def body(x, lp, leaves, wl, theta):
+    def body(x, lp, leaves, wl, rope):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, s)
-        q = _rope(q, positions, theta)
-        k = _rope(k, positions, theta)
+        q = _rope(q, positions, *rope)
+        k = _rope(k, positions, *rope)
         # page writes: [n, s, hkv, d] -> [hkv, n*npg, page, d]
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
                                  jnp.transpose(k, (2, 0, 1, 3)))
@@ -854,12 +864,12 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
     ).reshape(-1)  # [n*chunk_pages]
     kv_len = jnp.minimum(final_lens, offsets + chunk)  # [n]
 
-    def body(x, lp, leaves, wl, theta):
+    def body(x, lp, leaves, wl, rope):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, chunk)
-        q = _rope(q, positions, theta)
-        k = _rope(k, positions, theta)
+        q = _rope(q, positions, *rope)
+        k = _rope(k, positions, *rope)
         kq, ks_new = _store_rows(
             cache.quant_dtype, kp.dtype,
             jnp.transpose(k, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
@@ -986,12 +996,12 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     x = _embed(params, tokens, cfg)[:, None]  # [n, 1, d]
     positions = lens[:, None]
 
-    def body(x, lp, leaves, wl, theta):
+    def body(x, lp, leaves, wl, rope):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, 1)
-        q = _rope(q, positions, theta)
-        k = _rope(k, positions, theta)
+        q = _rope(q, positions, *rope)
+        k = _rope(k, positions, *rope)
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
                                  jnp.swapaxes(k[:, 0], 0, 1))  # [hkv, n, d]
         vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
@@ -1052,12 +1062,12 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     lens_inc = lens + span
     x = _embed(params, tokens, cfg)  # [n, span, d]
 
-    def body(x, lp, leaves, wl, theta):
+    def body(x, lp, leaves, wl, rope):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, span)
-        q = _rope(q, pos, theta)
-        k = _rope(k, pos, theta)
+        q = _rope(q, pos, *rope)
+        k = _rope(k, pos, *rope)
         kq, ks_new = _store_rows(
             cache.quant_dtype, kp.dtype,
             jnp.transpose(k, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))

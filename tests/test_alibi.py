@@ -100,3 +100,35 @@ def test_kvcache_alibi_contiguous_and_paged():
         q, kp, vp, cache_seqlens=lens, block_table=table,
         alibi_slopes=SLOPES4)[:, 0]
     assert float(jnp.max(jnp.abs(out_p - ref))) < 1e-4
+
+
+def test_paged_alibi_speculative_span():
+    """ALiBi with a multi-query span: row si sits at position
+    eff_len-1 = lens - span + si, and each GQA group row carries its own
+    slope."""
+    from mfa_tpu.kernels.paged import paged_attention
+
+    b, h, kvh, d, page, pps, span = 2, 4, 2, 64, 16, 8, 3
+    P = b * pps + 1
+    kp = jax.random.normal(jax.random.key(1), (kvh, P, page, d))
+    vp = jax.random.normal(jax.random.key(2), (kvh, P, page, d))
+    table = jnp.arange(1, b * pps + 1, dtype=jnp.int32).reshape(b, pps)
+    lens = jnp.asarray([100, 40], jnp.int32)
+    q = jax.random.normal(jax.random.key(5), (b, span, h, d))
+    out = paged_attention(q, kp, vp, lens, table, alibi_slopes=SLOPES4,
+                          pages_per_compute_block=2)
+    kk = jnp.transpose(kp, (1, 2, 0, 3))[table].reshape(b, -1, kvh, d)
+    vv = jnp.transpose(vp, (1, 2, 0, 3))[table].reshape(b, -1, kvh, d)
+    kg = jnp.repeat(jnp.swapaxes(kk, 1, 2), h // kvh, 1)
+    vg = jnp.repeat(jnp.swapaxes(vv, 1, 2), h // kvh, 1)
+    col = jnp.arange(pps * page)[None, None]
+    for si in range(span):
+        eff = lens - (span - 1 - si)
+        sc = jnp.einsum("bhd,bhSd->bhS", q[:, si], kg) * d ** -0.5
+        pos = (eff - 1)[:, None, None]
+        sc = sc - SLOPES4[None, :, None] * jnp.abs(pos - col)
+        vis = col < eff[:, None, None]
+        ref = jnp.einsum(
+            "bhS,bhSd->bhd",
+            jax.nn.softmax(jnp.where(vis, sc, -jnp.inf), -1), vg)
+        assert float(jnp.max(jnp.abs(out[:, si] - ref))) < 1e-4, si

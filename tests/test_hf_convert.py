@@ -72,6 +72,7 @@ elif family == "gemma3":
     cfg = transformers.Gemma3TextConfig(
         rms_norm_eps=1e-6, head_dim=32, sliding_window=8,
         query_pre_attn_scalar=16, rope_local_base_freq=10000.0,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
         hidden_activation="gelu_pytorch_tanh",
         tie_word_embeddings=True, **common)
     cfg.rope_theta = 1000000.0
@@ -150,6 +151,7 @@ def test_converted_forward_matches_transformers(hf_artifacts):
         assert params["layers"]["we_gate"].shape[-1] == 48
     if family == "gemma3":
         assert cfg.qk_norm and cfg.post_norms and cfg.norm_offset
+        assert cfg.rope_scale == 8.0  # linear scaling on global layers
         assert cfg.layer_pattern == (True,) * 5 + (False,)
         assert cfg.rope_theta_local == 10000.0
         assert cfg.sliding_window == 8

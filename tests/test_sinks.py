@@ -161,3 +161,34 @@ def test_public_kvcache_api_sinks():
     ref = jnp.einsum("bhS,bhSd->bhd",
                      jax.nn.softmax(jnp.where(vis, sc, -jnp.inf), -1), vg)
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
+def test_interaction_int4_window_sinks_penalty():
+    """Feature-combination catch-all: int4 KV + sliding window + sinks +
+    repetition penalty + burst decode must equal the stepwise run and
+    produce finite logprobs end-to-end."""
+    from mfa_tpu.serve.engine import Engine
+    from mfa_tpu.serve.sampling import SamplingParams
+
+    cfg = dataclasses.replace(
+        llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                               kv_heads=2, ffn=96, dtype=jnp.float32),
+        sliding_window=24, attn_sinks=4,
+    )
+    params = llama.init_params(jax.random.key(7), cfg)
+    sampling = SamplingParams(temperature=0.0, repetition_penalty=1.5)
+    prompts = [[1, 2, 3] * 11, [5] * 7]
+
+    def run(burst):
+        eng = Engine(params, cfg, num_pages=48, page_size=8, max_seqs=4,
+                     pages_per_seq=12, quant_dtype="int4",
+                     sampling=sampling)
+        reqs = [eng.submit(p, 6) for p in prompts]
+        eng.run(burst=burst)
+        assert eng.sched.allocator.free_pages == 47
+        for r in reqs:
+            assert len(r.generated) == 6
+            assert np.isfinite(r.logprobs).all()
+        return [r.generated for r in reqs]
+
+    assert run(3) == run(1)
