@@ -92,7 +92,8 @@ def flash_attn_func(
 @functools.partial(
     jax.jit,
     static_argnames=("max_seqlen_q", "max_seqlen_k", "causal",
-                     "softmax_scale", "softcap"),
+                     "softmax_scale", "softcap", "window_size",
+                     "sink_tokens"),
 )
 def flash_attn_varlen_func(
     q: jax.Array,
@@ -107,12 +108,17 @@ def flash_attn_varlen_func(
     softmax_scale: Optional[float] = None,
     softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
+    window_size: tuple[int, int] = (-1, -1),
+    sink_tokens: int = 0,
 ) -> jax.Array:
     """Varlen (continuous batching) attention (reference: interface.py:40-92).
 
     q: (total_q, nheads, headdim); k/v: (total_k, nheads_k, headdim), or with
     block_table a paged pool (num_pages, page_size, nheads_k, headdim).
     cu_seqlens_*: (batch+1,) int32 cumulative lengths.
+    window_size: (left, right) sliding window on sequence-local positions;
+    sink_tokens keeps each sequence's first tokens visible through a left
+    window (StreamingLLM).
     """
     from mfa_tpu.kernels.varlen import varlen_attention
 
@@ -129,6 +135,8 @@ def flash_attn_varlen_func(
         softmax_scale=softmax_scale,
         logit_softcap=float(softcap),
         alibi_slopes=alibi_slopes,
+        window_size=(int(window_size[0]), int(window_size[1])),
+        sink_tokens=int(sink_tokens),
     )
 
 

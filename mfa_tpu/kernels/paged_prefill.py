@@ -48,6 +48,7 @@ def _body(
     qlens_ref,  # [b] int32: number of real q rows
     table_ref,  # [b*pps] int32
     q_ref,  # [1, 1, hkv, group*bq, d]
+    slopes_ref,  # [hkv, rows_p, LANES] log2-domain ALiBi slopes, or None
     k_scale_ref,  # [1, 1, 1, hkv, bt] or None
     v_scale_ref,
     k_pages,  # HBM [hkv, P, page, d]
@@ -271,6 +272,13 @@ def _body(
             if softcap:
                 sc = jnp.tanh(sc * softcap_mul) * softcap  # Gemma2 softcap
             sc = sc * scale_log2e
+            if slopes_ref is not None:
+                # ALiBi, top-left-aligned |pos - col| on absolute
+                # positions; slopes arrive pre-multiplied by log2(e) so
+                # the bias lands in the scaled log2 domain of sc
+                sc = sc - slopes_ref[h][:, :1] * jnp.abs(
+                    pos[: sc.shape[0]] - col[: sc.shape[0]]
+                ).astype(jnp.float32)
             sc = jnp.where(vis[: sc.shape[0]], sc, _MASK)
 
             m_prev = m_scr[h]
@@ -316,6 +324,7 @@ def paged_prefill_attention(
     logit_softcap: float = 0.0,
     quant_dtype: Optional[str] = None,
     sink_tokens: int = 0,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Chunk prefill against a paged KV cache. Returns [b, sq, h, d].
 
@@ -391,6 +400,21 @@ def paged_prefill_attention(
                      lambda b, i, j, *refs: (b, i, 0, 0, 0)),
     ]
     inputs = [qg]
+    if alibi_slopes is not None:
+        if logit_softcap:
+            raise ValueError("alibi_slopes and logit_softcap are exclusive")
+        # per-ROW slopes: rows are [group, bq] flattened per kv head;
+        # pre-multiplied by log2(e) (kernel scores are scaled log2-domain)
+        sl = (jnp.asarray(alibi_slopes, jnp.float32) * _LOG2E).reshape(
+            num_kv_heads, group)
+        sl = jnp.repeat(sl, bq, axis=1)  # [hkv, group*bq]
+        if rows_p != rows:
+            sl = jnp.pad(sl, ((0, 0), (0, rows_p - rows)))
+        sl = jnp.broadcast_to(sl[:, :, None],
+                              (num_kv_heads, rows_p, _LANES))
+        in_specs.append(pl.BlockSpec(
+            (num_kv_heads, rows_p, _LANES), lambda b, i, j, *refs: (0, 0, 0)))
+        inputs.append(sl)
     if quantized:
         def gather_scales(scales):
             g = scales[:, block_table]  # [hkv, b, pps, page]
@@ -441,12 +465,14 @@ def paged_prefill_attention(
         window_left=window_left,
         causal=causal,
     )
-    if quantized:
-        kernel = body
-    else:
-        def kernel(lens, qst, qlns, table, q_ref, kp, vp, *rest):
-            return body(lens, qst, qlns, table, q_ref, None, None, kp, vp,
-                        *rest)
+    alibi = alibi_slopes is not None
+
+    def kernel(lens, qst, qlns, table, q_ref, *rest_refs):
+        rest = list(rest_refs)
+        slopes = rest.pop(0) if alibi else None
+        ks = rest.pop(0) if quantized else None
+        vs = rest.pop(0) if quantized else None
+        return body(lens, qst, qlns, table, q_ref, slopes, ks, vs, *rest)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

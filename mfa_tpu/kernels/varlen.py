@@ -63,6 +63,9 @@ def _varlen_kernel(
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
     alibi: bool = False,
+    window_left: int = -1,
+    window_right: int = -1,
+    sinks: int = 0,
 ):
     if alibi:
         slopes_ref, o_ref, m_scr, l_scr, acc_scr = rest
@@ -98,8 +101,19 @@ def _varlen_kernel(
                 pos_q_ref[...] - pos_k_ref[...]).astype(jnp.float32)
 
         mask = seg_q_ref[...] == seg_k_ref[...]  # [bq, bk] via broadcast
-        if causal:
+        if causal or window_right == 0:
             mask = jnp.logical_and(mask, pos_k_ref[...] <= pos_q_ref[...])
+        elif window_right > 0:
+            mask = jnp.logical_and(
+                mask, pos_k_ref[...] <= pos_q_ref[...] + window_right)
+        if window_left >= 0:
+            # sliding window on SEGMENT-relative positions; attention
+            # sinks (StreamingLLM) keep the first `sinks` tokens of each
+            # sequence visible through the window
+            in_win = pos_k_ref[...] >= pos_q_ref[...] - window_left
+            if sinks > 0:
+                in_win = jnp.logical_or(in_win, pos_k_ref[...] < sinks)
+            mask = jnp.logical_and(mask, in_win)
         s = jnp.where(mask, s, _MASK)
 
         m_prev = m_scr[...]
@@ -148,6 +162,8 @@ def _segments_from_cu(cu: jax.Array, total: int, pad_to: int, fill: int):
         "block_k",
         "logit_softcap",
         "interpret",
+        "window_size",
+        "sink_tokens",
     ),
 )
 def varlen_attention(
@@ -166,6 +182,8 @@ def varlen_attention(
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
+    window_size: tuple[int, int] = (-1, -1),
+    sink_tokens: int = 0,
 ) -> jax.Array:
     """Packed varlen attention.
 
@@ -180,15 +198,20 @@ def varlen_attention(
     if interpret is None:
         interpret = default_interpret()
     batch = cu_seqlens_q.shape[0] - 1
+    window_left, window_right = window_size
+    if causal:
+        window_right = 0
+    if sink_tokens and window_left < 0:
+        sink_tokens = 0  # without a left window, sinks are a no-op
 
     if block_table is not None:
         # Paged path: unpack q per sequence and run the in-kernel-DMA paged
         # prefill kernel (kernels/paged_prefill.py) — pages stream straight
         # from HBM, no materialized gather of the pool. Reference causal is
         # top-left per sequence (prefill.cuh:393-421) == q_start 0 here.
-        if alibi_slopes is not None:
+        if window_right > 0:
             raise NotImplementedError(
-                "alibi_slopes is not supported on the paged varlen route")
+                "right windows are not supported on the paged varlen route")
         from mfa_tpu.kernels.paged_prefill import paged_prefill_attention
 
         cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
@@ -211,6 +234,8 @@ def varlen_attention(
             jnp.zeros((batch,), jnp.int32), dense_table,
             q_lens=lens_q, causal=causal, softmax_scale=softmax_scale,
             interpret=interpret, logit_softcap=logit_softcap,
+            window_left=window_left, sink_tokens=sink_tokens,
+            alibi_slopes=alibi_slopes,
         )
         return out4[seg, pos]
 
@@ -247,11 +272,20 @@ def varlen_attention(
     qb_end = jnp.minimum(qb_start + bq - 1, max(total_q - 1, 0))
     seg_first = seg_q[qb_start].clip(0, batch - 1)
     seg_last = seg_q[qb_end].clip(0, batch - 1)
-    kv_first = k_start[seg_first] // bk
-    if causal:
-        # Last kv token needed by row r is pos_q(r) within its sequence;
-        # bound with the block's last row in its (last) sequence.
-        last_pos = pos_q[qb_end]
+    kv_first_tok = k_start[seg_first]
+    if window_left >= 0 and sink_tokens == 0:
+        # Tighten with the block's FIRST row's window start. Safe for
+        # blocks spanning several segments: later segments' k ranges start
+        # at k_start[seg] >= k_start[seg_first] + lens_k[seg_first]
+        # >= k_start[seg_first] + pos_q[qb_start] - window_left.
+        kv_first_tok = kv_first_tok + jnp.maximum(
+            0, pos_q[qb_start] - window_left)
+    kv_first = kv_first_tok // bk
+    if causal or window_right >= 0:
+        # Last kv token needed by row r is pos_q(r) + window_right within
+        # its sequence; bound with the block's last row in its (last)
+        # sequence.
+        last_pos = pos_q[qb_end] + max(window_right, 0)
         kv_last_tok = k_start[seg_last] + jnp.minimum(
             last_pos, lens_k[seg_last] - 1
         )
@@ -301,6 +335,9 @@ def varlen_attention(
                      if logit_softcap else 0.0),
         causal=causal,
         alibi=alibi_slopes is not None,
+        window_left=int(window_left),
+        window_right=int(window_right),
+        sinks=int(sink_tokens),
     )
 
     out = pl.pallas_call(

@@ -137,3 +137,87 @@ def test_varlen_block_table_mixed_decode_prefill():
     )
     ref = varlen_attention_ref(q, k_packed, v_packed, cu_q, cu_k)
     assert_close(out, ref, msg="varlen paged mixed")
+
+
+# ---------------- windows / sinks / alibi on varlen routes ----------------
+
+
+def _win_oracle(q, k, v, cu_q, cu_k, wl, wr, sinks, slopes=None):
+    """Per-sequence dense oracle: causal-style window on sequence-local
+    positions; sinks keep the first tokens visible; optional ALiBi."""
+    cu_q = [int(x) for x in cu_q]
+    cu_k = [int(x) for x in cu_k]
+    h, d = q.shape[1], q.shape[2]
+    g = h // k.shape[1]
+    outs = []
+    for b in range(len(cu_q) - 1):
+        qb = q[cu_q[b]:cu_q[b + 1]].astype(jnp.float32)
+        kb = jnp.repeat(k[cu_k[b]:cu_k[b + 1]].astype(jnp.float32), g, 1)
+        vb = jnp.repeat(v[cu_k[b]:cu_k[b + 1]].astype(jnp.float32), g, 1)
+        sq, sk = qb.shape[0], kb.shape[0]
+        sc = jnp.einsum("qhd,khd->hqk", qb, kb) * d ** -0.5
+        row = jnp.arange(sq)[:, None]
+        col = jnp.arange(sk)[None, :]
+        if slopes is not None:
+            sc = sc - slopes[:, None, None] * jnp.abs(row - col)
+        vis = jnp.ones((sq, sk), bool)
+        if wr >= 0:
+            vis &= col <= row + wr
+        if wl >= 0:
+            in_win = col >= row - wl
+            if sinks:
+                in_win |= col < sinks
+            vis &= in_win
+        sc = jnp.where(vis[None], sc, -jnp.inf)
+        outs.append(jnp.einsum("hqk,khd->qhd", jax.nn.softmax(sc, -1), vb))
+    return jnp.concatenate(outs, axis=0)
+
+
+@pytest.mark.parametrize("wl,sinks", [(40, 0), (40, 8), (17, 150)])
+def test_varlen_window_sinks(wl, sinks):
+    seqlens = [128, 300, 60]
+    q, k, v, cu_q, cu_k = _pack(jax.random.key(8), seqlens, seqlens, 4, 2, 64)
+    out = flash_attn_varlen_func(
+        q, k, v, cu_q, cu_k, max(seqlens), max(seqlens), causal=True,
+        window_size=(wl, 0), sink_tokens=sinks)
+    ref = _win_oracle(q, k, v, cu_q, cu_k, wl, 0, sinks)
+    assert_close(out, ref, msg=f"varlen window wl={wl} sinks={sinks}")
+
+
+def test_varlen_right_window_noncausal():
+    seqlens = [100, 220]
+    q, k, v, cu_q, cu_k = _pack(jax.random.key(9), seqlens, seqlens, 2, 2, 64)
+    out = flash_attn_varlen_func(
+        q, k, v, cu_q, cu_k, max(seqlens), max(seqlens),
+        window_size=(30, 20))
+    ref = _win_oracle(q, k, v, cu_q, cu_k, 30, 20, 0)
+    assert_close(out, ref, msg="varlen right window")
+
+
+@pytest.mark.parametrize("wl,sinks", [(-1, 0), (50, 6)])
+def test_varlen_paged_window_sinks(wl, sinks):
+    seqlens = [100, 256]
+    q, kp, vp, table, cu_q, cu_k, k_packed, v_packed = _paged_varlen(
+        jax.random.key(10), seqlens, seqlens, 4, 2, 64, 64
+    )
+    out = flash_attn_varlen_func(
+        q, kp, vp, cu_q, cu_k, max(seqlens), max(seqlens),
+        causal=True, block_table=jnp.asarray(table),
+        window_size=(wl, 0), sink_tokens=sinks)
+    ref = _win_oracle(q, k_packed, v_packed, cu_q, cu_k, wl, 0, sinks)
+    assert_close(out, ref, msg=f"varlen paged window wl={wl} sinks={sinks}")
+
+
+def test_varlen_paged_alibi():
+    # ALiBi on the paged varlen route (in-kernel bias in paged_prefill)
+    seqlens = [90, 200]
+    slopes = jnp.asarray([0.25, 0.0625, 0.5, 0.125])
+    q, kp, vp, table, cu_q, cu_k, k_packed, v_packed = _paged_varlen(
+        jax.random.key(11), seqlens, seqlens, 4, 2, 64, 64
+    )
+    out = flash_attn_varlen_func(
+        q, kp, vp, cu_q, cu_k, max(seqlens), max(seqlens),
+        causal=True, block_table=jnp.asarray(table), alibi_slopes=slopes)
+    ref = _win_oracle(q, k_packed, v_packed, cu_q, cu_k, -1, 0, 0,
+                      slopes=slopes)
+    assert_close(out, ref, msg="varlen paged alibi")
