@@ -19,6 +19,7 @@ Weight layout notes:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
@@ -72,19 +73,79 @@ def config_from_hf(hf_config) -> LlamaConfig:
         if per > 1:
             layer_pattern = (True,) * (per - 1) + (False,)
     is_gemma3 = model_type in ("gemma3", "gemma3_text")
-    # rope_scaling: linear position interpolation is supported (Gemma3's
-    # global layers ship factor 8); anything else must not be silently
-    # dropped — refuse loudly.
+    # rope_scaling: linear position interpolation (Gemma3's global layers
+    # ship factor 8), the Llama-3.1+ "llama3" low/high-frequency band
+    # interpolation, and YaRN (Qwen long-context) are supported; anything
+    # else must not be silently dropped — refuse loudly.
     rope_scale = 1.0
+    rope_scaling = None
     rs = getattr(hf_config, "rope_scaling", None)
     if rs:
         rs = dict(rs)
         rtype = rs.get("rope_type", rs.get("type", "default"))
         if rtype == "linear":
             rope_scale = float(rs.get("factor", 1.0))
+        elif rtype == "llama3":
+            rope_scaling = (
+                "llama3",
+                float(rs["factor"]),
+                float(rs["low_freq_factor"]),
+                float(rs["high_freq_factor"]),
+                int(rs["original_max_position_embeddings"]),
+            )
+        elif rtype == "yarn":
+            if not rs.get("truncate", True):
+                raise NotImplementedError(
+                    "yarn rope_scaling with truncate=False")
+            factor = float(rs["factor"])
+            attn_factor = rs.get("attention_factor")
+            if attn_factor is None:
+                # transformers' default yarn mscale: 0.1*ln(f)+1
+                mscale = rs.get("mscale")
+                mscale_all = rs.get("mscale_all_dim")
+
+                def get_mscale(scale, m=1.0):
+                    return (0.1 * m * math.log(scale) + 1.0
+                            if scale > 1 else 1.0)
+
+                if mscale and mscale_all:
+                    attn_factor = (get_mscale(factor, float(mscale))
+                                   / get_mscale(factor, float(mscale_all)))
+                else:
+                    attn_factor = get_mscale(factor)
+            orig = (rs.get("original_max_position_embeddings")
+                    or getattr(hf_config, "max_position_embeddings", 4096))
+            rope_scaling = (
+                "yarn",
+                factor,
+                float(attn_factor),
+                float(rs.get("beta_fast", 32) or 32),
+                float(rs.get("beta_slow", 1) or 1),
+                int(orig),
+            )
         elif rtype not in ("default", None):
             raise NotImplementedError(
                 f"rope_scaling type {rtype!r} is not supported")
+    # MoE expert count + heterogeneous dense/sparse interleave
+    # (Qwen-MoE decoder_sparse_step / mlp_only_layers: layer i is sparse
+    # iff it is not in mlp_only_layers and (i+1) % sparse_step == 0,
+    # matching transformers' Qwen2MoeDecoderLayer construction).
+    n_experts = (getattr(hf_config, "num_local_experts", 0)
+                 or getattr(hf_config, "num_experts", 0) or 0)
+    moe_layer_pattern = None
+    if n_experts:
+        step = getattr(hf_config, "decoder_sparse_step", 1) or 1
+        only = set(getattr(hf_config, "mlp_only_layers", None) or ())
+        pat = tuple(
+            (i not in only) and ((i + 1) % step == 0)
+            for i in range(hf_config.num_hidden_layers)
+        )
+        if not any(pat):
+            raise NotImplementedError(
+                "MoE config whose every layer is dense "
+                "(decoder_sparse_step/mlp_only_layers disable all experts)")
+        if not all(pat):
+            moe_layer_pattern = pat
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
         dim=hf_config.hidden_size,
@@ -119,12 +180,17 @@ def config_from_hf(hf_config) -> LlamaConfig:
         layer_pattern=layer_pattern,
         rope_theta_local=getattr(hf_config, "rope_local_base_freq", None),
         rope_scale=rope_scale,
-        # MoE: Mixtral uses num_local_experts, Qwen3-MoE uses num_experts
-        n_experts=(getattr(hf_config, "num_local_experts", 0)
-                   or getattr(hf_config, "num_experts", 0) or 0),
+        rope_scaling=rope_scaling,
+        # MoE: Mixtral uses num_local_experts, Qwen-MoE uses num_experts
+        n_experts=n_experts,
         n_active_experts=getattr(hf_config, "num_experts_per_tok", 2) or 2,
         moe_ffn_dim=getattr(hf_config, "moe_intermediate_size", None),
         norm_topk=bool(getattr(hf_config, "norm_topk_prob", True)),
+        # Qwen2-MoE shared expert (sigmoid-gated dense MLP on every token)
+        shared_expert_dim=getattr(
+            hf_config, "shared_expert_intermediate_size", None),
+        shared_expert_gate=(model_type == "qwen2_moe"),
+        moe_layer_pattern=moe_layer_pattern,
     )
 
 
@@ -146,81 +212,100 @@ def from_hf(model_or_state_dict, hf_config=None,
     def w(name):  # [out, in] -> [in, out]
         return jnp.asarray(_np(sd[name]).T, dtype)
 
-    layers = dict(
-        wq=[], wk=[], wv=[], wo=[], attn_norm=[], mlp_norm=[],
-    )
-    if cfg.n_experts:
-        layers.update(w_router=[], we_gate=[], we_up=[], we_down=[])
-    else:
-        layers.update(w_gate=[], w_up=[], w_down=[])
-    if cfg.qkv_bias:
-        layers.update(bq=[], bk=[], bv=[])
-    if cfg.post_norms:
-        layers.update(post_attn_norm=[], post_mlp_norm=[])
-    if cfg.qk_norm:
-        layers.update(q_norm=[], k_norm=[])
+    per_layer = []
+    mpat = cfg.moe_layer_pattern
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
-        layers["wq"].append(w(p + "self_attn.q_proj.weight"))
-        layers["wk"].append(w(p + "self_attn.k_proj.weight"))
-        layers["wv"].append(w(p + "self_attn.v_proj.weight"))
+        lp = dict(
+            wq=w(p + "self_attn.q_proj.weight"),
+            wk=w(p + "self_attn.k_proj.weight"),
+            wv=w(p + "self_attn.v_proj.weight"),
+            wo=w(p + "self_attn.o_proj.weight"),
+        )
         if cfg.qk_norm:
-            layers["q_norm"].append(jnp.asarray(
-                _np(sd[p + "self_attn.q_norm.weight"]), jnp.float32))
-            layers["k_norm"].append(jnp.asarray(
-                _np(sd[p + "self_attn.k_norm.weight"]), jnp.float32))
+            lp.update(
+                q_norm=jnp.asarray(
+                    _np(sd[p + "self_attn.q_norm.weight"]), jnp.float32),
+                k_norm=jnp.asarray(
+                    _np(sd[p + "self_attn.k_norm.weight"]), jnp.float32),
+            )
         if cfg.qkv_bias:
-            layers["bq"].append(
-                jnp.asarray(_np(sd[p + "self_attn.q_proj.bias"]), dtype))
-            layers["bk"].append(
-                jnp.asarray(_np(sd[p + "self_attn.k_proj.bias"]), dtype))
-            layers["bv"].append(
-                jnp.asarray(_np(sd[p + "self_attn.v_proj.bias"]), dtype))
-        layers["wo"].append(w(p + "self_attn.o_proj.weight"))
-        if cfg.n_experts:
+            lp.update(
+                bq=jnp.asarray(_np(sd[p + "self_attn.q_proj.bias"]), dtype),
+                bk=jnp.asarray(_np(sd[p + "self_attn.k_proj.bias"]), dtype),
+                bv=jnp.asarray(_np(sd[p + "self_attn.v_proj.bias"]), dtype),
+            )
+        is_moe = bool(cfg.n_experts) if mpat is None else bool(mpat[i])
+        if is_moe:
             if p + "block_sparse_moe.gate.weight" in sd:
                 # Mixtral: block_sparse_moe.gate + experts.N.{w1,w3,w2}
-                layers["w_router"].append(jnp.asarray(
-                    _np(sd[p + "block_sparse_moe.gate.weight"]).T,
-                    jnp.float32))
                 ep = p + "block_sparse_moe.experts."
-                layers["we_gate"].append(jnp.stack(
-                    [w(f"{ep}{e}.w1.weight") for e in range(cfg.n_experts)]))
-                layers["we_up"].append(jnp.stack(
-                    [w(f"{ep}{e}.w3.weight") for e in range(cfg.n_experts)]))
-                layers["we_down"].append(jnp.stack(
-                    [w(f"{ep}{e}.w2.weight") for e in range(cfg.n_experts)]))
+                lp.update(
+                    w_router=jnp.asarray(
+                        _np(sd[p + "block_sparse_moe.gate.weight"]).T,
+                        jnp.float32),
+                    we_gate=jnp.stack([w(f"{ep}{e}.w1.weight")
+                                       for e in range(cfg.n_experts)]),
+                    we_up=jnp.stack([w(f"{ep}{e}.w3.weight")
+                                     for e in range(cfg.n_experts)]),
+                    we_down=jnp.stack([w(f"{ep}{e}.w2.weight")
+                                       for e in range(cfg.n_experts)]),
+                )
             else:
-                # Qwen3-MoE: mlp.gate + mlp.experts.N.{gate,up,down}_proj
-                layers["w_router"].append(jnp.asarray(
-                    _np(sd[p + "mlp.gate.weight"]).T, jnp.float32))
+                # Qwen-MoE: mlp.gate + mlp.experts.N.{gate,up,down}_proj
                 ep = p + "mlp.experts."
-                layers["we_gate"].append(jnp.stack(
-                    [w(f"{ep}{e}.gate_proj.weight")
-                     for e in range(cfg.n_experts)]))
-                layers["we_up"].append(jnp.stack(
-                    [w(f"{ep}{e}.up_proj.weight")
-                     for e in range(cfg.n_experts)]))
-                layers["we_down"].append(jnp.stack(
-                    [w(f"{ep}{e}.down_proj.weight")
-                     for e in range(cfg.n_experts)]))
+                lp.update(
+                    w_router=jnp.asarray(
+                        _np(sd[p + "mlp.gate.weight"]).T, jnp.float32),
+                    we_gate=jnp.stack([w(f"{ep}{e}.gate_proj.weight")
+                                       for e in range(cfg.n_experts)]),
+                    we_up=jnp.stack([w(f"{ep}{e}.up_proj.weight")
+                                     for e in range(cfg.n_experts)]),
+                    we_down=jnp.stack([w(f"{ep}{e}.down_proj.weight")
+                                       for e in range(cfg.n_experts)]),
+                )
+            if cfg.shared_expert_dim:
+                # Qwen2-MoE shared expert + its sigmoid gate ([d, 1])
+                sp = p + "mlp.shared_expert."
+                lp.update(
+                    ws_gate=w(sp + "gate_proj.weight"),
+                    ws_up=w(sp + "up_proj.weight"),
+                    ws_down=w(sp + "down_proj.weight"),
+                )
+                if cfg.shared_expert_gate:
+                    lp.update(w_shared_gate=w(
+                        p + "mlp.shared_expert_gate.weight"))
         else:
-            layers["w_gate"].append(w(p + "mlp.gate_proj.weight"))
-            layers["w_up"].append(w(p + "mlp.up_proj.weight"))
-            layers["w_down"].append(w(p + "mlp.down_proj.weight"))
+            lp.update(
+                w_gate=w(p + "mlp.gate_proj.weight"),
+                w_up=w(p + "mlp.up_proj.weight"),
+                w_down=w(p + "mlp.down_proj.weight"),
+            )
+
         def norm(name):
             return jnp.asarray(_np(sd[p + name + ".weight"]), jnp.float32)
 
-        layers["attn_norm"].append(norm("input_layernorm"))
+        lp["attn_norm"] = norm("input_layernorm")
         if cfg.post_norms:
             # Gemma2: post_attention_layernorm normalizes the attention
             # OUTPUT; the MLP input norm is pre_feedforward_layernorm
-            layers["post_attn_norm"].append(norm("post_attention_layernorm"))
-            layers["mlp_norm"].append(norm("pre_feedforward_layernorm"))
-            layers["post_mlp_norm"].append(norm("post_feedforward_layernorm"))
+            lp["post_attn_norm"] = norm("post_attention_layernorm")
+            lp["mlp_norm"] = norm("pre_feedforward_layernorm")
+            lp["post_mlp_norm"] = norm("post_feedforward_layernorm")
         else:
-            layers["mlp_norm"].append(norm("post_attention_layernorm"))
-    stacked = {k: jnp.stack(v) for k, v in layers.items()}
+            lp["mlp_norm"] = norm("post_attention_layernorm")
+        per_layer.append(lp)
+
+    def _stack(lps):
+        return {k: jnp.stack([l[k] for l in lps]) for k in lps[0]}
+
+    if cfg.moe_hetero:
+        stacked = dict(
+            moe=_stack([l for l, f in zip(per_layer, mpat) if f]),
+            dense=_stack([l for l, f in zip(per_layer, mpat) if not f]),
+        )
+    else:
+        stacked = _stack(per_layer)
 
     embed = jnp.asarray(_np(sd["model.embed_tokens.weight"]), dtype)
     if "lm_head.weight" in sd:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -80,6 +81,16 @@ class LlamaConfig:
     # With a layer pattern it applies to the GLOBAL sub-layers only
     # (Gemma3 scales the 1M-theta layers by 8); uniform models scale all.
     rope_scale: float = 1.0
+    # Non-linear RoPE frequency rescaling, as a hashable tuple (static at
+    # trace time; the inv_freq rescale is pure numpy in _rope):
+    #   ("llama3", factor, low_freq_factor, high_freq_factor, orig_ctx)
+    #     — Llama-3.1+ low/high-frequency band interpolation
+    #   ("yarn", factor, attention_factor, beta_fast, beta_slow, orig_ctx)
+    #     — YaRN NTK-by-parts (Qwen long-context); attention_factor
+    #       multiplies cos/sin (the mscale)
+    # With a layer pattern, applies to GLOBAL sub-layers only (like
+    # rope_scale).
+    rope_scaling: Optional[tuple] = None
     # Mixture-of-experts MLP (Mixtral): n_experts > 0 replaces the dense
     # MLP with a top-k routed expert bank (token-dropless grouped matmuls
     # via lax.ragged_dot)
@@ -90,6 +101,19 @@ class LlamaConfig:
     # (Mixtral: yes; Qwen3-MoE default: no — full-softmax weights)
     moe_ffn_dim: Optional[int] = None
     norm_topk: bool = True
+    # Qwen2-MoE/DeepSeek shared expert: a dense SwiGLU MLP of this width
+    # runs on EVERY token alongside the routed experts; with
+    # shared_expert_gate its output is scaled by sigmoid(h @ w_sg)
+    # (Qwen2-MoE convention).
+    shared_expert_dim: Optional[int] = None
+    shared_expert_gate: bool = False
+    # Heterogeneous MoE/dense layer interleave (Qwen-MoE
+    # decoder_sparse_step / mlp_only_layers): per-layer booleans, True =
+    # routed-expert layer, False = dense MLP layer. None = uniform
+    # (n_experts decides). When both kinds appear, params["layers"] is
+    # {"moe": <stacked sparse layers>, "dense": <stacked dense layers>}
+    # and the layer loop unrolls (see _scan_layers).
+    moe_layer_pattern: Optional[tuple] = None
 
     @property
     def head_dim(self) -> int:
@@ -104,6 +128,12 @@ class LlamaConfig:
     @property
     def window_left(self) -> int:
         return -1 if self.sliding_window is None else self.sliding_window - 1
+
+    @property
+    def moe_hetero(self) -> bool:
+        """True when MoE and dense MLP layers interleave."""
+        p = self.moe_layer_pattern
+        return p is not None and (True in p) and (False in p)
 
     @property
     def sliding_pattern(self) -> Optional[tuple]:
@@ -205,6 +235,7 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
 
     keys = jax.random.split(key, cfg.n_layers + 2)
     layers = []
+    mpat = cfg.moe_layer_pattern
     for i in range(cfg.n_layers):
         ks = jax.random.split(keys[i], 7)
         # offset-norm models (Gemma) store w with (1+w) applied at runtime,
@@ -218,8 +249,9 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
             attn_norm=norm_init((d,), jnp.float32),
             mlp_norm=norm_init((d,), jnp.float32),
         )
-        if cfg.n_experts:
-            ke = jax.random.split(ks[4], 4)
+        is_moe = bool(cfg.n_experts) if mpat is None else bool(mpat[i])
+        if is_moe:
+            ke = jax.random.split(ks[4], 8)
             E = cfg.n_experts
             fe = cfg.moe_ffn_dim or cfg.ffn_dim
             lp.update(
@@ -229,6 +261,15 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
                 we_up=dense(ke[2], (E, d, fe)),
                 we_down=dense(ke[3], (E, fe, d)),
             )
+            if cfg.shared_expert_dim:
+                fs = cfg.shared_expert_dim
+                lp.update(
+                    ws_gate=dense(ke[4], (d, fs)),
+                    ws_up=dense(ke[5], (d, fs)),
+                    ws_down=dense(ke[6], (fs, d)),
+                )
+                if cfg.shared_expert_gate:
+                    lp.update(w_shared_gate=dense(ke[7], (d, 1)))
         else:
             lp.update(
                 w_gate=dense(ks[4], (d, cfg.ffn_dim)),
@@ -249,11 +290,18 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
                       k_norm=norm_init((hd,), jnp.float32))
         layers.append(lp)
     norm_init = jnp.zeros if cfg.norm_offset else jnp.ones
+    if cfg.moe_hetero:
+        stacked = dict(
+            moe=_stack_layers([l for l, f in zip(layers, mpat) if f]),
+            dense=_stack_layers([l for l, f in zip(layers, mpat) if not f]),
+        )
+    else:
+        stacked = _stack_layers(layers)
     return dict(
         embed=dense(keys[-2], (cfg.vocab_size, d), scale=0.02),
         final_norm=norm_init((cfg.dim,), jnp.float32),
         lm_head=dense(keys[-1], (d, cfg.vocab_size)),
-        layers=_stack_layers(layers),
+        layers=stacked,
     )
 
 
@@ -284,15 +332,29 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Params:
         layer.update(post_attn_norm=ns(None), post_mlp_norm=ns(None))
     if cfg.qk_norm:
         layer.update(q_norm=ns(None), k_norm=ns(None))
+    moe_layer = None
     if cfg.n_experts:
+        moe_layer = dict(layer)
         for k_ in ("w_gate", "w_up", "w_down"):
-            layer.pop(k_, None)
-        layer.update(
+            moe_layer.pop(k_, None)
+        moe_layer.update(
             w_router=ns(None, None, None),
             we_gate=ns(None, None, None, MODEL_AXIS),
             we_up=ns(None, None, None, MODEL_AXIS),
             we_down=ns(None, None, MODEL_AXIS, None),
         )
+        if cfg.shared_expert_dim:
+            moe_layer.update(
+                ws_gate=ns(None, None, MODEL_AXIS),
+                ws_up=ns(None, None, MODEL_AXIS),
+                ws_down=ns(None, MODEL_AXIS, None),
+            )
+            if cfg.shared_expert_gate:
+                moe_layer.update(w_shared_gate=ns(None, None, None))
+    if cfg.moe_hetero:
+        layer = dict(moe=moe_layer, dense=layer)
+    elif cfg.n_experts:
+        layer = moe_layer
     return dict(
         embed=ns(None, None),
         final_norm=ns(None),
@@ -361,6 +423,18 @@ def _moe(x, lp, cfg: "LlamaConfig"):
     wflat = w_top.reshape(-1)[order].astype(down.dtype)
     out = jnp.zeros((T, t.shape[-1]), down.dtype).at[tok_of].add(
         down * wflat[:, None])
+    if "ws_gate" in lp:
+        # Qwen2-MoE/DeepSeek shared expert: dense SwiGLU on every token,
+        # optionally scaled by a sigmoid gate on the (normed) hidden state
+        sg = t @ lp["ws_gate"]
+        sg = (jax.nn.gelu(sg, approximate=True)
+              if cfg.hidden_act == "gelu_tanh" else jax.nn.silu(sg))
+        sh = (sg * (t @ lp["ws_up"])) @ lp["ws_down"]
+        if "w_shared_gate" in lp:
+            sh = sh * jax.nn.sigmoid(
+                t.astype(jnp.float32) @ lp["w_shared_gate"].astype(
+                    jnp.float32)).astype(sh.dtype)
+        out = out + sh.astype(out.dtype)
     out = out.reshape(*lead, -1)
     if cfg.post_norms:
         out = _rms_norm(out, lp["post_mlp_norm"], cfg)
@@ -368,7 +442,7 @@ def _moe(x, lp, cfg: "LlamaConfig"):
 
 
 def _mlp(x, lp, cfg: "LlamaConfig"):
-    if cfg.n_experts:
+    if cfg.n_experts and "we_gate" in lp:
         return _moe(x, lp, cfg)
     h = _rms_norm(x, lp["mlp_norm"], cfg)
     gate = h @ lp["w_gate"]
@@ -392,11 +466,13 @@ def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig"):
 
 
 def _sub_rope(cfg: "LlamaConfig", sliding: bool):
-    """(theta, linear position scale) for a sub-layer of the pattern."""
-    if sliding and cfg.rope_theta_local is not None:
-        # Gemma3: local layers use 10k theta, UNSCALED positions
-        return (cfg.rope_theta_local, 1.0)
-    return (cfg.rope_theta, cfg.rope_scale)
+    """(theta, linear position scale, freq rescaling) for a sub-layer of
+    the pattern. Sliding sub-layers are local attention: they use the local
+    theta (Gemma3: 10k) and UNSCALED positions — long-context rescaling
+    (linear/llama3/yarn) applies to the GLOBAL sub-layers only."""
+    if sliding:
+        return (cfg.rope_theta_local or cfg.rope_theta, 1.0, None)
+    return (cfg.rope_theta, cfg.rope_scale, cfg.rope_scaling)
 
 
 def _scan_layers(cfg: "LlamaConfig", body, x, layers, cache_xs,
@@ -408,11 +484,42 @@ def _scan_layers(cfg: "LlamaConfig", body, x, layers, cache_xs,
     scan body (a per-layer dynamic window is impossible: the window
     shapes the kernel grid)."""
     pattern = cfg.sliding_pattern
+    if cfg.moe_hetero:
+        # Heterogeneous MoE/dense interleave (Qwen-MoE decoder_sparse_step
+        # / mlp_only_layers): the two layer kinds have different param
+        # trees, so they live in separate stacks ({"moe", "dense"}) and
+        # the layer loop unrolls at trace time (these configs are rare and
+        # shallow; uniform models keep the compiled scan below).
+        mpat = cfg.moe_layer_pattern
+        news = []
+        moe_i = dense_i = 0
+        for li in range(cfg.n_layers):
+            if mpat[li]:
+                grp, pos = layers["moe"], moe_i
+                moe_i += 1
+            else:
+                grp, pos = layers["dense"], dense_i
+                dense_i += 1
+            lp = jax.tree.map(lambda a, p=pos: a[p], grp)
+            leaves = tuple(jax.tree.map(lambda a, i=li: a[i], l)
+                           for l in cache_xs)
+            if pattern is None:
+                wl = cfg.window_left
+                rope = (cfg.rope_theta, cfg.rope_scale, cfg.rope_scaling)
+            else:
+                sliding = bool(pattern[li % len(pattern)])
+                wl = cfg.window_left if sliding else -1
+                rope = _sub_rope(cfg, sliding)
+            step = jax.checkpoint(body) if remat else body
+            x, new = step(x, lp, leaves, wl, rope)
+            news.append(new)
+        return x, jax.tree.map(lambda *a: jnp.stack(a), *news)
     if pattern is None:
         def fn(x, xs):
             lp, *leaves = xs
             x, new = body(x, lp, tuple(leaves), cfg.window_left,
-                          (cfg.rope_theta, cfg.rope_scale))
+                          (cfg.rope_theta, cfg.rope_scale,
+                           cfg.rope_scaling))
             return x, new
         fn = jax.checkpoint(fn) if remat else fn
         return jax.lax.scan(fn, x, (layers,) + cache_xs)
@@ -464,17 +571,68 @@ def _unembed(params, x, cfg: "LlamaConfig"):
     return logits
 
 
+def _scaled_inv_freq(scaling: tuple, inv_freq: "np.ndarray", hd: int,
+                     theta: float):
+    """Rescale base inv_freq per the LlamaConfig.rope_scaling tuple.
+    Pure numpy at trace time (shapes/values are static). Returns
+    (inv_freq, mscale) where mscale multiplies cos/sin.
+
+    Mirrors transformers' ROPE_INIT_FUNCTIONS "llama3" and "yarn"
+    (modeling_rope_utils.py) — validated against transformers in
+    tests/test_hf_convert.py."""
+    import numpy as np
+
+    kind = scaling[0]
+    if kind == "llama3":
+        _, factor, low_ff, high_ff, orig_ctx = scaling
+        low_wavelen = orig_ctx / low_ff
+        high_wavelen = orig_ctx / high_ff
+        wavelen = 2 * math.pi / inv_freq
+        # long wavelengths (low freq): fully interpolated (freq / factor);
+        # short wavelengths (high freq): kept; middle band: smooth blend.
+        smooth = (orig_ctx / wavelen - low_ff) / (high_ff - low_ff)
+        blended = (1 - smooth) * inv_freq / factor + smooth * inv_freq
+        out = np.where(wavelen < high_wavelen, inv_freq,
+                       np.where(wavelen > low_wavelen, inv_freq / factor,
+                                blended))
+        return out.astype(np.float32), 1.0
+    if kind == "yarn":
+        _, factor, attention_factor, beta_fast, beta_slow, orig_ctx = scaling
+        half = hd // 2
+
+        def correction_dim(num_rot):
+            return (hd * math.log(orig_ctx / (num_rot * 2 * math.pi))
+                    ) / (2 * math.log(theta))
+
+        low = max(math.floor(correction_dim(beta_fast)), 0)
+        high = min(math.ceil(correction_dim(beta_slow)), hd - 1)
+        ramp = (np.arange(half, dtype=np.float32) - low) / max(high - low,
+                                                               0.001)
+        extrapolation_factor = 1 - np.clip(ramp, 0, 1)
+        out = (inv_freq / factor * (1 - extrapolation_factor)
+               + inv_freq * extrapolation_factor)
+        return out.astype(np.float32), float(attention_factor)
+    raise NotImplementedError(f"rope_scaling kind {kind!r}")
+
+
 def _rope(x: jax.Array, positions: jax.Array, theta: float,
-          scale: float = 1.0) -> jax.Array:
+          scale: float = 1.0, scaling: Optional[tuple] = None) -> jax.Array:
     """Rotary embedding. x: [..., seq, heads, head_dim]; positions:
-    [..., seq]; scale > 1 = linear position interpolation (pos / scale)."""
+    [..., seq]; scale > 1 = linear position interpolation (pos / scale);
+    scaling = non-linear frequency rescale (LlamaConfig.rope_scaling)."""
+    import numpy as np
+
     hd = x.shape[-1]
-    freqs = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = 1.0 / (theta ** (np.arange(0, hd, 2, dtype=np.float32) / hd))
+    mscale = 1.0
+    if scaling is not None:
+        freqs, mscale = _scaled_inv_freq(scaling, freqs, hd, theta)
     if scale != 1.0:
         freqs = freqs / scale
+    freqs = jnp.asarray(freqs)
     angles = positions[..., None].astype(jnp.float32) * freqs  # [..., seq, hd/2]
-    cos = jnp.cos(angles)[..., None, :]  # broadcast over heads
-    sin = jnp.sin(angles)[..., None, :]
+    cos = jnp.cos(angles)[..., None, :] * mscale  # broadcast over heads
+    sin = jnp.sin(angles)[..., None, :] * mscale
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
     return out.astype(x.dtype)
@@ -1116,13 +1274,14 @@ def rollback(cache, seq_slots, new_lengths):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "mesh", "sampling")
+    jax.jit, static_argnames=("cfg", "n_steps", "mesh", "sampling",
+                              "return_logits")
 )
 def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
                  n_steps: int, mesh: Optional[Mesh] = None,
                  sampling=None, key: Optional[jax.Array] = None,
                  presence: Optional[jax.Array] = None,
-                 sampling_vecs=None):
+                 sampling_vecs=None, return_logits: bool = False):
     """n_steps decode steps fused on-device (one host round trip).
 
     The per-step host sync (sample -> feed back) costs a device->host round
@@ -1158,9 +1317,16 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             nxt = sample(logits, jax.random.fold_in(key, i), sampling, pres)
         if pres is not None:  # track the new token for repetition penalty
             pres = pres.at[jnp.arange(pres.shape[0]), nxt].set(True)
-        return (cache, nxt, pres), (nxt, token_logprobs(logits, nxt))
+        ys = (nxt, token_logprobs(logits, nxt))
+        if return_logits:  # speculative draft: full per-step distributions
+            ys = ys + (logits,)
+        return (cache, nxt, pres), ys
 
-    (cache, _, _), (out, lps) = jax.lax.scan(
+    (cache, _, _), ys = jax.lax.scan(
         body, (cache, tokens, presence), jnp.arange(n_steps)
     )
+    if return_logits:
+        out, lps, logits_all = ys
+        return cache, out, lps, logits_all
+    out, lps = ys
     return cache, out, lps

@@ -40,6 +40,25 @@ if family == "llama":
         rms_norm_eps=1e-5, attention_bias=False,
         tie_word_embeddings=False, **common)
     cls = transformers.LlamaForCausalLM
+elif family == "llama31":
+    # Llama-3.1-style rope_scaling: low orig ctx so the low/high frequency
+    # bands split inside the tiny head_dim
+    cfg = transformers.LlamaConfig(
+        rms_norm_eps=1e-5, attention_bias=False,
+        tie_word_embeddings=False,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 32},
+        **common)
+    cls = transformers.LlamaForCausalLM
+elif family == "qwen2_yarn":
+    # Qwen long-context YaRN (NTK-by-parts + mscale on cos/sin)
+    cfg = transformers.Qwen2Config(
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 32},
+        **common)
+    cls = transformers.Qwen2ForCausalLM
 elif family == "qwen2":
     cfg = transformers.Qwen2Config(
         rms_norm_eps=1e-6, tie_word_embeddings=False, **common)
@@ -67,6 +86,21 @@ elif family == "qwen3_moe":
         num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48,
         mlp_only_layers=[], decoder_sparse_step=1, **common)
     cls = transformers.Qwen3MoeForCausalLM
+elif family == "qwen3_moe_hetero":
+    # dense/sparse interleave: layer 0 dense (mlp_only_layers), layer 1 MoE
+    cfg = transformers.Qwen3MoeConfig(
+        rms_norm_eps=1e-6, head_dim=32, tie_word_embeddings=False,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48,
+        mlp_only_layers=[0], decoder_sparse_step=1, **common)
+    cls = transformers.Qwen3MoeForCausalLM
+elif family == "qwen2_moe":
+    # shared expert (sigmoid-gated) + unnormalized top-k + qkv bias
+    cfg = transformers.Qwen2MoeConfig(
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48,
+        shared_expert_intermediate_size=80, norm_topk_prob=False,
+        mlp_only_layers=[], decoder_sparse_step=1, **common)
+    cls = transformers.Qwen2MoeForCausalLM
 elif family == "gemma3":
     common["num_hidden_layers"] = 6  # one 5-sliding + 1-global period
     cfg = transformers.Gemma3TextConfig(
@@ -106,8 +140,9 @@ np.savez(out, __tokens__=tokens, __logits__=logits,
          **sd)
 '''
 
-FAMILIES = ("llama", "qwen2", "gemma", "qwen3", "gemma2",
-            "gemma3", "mixtral", "qwen3_moe")
+FAMILIES = ("llama", "llama31", "qwen2", "qwen2_yarn", "gemma", "qwen3",
+            "gemma2", "gemma3", "mixtral", "qwen3_moe", "qwen3_moe_hetero",
+            "qwen2_moe")
 
 
 @pytest.fixture(scope="module", params=FAMILIES)
@@ -135,6 +170,12 @@ def test_converted_forward_matches_transformers(hf_artifacts):
     if family == "qwen2":
         assert cfg.qkv_bias and "bq" in params["layers"]
         assert cfg.sliding_window is None  # use_sliding_window off
+    if family == "llama31":
+        assert cfg.rope_scaling is not None
+        assert cfg.rope_scaling[0] == "llama3" and cfg.rope_scaling[1] == 8.0
+    if family == "qwen2_yarn":
+        assert cfg.rope_scaling is not None and cfg.rope_scaling[0] == "yarn"
+        assert abs(cfg.rope_scaling[2] - (0.1 * np.log(4.0) + 1.0)) < 1e-6
     if family == "gemma":
         assert cfg.head_dim == 32 and cfg.norm_offset and cfg.embed_scale
         assert cfg.hidden_act == "gelu_tanh"
@@ -149,6 +190,16 @@ def test_converted_forward_matches_transformers(hf_artifacts):
         assert cfg.n_experts == 4 and cfg.qk_norm and not cfg.norm_topk
         assert cfg.moe_ffn_dim == 48
         assert params["layers"]["we_gate"].shape[-1] == 48
+    if family == "qwen3_moe_hetero":
+        # layer 0 dense (mlp_only_layers=[0]), layer 1 sparse
+        assert cfg.moe_layer_pattern == (False, True) and cfg.moe_hetero
+        assert "w_gate" in params["layers"]["dense"]
+        assert "we_gate" in params["layers"]["moe"]
+    if family == "qwen2_moe":
+        assert cfg.shared_expert_dim == 80 and cfg.shared_expert_gate
+        assert not cfg.norm_topk
+        assert "ws_gate" in params["layers"]
+        assert params["layers"]["w_shared_gate"].shape[-1] == 1
     if family == "gemma3":
         assert cfg.qk_norm and cfg.post_norms and cfg.norm_offset
         assert cfg.rope_scale == 8.0  # linear scaling on global layers
