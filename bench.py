@@ -1,6 +1,12 @@
 """Headline benchmark: decode attention HBM roofline with INT8 paged KV.
 
-Prints ONE JSON line:
+Prints the full headline as JSON lines (driver captures the tail; the
+LAST line is the parsed headline metric):
+  {"metric": "prefill_tflops_s2048", ...}
+  {"metric": "prefill_tflops_s8192", ...}
+  {"metric": "backward_tflops_s2048", ...}
+  {"metric": "serve_prefill_tok_s", ...}  (4-layer int8 slice)
+  {"metric": "serve_decode_tok_s", ...}
   {"metric": "decode_hbm_roofline_pct", "value": N, "unit": "%",
    "vs_baseline": N/85.0}
 
@@ -111,6 +117,33 @@ def bench_prefill(rtt, batch=8, seq=2048, heads=24, d=128):
     return dt, flops / dt / 1e12
 
 
+def bench_backward(rtt, batch=4, seq=2048, heads=24, d=128):
+    from mfa_tpu.kernels.autodiff import flash_attention_grad
+
+    q0 = jax.random.normal(jax.random.key(0), (batch, heads, seq, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(1), (batch, heads, seq, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (batch, heads, seq, d), jnp.bfloat16)
+
+    loss = lambda q, k, v: flash_attention_grad(q, k, v, True).astype(  # noqa: E731
+        jnp.float32).sum()
+
+    def step(q, k, v):
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        return _chain(q, dq + dk + dv)
+
+    dt = scan_timeit(step, q0, args=(k, v), rtt=rtt)
+    # fwd recompute (2 matmuls) + bwd (5 matmuls): 3.5x the causal fwd cost
+    flops = 3.5 * 4 * batch * heads * seq * seq * d * 0.5
+    return dt, flops / dt / 1e12
+
+
+def _emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 2), "unit": unit,
+        "vs_baseline": round(value / baseline, 4),
+    }))
+
+
 def main():
     rtt = measure_rtt()
     print(f"[bench] measured sync RTT: {rtt*1e3:.1f} ms", file=sys.stderr)
@@ -120,6 +153,9 @@ def main():
         f"{gbps:.0f} GB/s, {pct:.1f}% of HBM roofline",
         file=sys.stderr,
     )
+    # Secondary headline metrics: each emits its own JSON line (captured in
+    # the driver tail); failures must not kill the headline metric, which
+    # is printed LAST so the driver parses it.
     try:
         dt4, _, _ = bench_decode_int8(rtt, quant="int4")
         print(
@@ -127,31 +163,60 @@ def main():
             f"({dt/dt4:.2f}x vs int8, 2x KV density)",
             file=sys.stderr,
         )
+        _emit("decode_int4_vs_int8_speedup", dt / dt4, "x", 1.0)
         dtb, gbpsb, pctb = bench_decode_bf16(rtt)
         print(
             f"[bench] bf16 decode kv=8192 (b24 h24 MHA): {dtb*1e3:.3f} ms, "
             f"{gbpsb:.0f} GB/s, {pctb:.1f}% roofline",
             file=sys.stderr,
         )
+    except Exception as e:  # secondary benches must not kill the headline
+        print(f"[bench] decode secondary bench failed: {e}", file=sys.stderr)
+    try:
         dtp, tflops = bench_prefill(rtt)
         print(
             f"[bench] bf16 causal prefill b8 s2048 h24 d128: {dtp*1e3:.3f} ms, "
             f"{tflops:.1f} TFLOP/s",
             file=sys.stderr,
         )
-    except Exception as e:  # secondary benches must not kill the headline
-        print(f"[bench] secondary bench failed: {e}", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "decode_hbm_roofline_pct",
-                "value": round(pct, 2),
-                "unit": "%",
-                "vs_baseline": round(pct / 85.0, 4),
-            }
+        _emit("prefill_tflops_s2048", tflops, "TFLOP/s", 71.2)
+        dtp8, tflops8 = bench_prefill(rtt, batch=2, seq=8192)
+        print(
+            f"[bench] bf16 causal prefill b2 s8192 h24 d128: {dtp8*1e3:.3f} ms, "
+            f"{tflops8:.1f} TFLOP/s",
+            file=sys.stderr,
         )
-    )
+        _emit("prefill_tflops_s8192", tflops8, "TFLOP/s", 117.0)
+    except Exception as e:
+        print(f"[bench] prefill bench failed: {e}", file=sys.stderr)
+    try:
+        dtw, tflopsw = bench_backward(rtt)
+        print(
+            f"[bench] bf16 causal fwd+bwd b4 s2048 h24 d128: {dtw*1e3:.3f} ms, "
+            f"{tflopsw:.1f} TFLOP/s",
+            file=sys.stderr,
+        )
+        _emit("backward_tflops_s2048", tflopsw, "TFLOP/s", 135.0)
+    except Exception as e:
+        print(f"[bench] backward bench failed: {e}", file=sys.stderr)
+    try:
+        from benchmark.serve import run_serve
+
+        res = run_serve(layers=4, batch=16, prompt_len=256, gen=128,
+                        quant="int8", burst=16)
+        print(
+            f"[bench] serve 4-layer int8 slice b16 prompt256 gen128: "
+            f"prefill {res['prefill_tps']:.0f} tok/s, "
+            f"decode {res['decode_tps']:.0f} tok/s, "
+            f"per-layer step {res['per_layer_ms']:.3f} ms",
+            file=sys.stderr,
+        )
+        _emit("serve_prefill_tok_s", res["prefill_tps"], "tok/s", 16000.0)
+        _emit("serve_decode_tok_s", res["decode_tps"], "tok/s", 1600.0)
+    except Exception as e:
+        print(f"[bench] serve bench failed: {e}", file=sys.stderr)
+
+    _emit("decode_hbm_roofline_pct", pct, "%", 85.0)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,9 @@ matmul+attention block).
 Usage:
   python benchmark/serve.py [--layers 4] [--batch 16] [--prompt-len 512]
                             [--gen 32] [--quant int8] [--tp N]
+
+`run_serve()` is the importable core (bench.py drives it for the
+driver-captured headline).
 """
 
 from __future__ import annotations
@@ -22,6 +25,96 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+
+
+def run_serve(layers=4, dim=4096, heads=32, kv_heads=8, ffn=14336,
+              vocab=32000, batch=16, prompt_len=512, gen=32, page=128,
+              quant="none", tp=1, burst=8, spec=0, prefix_cache=False):
+    """Run the continuous-batching engine benchmark; returns a dict with
+    prefill_tps, decode_tps, per_layer_ms, and (if spec) acceptance."""
+    from mfa_tpu.models import llama
+    from mfa_tpu.serve.engine import Engine
+    from mfa_tpu.shard.mesh import MODEL_AXIS, make_mesh
+
+    cfg = llama.LlamaConfig(
+        vocab_size=vocab, dim=dim, n_layers=layers,
+        n_heads=heads, n_kv_heads=kv_heads, ffn_dim=ffn,
+        dtype=jnp.bfloat16,
+    )
+    params = llama.init_params(jax.random.key(0), cfg)
+    mesh = (
+        make_mesh({MODEL_AXIS: tp}, jax.devices()[:tp])
+        if tp > 1
+        else None
+    )
+
+    pages_per_seq = (prompt_len + gen) // page + 2
+    num_pages = batch * pages_per_seq + 1
+    quant = None if quant == "none" else quant
+    spec_kw = {}
+    if spec:
+        draft_cfg = llama.LlamaConfig(
+            vocab_size=vocab, dim=dim // 4, n_layers=1,
+            n_heads=heads // 4, n_kv_heads=max(1, kv_heads // 4),
+            ffn_dim=ffn // 4, dtype=jnp.bfloat16,
+        )
+        spec_kw = dict(
+            draft_params=llama.init_params(jax.random.key(7), draft_cfg),
+            draft_cfg=draft_cfg, spec_tokens=spec,
+        )
+    eng = Engine(
+        params, cfg, num_pages=num_pages, page_size=page,
+        max_seqs=batch, pages_per_seq=pages_per_seq,
+        quant_dtype=quant, mesh=mesh, prefix_cache=prefix_cache,
+        **spec_kw,
+    )
+    prompts = [
+        list((jax.random.randint(jax.random.key(i), (prompt_len,), 1,
+                                 vocab)).tolist())
+        for i in range(batch)
+    ]
+
+    # Warmup compiles every program the timed loop uses: prefill, the
+    # single decode_step bucket (used right after prefill), and the
+    # power-of-two burst programs.
+    for p in prompts:
+        eng.submit(p, max(2, burst + 2))
+    eng.step()  # prefill + one plain decode step
+    eng.run(burst=burst)
+
+    for p in prompts:
+        eng.submit(p, gen)
+    # admit + prefill outside the timed decode loop
+    t0 = time.time()
+    eng.step()
+    prefill_s = time.time() - t0
+    t0 = time.time()
+    steps = 0
+    while eng.sched.has_work:
+        if spec:
+            eng.step_speculative()
+            steps += 1
+        elif burst > 1:
+            eng.step_burst(burst)
+            steps += burst
+        else:
+            eng.step()
+            steps += 1
+    jax.block_until_ready(eng.cache.lengths)
+    decode_s = time.time() - t0
+
+    dec_tokens = batch * max(gen - 1, 1)
+    res = dict(
+        prefill_tps=batch * prompt_len / prefill_s,
+        decode_tps=dec_tokens / decode_s,
+        per_layer_ms=decode_s / steps / layers * 1e3,
+        layers=layers, batch=batch,
+    )
+    if spec:
+        res["spec_acceptance"] = eng.stats.spec_acceptance
+        res["spec_accepted"] = eng.stats.spec_accepted
+        res["spec_proposed"] = eng.stats.spec_proposed
+    return res
 
 
 def main():
@@ -46,95 +139,29 @@ def main():
     ap.add_argument("--prefix-cache", action="store_true")
     args = ap.parse_args()
 
-    from mfa_tpu.models import llama
-    from mfa_tpu.serve.engine import Engine
-    from mfa_tpu.shard.mesh import MODEL_AXIS, make_mesh
-
-    cfg = llama.LlamaConfig(
-        vocab_size=args.vocab, dim=args.dim, n_layers=args.layers,
-        n_heads=args.heads, n_kv_heads=args.kv_heads, ffn_dim=args.ffn,
-        dtype=jnp.bfloat16,
+    res = run_serve(
+        layers=args.layers, dim=args.dim, heads=args.heads,
+        kv_heads=args.kv_heads, ffn=args.ffn, vocab=args.vocab,
+        batch=args.batch, prompt_len=args.prompt_len, gen=args.gen,
+        page=args.page, quant=args.quant, tp=args.tp, burst=args.burst,
+        spec=args.spec, prefix_cache=args.prefix_cache,
     )
-    params = llama.init_params(jax.random.key(0), cfg)
-    mesh = (
-        make_mesh({MODEL_AXIS: args.tp}, jax.devices()[: args.tp])
-        if args.tp > 1
-        else None
-    )
-
-    pages_per_seq = (args.prompt_len + args.gen) // args.page + 2
-    num_pages = args.batch * pages_per_seq + 1
-    quant = None if args.quant == "none" else args.quant
-    spec_kw = {}
-    if args.spec:
-        draft_cfg = llama.LlamaConfig(
-            vocab_size=args.vocab, dim=args.dim // 4, n_layers=1,
-            n_heads=args.heads // 4, n_kv_heads=max(1, args.kv_heads // 4),
-            ffn_dim=args.ffn // 4, dtype=jnp.bfloat16,
-        )
-        spec_kw = dict(
-            draft_params=llama.init_params(jax.random.key(7), draft_cfg),
-            draft_cfg=draft_cfg, spec_tokens=args.spec,
-        )
-    eng = Engine(
-        params, cfg, num_pages=num_pages, page_size=args.page,
-        max_seqs=args.batch, pages_per_seq=pages_per_seq,
-        quant_dtype=quant, mesh=mesh, prefix_cache=args.prefix_cache,
-        **spec_kw,
-    )
-    prompts = [
-        list((jax.random.randint(jax.random.key(i), (args.prompt_len,), 1,
-                                 args.vocab)).tolist())
-        for i in range(args.batch)
-    ]
-
-    # Warmup compiles every program the timed loop uses: prefill, the
-    # single decode_step bucket (used right after prefill), and the
-    # power-of-two burst programs.
-    for p in prompts:
-        eng.submit(p, max(2, args.burst + 2))
-    eng.step()  # prefill + one plain decode step
-    eng.run(burst=args.burst)
-
-    for p in prompts:
-        eng.submit(p, args.gen)
-    # admit + prefill outside the timed decode loop
-    t0 = time.time()
-    eng.step()
-    prefill_s = time.time() - t0
-    t0 = time.time()
-    steps = 0
-    while eng.sched.has_work:
-        if args.spec:
-            eng.step_speculative()
-            steps += 1
-        elif args.burst > 1:
-            eng.step_burst(args.burst)
-            steps += args.burst
-        else:
-            eng.step()
-            steps += 1
-    jax.block_until_ready(eng.cache.lengths)
-    decode_s = time.time() - t0
-
-    dec_tokens = args.batch * max(args.gen - 1, 1)
-    tps = dec_tokens / decode_s
-    per_layer_ms = decode_s / steps / args.layers * 1e3
+    per_layer_ms = res["per_layer_ms"]
     print(
         f"serve layers={args.layers} dim={args.dim} b={args.batch} "
         f"prompt={args.prompt_len} gen={args.gen} quant={args.quant} "
         f"tp={args.tp}"
     )
     print(
-        f"prefill: {args.batch * args.prompt_len / prefill_s:.0f} tok/s   "
-        f"decode: {tps:.0f} tok/s   "
+        f"prefill: {res['prefill_tps']:.0f} tok/s   "
+        f"decode: {res['decode_tps']:.0f} tok/s   "
         f"per-layer decode step: {per_layer_ms:.3f} ms "
         f"(32-layer extrapolation: {1e3 / (per_layer_ms * 32):.1f} "
         f"steps/s -> {args.batch * 1e3 / (per_layer_ms * 32):.0f} tok/s)"
     )
     if args.spec:
-        print(f"speculative acceptance: {eng.stats.spec_acceptance:.2f} "
-              f"({eng.stats.spec_accepted}/{eng.stats.spec_proposed})")
+        print(f"speculative acceptance: {res['spec_acceptance']:.2f} "
+              f"({res['spec_accepted']}/{res['spec_proposed']})")
 
 
 if __name__ == "__main__":
