@@ -36,25 +36,28 @@ def flash_attention_grad(
     window_size: tuple[int, int] = (-1, -1),
     logit_softcap: float = 0.0,
     sink_tokens: int = 0,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Differentiable attention on [batch, heads, seq, head_dim] layout.
     sink_tokens (StreamingLLM) is forward/serving-only: the backward pass
-    raises for sinked windows (no training use case)."""
+    raises for sinked windows (no training use case). alibi_slopes: [h]
+    per-head slopes (position-only bias: its own gradient is zero)."""
     return prefill_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
         window_size=window_size, logit_softcap=logit_softcap,
-        sink_tokens=sink_tokens,
+        sink_tokens=sink_tokens, alibi_slopes=alibi_slopes,
     )
 
 
 def _fwd(q, k, v, causal, softmax_scale, window_size, logit_softcap,
-         sink_tokens):
+         sink_tokens, alibi_slopes=None):
     out, lse = prefill_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
         window_size=window_size, return_lse=True,
         logit_softcap=logit_softcap, sink_tokens=sink_tokens,
+        alibi_slopes=alibi_slopes,
     )
-    return out, (q, k, v, out, lse)
+    return out, (q, k, v, out, lse, alibi_slopes)
 
 
 def _bwd(causal, softmax_scale, window_size, logit_softcap, sink_tokens,
@@ -65,12 +68,16 @@ def _bwd(causal, softmax_scale, window_size, logit_softcap, sink_tokens,
         raise NotImplementedError(
             "attention sinks are a serving feature; the backward pass "
             "does not support them")
-    q, k, v, out, lse = res
-    return flash_attention_bwd(
+    q, k, v, out, lse, alibi_slopes = res
+    dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, do,
         causal=causal, softmax_scale=softmax_scale, window_size=window_size,
-        logit_softcap=logit_softcap,
+        logit_softcap=logit_softcap, alibi_slopes=alibi_slopes,
     )
+    # ALiBi slopes are position-only constants: zero cotangent.
+    dslopes = (None if alibi_slopes is None
+               else jnp.zeros_like(alibi_slopes))
+    return dq, dk, dv, dslopes
 
 
 def _mask(sq, sk, causal, window_size):
@@ -129,6 +136,7 @@ def flash_attn_func_grad(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     window_size: tuple[int, int] = (-1, -1),
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Differentiable flash_attn_func on the public [b, s, h, d] layout."""
     out = flash_attention_grad(
@@ -138,5 +146,8 @@ def flash_attn_func_grad(
         causal,
         softmax_scale,
         tuple(window_size),
+        0.0,
+        0,
+        alibi_slopes,
     )
     return jnp.swapaxes(out, 1, 2)

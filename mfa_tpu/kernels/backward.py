@@ -77,16 +77,21 @@ def _tile_needs_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
 
 
 def _recompute_p(q, k, lse, mask, scale_log2e, softcap=0.0,
-                 softcap_mul=0.0):
+                 softcap_mul=0.0, bias=None):
     """P tile from saved LSE. lse: [bq, 1] natural-log.
 
     Returns (p, dcap) where dcap is the softcap chain factor
     (1 - tanh^2) to fold into dS, or None when no softcap is active
     (Gemma2: capped = cap*tanh(raw*scale/cap), so
-    d(capped)/d(raw) = scale*(1 - tanh^2))."""
+    d(capped)/d(raw) = scale*(1 - tanh^2)).
+
+    bias: optional additive raw-score-domain bias tile (ALiBi; its
+    gradient w.r.t. q/k/v is zero, so only P recomputation changes)."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if bias is not None:
+        s = s + bias
     if softcap:
         t = jnp.tanh(s * softcap_mul)
         s2 = (t * softcap) * _LOG2E - lse * _LOG2E
@@ -98,6 +103,15 @@ def _recompute_p(q, k, lse, mask, scale_log2e, softcap=0.0,
     if mask is not None:
         p = jnp.where(mask, p, 0.0)
     return p, dcap
+
+
+def _alibi_bias(i, j, block_q, block_k, slopes_ref):
+    """Raw-domain ALiBi bias tile: -slope * |row - col|, top-left-aligned
+    (matches the forward, prefill.py:_scores; slopes arrive pre-divided
+    by the softmax scale)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + i * block_q
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + j * block_k
+    return -slopes_ref[0, 0, 0] * jnp.abs(row - col).astype(jnp.float32)
 
 
 def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
@@ -118,9 +132,7 @@ def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
 
 def _dkv_body(
     j, g, i, run, first_i, last_i,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, dk_acc, dv_acc,
-    *,
+    *refs,
     scale: float,
     block_q: int,
     block_k: int,
@@ -132,7 +144,15 @@ def _dkv_body(
     window_right: int,
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
+    alibi: bool = False,
 ):
+    if alibi:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, slopes_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        slopes_ref = None
     @pl.when(jnp.logical_and(g == 0, i == first_i))
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
@@ -150,8 +170,10 @@ def _dkv_body(
         delta = delta_ref[0, 0]  # [bq, 1]
         mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
                            window_left, window_right) if masked else None)
+        bias = (_alibi_bias(i, j, block_q, block_k, slopes_ref)
+                if alibi else None)
         p, dcap = _recompute_p(q, k, lse, mask, scale * _LOG2E,
-                               softcap, softcap_mul)
+                               softcap, softcap_mul, bias)
 
         # dV += P^T dO
         dv_acc[...] += jax.lax.dot_general(
@@ -216,9 +238,7 @@ def _dkv_tri_kernel(jmap_ref, gmap_ref, imap_ref, *refs, **params):
 
 def _dq_body(
     i, j, run, first_j, last_j,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dq_acc,
-    *,
+    *refs,
     scale: float,
     block_q: int,
     block_k: int,
@@ -229,7 +249,15 @@ def _dq_body(
     window_right: int,
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
+    alibi: bool = False,
 ):
+    if alibi:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, slopes_ref,
+         dq_ref, dq_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_acc) = refs
+        slopes_ref = None
     @pl.when(j == first_j)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
@@ -246,8 +274,10 @@ def _dq_body(
         delta = delta_ref[0, 0]
         mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
                            window_left, window_right) if masked else None)
+        bias = (_alibi_bias(i, j, block_q, block_k, slopes_ref)
+                if alibi else None)
         p, dcap = _recompute_p(q, k, lse, mask, scale * _LOG2E,
-                               softcap, softcap_mul)
+                               softcap, softcap_mul, bias)
         dp = jax.lax.dot_general(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -315,6 +345,7 @@ def flash_attention_bwd(
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
 ):
     """-> (dq, dk, dv) on the [b, h, s, d] layout."""
     batch, num_heads, sq, head_dim = q.shape
@@ -327,6 +358,17 @@ def flash_attention_bwd(
     window_left, window_right = window_size
     if causal:
         window_right = 0
+
+    alibi = alibi_slopes is not None
+    if alibi:
+        if logit_softcap:
+            raise ValueError("alibi_slopes and logit_softcap are exclusive")
+        # raw score domain, like the forward (prefill.py)
+        slopes_in = jnp.broadcast_to(
+            (jnp.asarray(alibi_slopes, jnp.float32)
+             / float(softmax_scale))[:, None, None],
+            (num_heads, 8, 128),
+        )
 
     cfg_bq, cfg_bk = choose_bwd_config(sq, sk, head_dim, q.dtype.itemsize)
     bq = min(block_q or cfg_bq, round_up(sq, 8))
@@ -391,6 +433,7 @@ def flash_attention_bwd(
         num_q_blocks=num_q_blocks,
         group=group,
         window_left=window_left, window_right=window_right,
+        alibi=alibi,
     )
     dkv_out_shape = [
         jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim), k.dtype),
@@ -409,17 +452,24 @@ def flash_attention_bwd(
         def kv_idx_tri(b, h, t, jm, gm, im):
             return (b, h, jm[t], 0)
 
+        tri_in_specs = [
+            pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
+            pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri),
+            pl.BlockSpec((1, 1, bq, 1), q_idx_tri),
+            pl.BlockSpec((1, 1, bq, 1), q_idx_tri),
+        ]
+        tri_inputs = [qp, kp, vp, dop, lsep, deltap]
+        if alibi:
+            tri_in_specs.append(pl.BlockSpec(
+                (1, 8, 128),
+                lambda b, h, t, jm, gm, im: (h * group + gm[t], 0, 0)))
+            tri_inputs.append(slopes_in)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(batch, num_kv_heads, len(dkv_cells)),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
-                pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri),
-                pl.BlockSpec((1, 1, bq, 1), q_idx_tri),
-                pl.BlockSpec((1, 1, bq, 1), q_idx_tri),
-            ],
+            in_specs=tri_in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
                 pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri),
@@ -439,7 +489,7 @@ def flash_attention_bwd(
             jnp.asarray([c[0] for c in dkv_cells], jnp.int32),
             jnp.asarray([c[1] for c in dkv_cells], jnp.int32),
             jnp.asarray([c[2] for c in dkv_cells], jnp.int32),
-            qp, kp, vp, dop, lsep, deltap,
+            *tri_inputs,
         )
     else:
         def q_idx_dkv(b, h, j, g, i):
@@ -447,19 +497,26 @@ def flash_attention_bwd(
                                           window_left, window_right)
             return (b, h * group + g, jnp.clip(i, first, last), 0)
 
+        rect_in_specs = [
+            pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
+            pl.BlockSpec((1, 1, bk, head_dim),
+                         lambda b, h, j, g, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, head_dim),
+                         lambda b, h, j, g, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
+            pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
+            pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
+        ]
+        rect_inputs = [qp, kp, vp, dop, lsep, deltap]
+        if alibi:
+            rect_in_specs.append(pl.BlockSpec(
+                (1, 8, 128),
+                lambda b, h, j, g, i: (h * group + g, 0, 0)))
+            rect_inputs.append(slopes_in)
         dk, dv = pl.pallas_call(
             functools.partial(_dkv_kernel, **dkv_params),
             grid=(batch, num_kv_heads, num_kv_blocks, group, num_q_blocks),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
-                pl.BlockSpec((1, 1, bk, head_dim),
-                             lambda b, h, j, g, i: (b, h, j, 0)),
-                pl.BlockSpec((1, 1, bk, head_dim),
-                             lambda b, h, j, g, i: (b, h, j, 0)),
-                pl.BlockSpec((1, 1, bq, head_dim), q_idx_dkv),
-                pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
-                pl.BlockSpec((1, 1, bq, 1), q_idx_dkv),
-            ],
+            in_specs=rect_in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, bk, head_dim),
                              lambda b, h, j, g, i: (b, h, j, 0)),
@@ -474,7 +531,7 @@ def flash_attention_bwd(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(qp, kp, vp, dop, lsep, deltap)
+        )(*rect_inputs)
 
     # ---------------- dQ ----------------
     dq_params = dict(
@@ -486,6 +543,7 @@ def flash_attention_bwd(
         seqlen_q=sq, seqlen_k=sk,
         num_kv_blocks=num_kv_blocks,
         window_left=window_left, window_right=window_right,
+        alibi=alibi,
     )
     dq_out_shape = jax.ShapeDtypeStruct(
         (batch, num_heads, sq_p, head_dim), q.dtype
@@ -497,17 +555,23 @@ def flash_attention_bwd(
         def kv_idx_tri2(b, h, t, im, jm):
             return (b, h // group, jm[t], 0)
 
+        tri2_in_specs = [
+            pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri2),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri2),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri2),
+            pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri2),
+            pl.BlockSpec((1, 1, bq, 1), q_idx_tri2),
+            pl.BlockSpec((1, 1, bq, 1), q_idx_tri2),
+        ]
+        tri2_inputs = [qp, kp, vp, dop, lsep, deltap]
+        if alibi:
+            tri2_in_specs.append(pl.BlockSpec(
+                (1, 8, 128), lambda b, h, t, im, jm: (h, 0, 0)))
+            tri2_inputs.append(slopes_in)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(batch, num_heads, len(dq_cells)),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri2),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri2),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_tri2),
-                pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri2),
-                pl.BlockSpec((1, 1, bq, 1), q_idx_tri2),
-                pl.BlockSpec((1, 1, bq, 1), q_idx_tri2),
-            ],
+            in_specs=tri2_in_specs,
             out_specs=pl.BlockSpec((1, 1, bq, head_dim), q_idx_tri2),
             scratch_shapes=[pltpu.VMEM((bq, head_dim), jnp.float32)],
         )
@@ -523,7 +587,7 @@ def flash_attention_bwd(
         )(
             jnp.asarray([c[0] for c in dq_cells], jnp.int32),
             jnp.asarray([c[1] for c in dq_cells], jnp.int32),
-            qp, kp, vp, dop, lsep, deltap,
+            *tri2_inputs,
         )
     else:
         def kv_idx_dq(b, h, i, j):
@@ -531,19 +595,25 @@ def flash_attention_bwd(
                                            window_left, window_right)
             return (b, h // group, jnp.clip(j, first, last), 0)
 
+        rect2_in_specs = [
+            pl.BlockSpec((1, 1, bq, head_dim),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
+            pl.BlockSpec((1, 1, bq, head_dim),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+        ]
+        rect2_inputs = [qp, kp, vp, dop, lsep, deltap]
+        if alibi:
+            rect2_in_specs.append(pl.BlockSpec(
+                (1, 8, 128), lambda b, h, i, j: (h, 0, 0)))
+            rect2_inputs.append(slopes_in)
         dq = pl.pallas_call(
             functools.partial(_dq_kernel, **dq_params),
             grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq, head_dim),
-                             lambda b, h, i, j: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_idx_dq),
-                pl.BlockSpec((1, 1, bq, head_dim),
-                             lambda b, h, i, j: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
-            ],
+            in_specs=rect2_in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)
             ),
@@ -555,6 +625,6 @@ def flash_attention_bwd(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(qp, kp, vp, dop, lsep, deltap)
+        )(*rect2_inputs)
 
     return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]

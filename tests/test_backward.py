@@ -48,6 +48,40 @@ def test_backward_window():
         assert diff < 2e-3, f"{name} diff {diff}"
 
 
+def test_backward_alibi():
+    """ALiBi backward: jax.grad through the Pallas VJP vs a dense oracle."""
+    b, hq, hkv, s, d = 1, 4, 2, 192, 64
+    ks = jax.random.split(jax.random.key(7), 4)
+    q = jax.random.normal(ks[0], (b, hq, s, d))
+    k = jax.random.normal(ks[1], (b, hkv, s, d))
+    v = jax.random.normal(ks[2], (b, hkv, s, d))
+    slopes = jnp.asarray([0.25, 0.0625, 0.5, 0.125])
+
+    def f_kernel(q, k, v):
+        out = flash_attention_grad(q, k, v, True, None, (-1, -1), 0.0, 0,
+                                   slopes)
+        return (out ** 2).sum()
+
+    def f_dense(q, k, v):
+        g = hq // hkv
+        kk = jnp.repeat(k, g, 1)
+        vv = jnp.repeat(v, g, 1)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, kk) * d ** -0.5
+        row = jnp.arange(s)[:, None]
+        col = jnp.arange(s)[None, :]
+        sc = sc - slopes[None, :, None, None] * jnp.abs(
+            row - col).astype(jnp.float32)
+        sc = jnp.where((col <= row)[None, None], sc, -jnp.inf)
+        out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1), vv)
+        return (out ** 2).sum()
+
+    got = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, w, name in zip(got, want, ["dq", "dk", "dv"]):
+        diff = np.abs(np.asarray(a) - np.asarray(w)).max()
+        assert diff < 5e-3, f"alibi {name} diff {diff}"
+
+
 def test_grad_through_custom_vjp_multi_tile():
     """End-to-end jax.grad over >1 kv tile exercises accumulation."""
     q = jax.random.normal(jax.random.key(3), (1, 2, 384, 64))
