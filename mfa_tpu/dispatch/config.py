@@ -63,6 +63,13 @@ class PrefillConfig:
 
     block_q: int = 128
     block_k: int = 128
+    # Sub-tile size for causal diagonal cells (0 = monolithic): diagonal
+    # bq x bq tiles are decomposed into diag_block-sized sub-tiles whose
+    # dead upper triangle is skipped at trace time. Measured on v5e: the
+    # per-dot overhead outweighs the FLOP savings (61.7 vs 71.3 TFLOP/s at
+    # s=2048 with 256-sub-tiles), so this stays OFF by default; kept as an
+    # experiment knob.
+    diag_block: int = 0
 
     def vmem_bytes(self, head_dim: int, itemsize: int) -> int:
         # q + k + v tiles + fp32 scores + m/l/acc scratch

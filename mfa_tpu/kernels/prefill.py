@@ -103,6 +103,7 @@ def _prefill_body(
     softcap_mul: float = 0.0,
     sinks: int = 0,
     alibi: bool = False,
+    diag_sub: int = 0,
 ):
     if alibi:  # per-head ALiBi slope rides as an extra input block
         (q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref,
@@ -136,9 +137,9 @@ def _prefill_body(
         )
     needs_mask = jnp.logical_or(needs_tail, needs_diag)
 
-    def _step(masked: bool):
-        q = q_ref[0, 0]  # [block_q, d]
-        k = k_ref[0, 0]  # [block_k, d]
+    def _scores(q, k, row0, col0, nrows, ncols):
+        """Raw (unscaled) scores for a q-slab x kv-slab pair; softcap /
+        ALiBi applied. row0/col0 are the slab's global offsets."""
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -155,11 +156,35 @@ def _prefill_body(
         if alibi:
             # slopes arrive pre-divided by the softmax scale so the bias
             # lands in the raw score domain; top-left-aligned |i - j|
-            rowa = jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, 1), 0) + i * block_q
-            cola = jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_k), 1) + j * block_k
+            rowa = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0) + row0
+            cola = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) + col0
             s = s - slopes_ref[0, 0, 0] * jnp.abs(rowa - cola).astype(jnp.float32)
+        return s
+
+    def _online_update(s, qsl, v):
+        """Online-softmax update of the m/l/acc state rows in `qsl` with the
+        score slab `s` and its value slab `v` (reference softmax state
+        machine, prefill.cuh:452-483)."""
+        m_prev = m_scr[qsl, :]  # [rows, LANES], raw domain
+        l_prev = l_scr[qsl, :]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [rows, 1]
+        m_next = jnp.maximum(m_prev, m_cur)  # lane-broadcast
+        alpha = jnp.exp2((m_prev - m_next) * scale_log2e)
+        # One fused multiply-sub + exp2 over the tile.
+        p = jnp.exp2(s * scale_log2e - m_next[:, :1] * scale_log2e)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[qsl, :] = m_next
+        l_scr[qsl, :] = l_next
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[qsl, :] = acc_scr[qsl, :] * alpha[:, :1] + pv
+
+    def _step(masked: bool):
+        q = q_ref[0, 0]  # [block_q, d]
+        k = k_ref[0, 0]  # [block_k, d]
+        s = _scores(q, k, i * block_q, j * block_k, block_q, block_k)
 
         if masked:
             # Skinny iotas: [bq, 1] rows and [1, bk] cols broadcast inside
@@ -182,31 +207,55 @@ def _prefill_body(
                     mask = jnp.logical_and(mask, in_window)
             s = jnp.where(mask, s, _MASK)
 
-        m_prev = m_scr[...]  # [block_q, LANES], raw domain
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_cur)  # lane-broadcast
-        alpha = jnp.exp2((m_prev - m_next) * scale_log2e)
-        # One fused multiply-sub + exp2 over the tile.
-        p = jnp.exp2(s * scale_log2e - m_next[:, :1] * scale_log2e)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
+        _online_update(s, slice(None), v_ref[0, 0])
 
-        v = v_ref[0, 0]  # [block_k, d]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+    def _step_diag():
+        """Causal diagonal cell (i == j, block_q == block_k, no window/tail)
+        sub-tiled at diag_sub granularity. The sub-tile liveness pattern is
+        POSITION-INDEPENDENT on the diagonal, so dead upper-triangle
+        sub-tiles are skipped at trace time (never emitted) and only the
+        diagonal sub-tiles carry a mask — and that mask is the static
+        relative `col <= row`. This recovers the reference's block-skipping
+        (prefill.cuh:749-752) *inside* the big tile: a monolithic bq x bq
+        causal tile wastes ~half its FLOPs; at n = bq/diag_sub subdivisions
+        the waste drops to 1/(n+1)."""
+        nsub = block_q // diag_sub
+        for qi in range(nsub):
+            qsl = slice(qi * diag_sub, (qi + 1) * diag_sub)
+            q = q_ref[0, 0, qsl]
+            for kj in range(qi + 1):
+                ksl = slice(kj * diag_sub, (kj + 1) * diag_sub)
+                s = _scores(
+                    q, k_ref[0, 0, ksl],
+                    i * block_q + qi * diag_sub,
+                    j * block_k + kj * diag_sub,
+                    diag_sub, diag_sub,
+                )
+                if kj == qi:
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, (diag_sub, 1), 0)
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, diag_sub), 1)
+                    s = jnp.where(col <= row, s, _MASK)
+                _online_update(s, qsl, v_ref[0, 0, ksl])
 
-    if run is None:  # triangular grid: every enumerated cell is live
-        pl.when(needs_mask)(lambda: _step(True))
-        pl.when(jnp.logical_not(needs_mask))(lambda: _step(False))
+    # diag_sub > 0 is only set for pure top-left causal with bq == bk
+    # (see prefill_attention), where the masked live cells are exactly
+    # i == j plus the sequence-tail column.
+    if diag_sub:
+        fast = jnp.logical_and(i == j, jnp.logical_not(needs_tail))
     else:
-        pl.when(jnp.logical_and(run, needs_mask))(lambda: _step(True))
-        pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))(
-            lambda: _step(False))
+        fast = jnp.bool_(False)
+    do_masked = jnp.logical_and(needs_mask, jnp.logical_not(fast))
+    do_plain = jnp.logical_not(needs_mask)
+    if run is not None:
+        fast = jnp.logical_and(run, fast)
+        do_masked = jnp.logical_and(run, do_masked)
+        do_plain = jnp.logical_and(run, do_plain)
+    if diag_sub:
+        pl.when(fast)(_step_diag)
+    pl.when(do_masked)(lambda: _step(True))
+    pl.when(do_plain)(lambda: _step(False))
 
     @pl.when(j == last_j)
     def _store():
@@ -220,6 +269,161 @@ def _prefill_body(
             lse = m_scr[:, :1] * (scale_log2e * _LN2) + jnp.log(l_safe)
             lse = jnp.where(l == 0.0, -jnp.inf, lse)
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _bound_kernel(*refs, **params):
+    """Rectangular-grid bound-softmax variant (see _bound_body)."""
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    first_j, last_j = _kv_block_bounds(
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
+    )
+    run = jnp.logical_and(j >= first_j, j <= last_j)
+    _bound_body(i, j, run, first_j, last_j, *refs, **params)
+
+
+def _bound_tri_kernel(imap_ref, jmap_ref, *refs, **params):
+    """Triangular-grid bound-softmax variant (see _bound_body)."""
+    t = pl.program_id(2)
+    i = imap_ref[t]
+    j = jmap_ref[t]
+    first_j, last_j = _kv_block_bounds(
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
+    )
+    _bound_body(i, j, None, first_j, last_j, *refs, **params)
+
+
+def _bound_body(
+    i,
+    j,
+    run,
+    first_j,
+    last_j,
+    q_ref,
+    k_ref,
+    v_ref,
+    maxk_ref,
+    o_ref,
+    lse_ref,
+    flag_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale_log2e: float,
+    block_q: int,
+    block_k: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    num_kv_blocks: int,
+    window_left: int,
+    window_right: int,
+    with_lse: bool,
+    sinks: int = 0,
+):
+    """Max-free ("bound softmax") flash tile: the per-row running max is
+    replaced by a FIXED upper bound b_i = |q_i|_2 * max_j |k_j|_2
+    (Cauchy-Schwarz), computed once per q block at init. Softmax is
+    shift-invariant, so the result is exact as long as the winning entry
+    of each row does not underflow exp2 (arg > ~-126); `flag` records
+    min_row(l) per q block so the caller can detect total-underflow rows
+    (l == 0) and rerun the classic max-tracking kernel — which on real
+    data never triggers (RMS-normed activations give |q||k| ~ 1e2, four
+    orders below the ~1e3 raw-score underflow horizon at d=128).
+
+    Why: the online rowmax reduce + alpha-rescale chain is pure VPU time
+    ON TOP of the exp2/sum passes, measured at ~15% of the whole kernel
+    (probe: 137.4 -> 158.6 raw TFLOP/s with max tracking stripped, vs a
+    159.5 dots-only ceiling). The reference CUDA kernel tracks the max for
+    free alongside tensor-core MMAs (prefill.cuh:452-483); on TPU the VPU
+    is the bottleneck, so the TPU-native design removes the reduce from
+    the hot loop entirely instead of overlapping it.
+    """
+    init_j = 0 if sinks > 0 else first_j
+
+    @pl.when(j == init_j)
+    def _init():
+        qf = q_ref[0, 0].astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))  # [bq, 1]
+        m_scr[...] = jnp.broadcast_to(
+            qn * maxk_ref[0, 0, :1, :1], m_scr.shape)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    needs_tail = (j + 1) * block_k > seqlen_k
+    needs_diag = jnp.bool_(False)
+    if window_right >= 0:
+        needs_diag = (j + 1) * block_k - 1 > i * block_q + window_right
+    if window_left >= 0:
+        needs_diag = jnp.logical_or(
+            needs_diag, j * block_k < (i + 1) * block_q - 1 - window_left
+        )
+    needs_mask = jnp.logical_or(needs_tail, needs_diag)
+
+    def _step(masked: bool):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if masked:
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1) + j * block_k
+            mask = col < seqlen_k
+            if window_right >= 0 or window_left >= 0:
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, 1), 0) + i * block_q
+                if window_right >= 0:
+                    mask = jnp.logical_and(mask, col <= row + window_right)
+                if window_left >= 0:
+                    in_window = col >= row - window_left
+                    if sinks > 0:
+                        in_window = jnp.logical_or(in_window, col < sinks)
+                    mask = jnp.logical_and(mask, in_window)
+            s = jnp.where(mask, s, _MASK)
+        # The fixed bound makes this the WHOLE per-tile vector chain:
+        # one fused FMA+exp2 pass and one rowsum pass.
+        p = jnp.exp2(s * scale_log2e - m_scr[:, :1] * scale_log2e)
+        l_scr[...] = l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] + pv
+
+    do_masked = needs_mask
+    do_plain = jnp.logical_not(needs_mask)
+    if run is not None:
+        do_masked = jnp.logical_and(run, do_masked)
+        do_plain = jnp.logical_and(run, do_plain)
+    pl.when(do_masked)(lambda: _step(True))
+    pl.when(do_plain)(lambda: _step(False))
+
+    @pl.when(j == last_j)
+    def _store():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        if with_lse:
+            lse = m_scr[:, :1] * (scale_log2e * _LN2) + jnp.log(l_safe)
+            lse = jnp.where(l == 0.0, -jnp.inf, lse)
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        # Underflow flag: min l over rows that can legitimately see at
+        # least one kv column. Rows with an EMPTY visible set (only
+        # possible when a left window pushes past the end of a shorter
+        # kv sequence) are excluded; q-padding rows always see columns
+        # (top-left causal) so they never false-positive.
+        row = jax.lax.broadcasted_iota(
+            jnp.int32, (l.shape[0], 1), 0) + i * block_q
+        valid = jnp.ones_like(l, jnp.bool_)
+        if window_left >= 0 and sinks == 0:
+            valid = row - window_left < seqlen_k
+        lv = jnp.where(valid, l, 1.0)
+        flag_ref[0, 0] = jnp.broadcast_to(
+            jnp.min(lv, axis=0, keepdims=True), flag_ref.shape[2:])
 
 
 def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_right):
@@ -249,6 +453,8 @@ def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_rig
         "interpret",
         "logit_softcap",
         "sink_tokens",
+        "diag_block",
+        "bound_softmax",
     ),
 )
 def prefill_attention(
@@ -266,6 +472,8 @@ def prefill_attention(
     logit_softcap: float = 0.0,
     sink_tokens: int = 0,
     alibi_slopes: Optional[jax.Array] = None,
+    diag_block: Optional[int] = None,
+    bound_softmax: Optional[bool] = None,
 ):
     """Flash-attention forward on [batch, heads, seq, head_dim] layout.
 
@@ -293,6 +501,14 @@ def prefill_attention(
     bk = block_k or cfg.block_k
     bq = min(bq, round_up(sq, 8))
     bk = min(bk, round_up(sk, 128))
+
+    # Diagonal sub-tiling applies on the pure top-left-causal path with
+    # square tiles; everything else (windows, sinks) keeps the generic
+    # masked-monolith path.
+    dsub = cfg.diag_block if diag_block is None else diag_block
+    if not (window_left < 0 and window_right == 0 and sink_tokens == 0
+            and bq == bk and dsub and bq > dsub and bq % dsub == 0):
+        dsub = 0
 
     sq_p = round_up(sq, bq)
     sk_p = round_up(sk, bk)
@@ -326,6 +542,7 @@ def prefill_attention(
                      if logit_softcap else 0.0),
         sinks=int(sink_tokens),
         alibi=alibi_slopes is not None,
+        diag_sub=int(dsub),
     )
     if alibi_slopes is not None:
         if logit_softcap:
@@ -386,62 +603,71 @@ def prefill_attention(
             cells_j.append(bj)
     use_tri = len(cells_i) < num_q_blocks * num_kv_blocks
 
-    if use_tri:
-        tri_kernel = functools.partial(_prefill_tri_kernel, **kparams)
-        qo_map = lambda b, h, t, im, jm: (b, h, im[t], 0)  # noqa: E731
-        kv_map = lambda b, h, t, im, jm: (b, h // group, jm[t], 0)  # noqa: E731
-        tri_in_specs = [
-            pl.BlockSpec((1, 1, bq, head_dim), qo_map),
-            pl.BlockSpec((1, 1, bk, head_dim), kv_map),
-            pl.BlockSpec((1, 1, bk, head_dim), kv_map),
-        ]
-        tri_inputs = [q, k, v]
-        if alibi_slopes is not None:
-            tri_in_specs.append(pl.BlockSpec(
-                (1, 8, LANES), lambda b, h, t, im, jm: (h, 0, 0)))
-            tri_inputs.append(slopes_in)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(batch, num_heads, len(cells_i)),
-            in_specs=tri_in_specs,
-            out_specs=[
+    # Bound-softmax (max-free) fast path: exact whenever no row fully
+    # underflows (see _bound_body); a per-block min-l flag output detects
+    # the (adversarial-only) failure case and falls back to the classic
+    # max-tracking kernel under lax.cond. Softcap changes the score
+    # domain and ALiBi widens the underflow margin unboundedly — both
+    # keep the classic path.
+    if bound_softmax is None:
+        bound_softmax = True
+    use_bound = (bound_softmax and not logit_softcap
+                 and alibi_slopes is None and not dsub)
+
+    def _call(variant_kernel, tri_variant_kernel, extra_inputs=(),
+              extra_in_specs=(), extra_out_shapes=(), extra_out_specs=(),
+              n_scratch=3):
+        v_out_shapes = out_shapes + list(extra_out_shapes)
+        if use_tri:
+            qo_map = lambda b, h, t, im, jm: (b, h, im[t], 0)  # noqa: E731
+            kv_map = lambda b, h, t, im, jm: (b, h // group, jm[t], 0)  # noqa: E731
+            tri_in_specs = [
+                pl.BlockSpec((1, 1, bq, head_dim), qo_map),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+                pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+            ] + [s(True) for s in extra_in_specs]
+            v_out_specs = [
                 pl.BlockSpec(spec.block_shape, qo_map) for spec in out_specs
-            ],
-            scratch_shapes=scratch_shapes,
-        )
-        outs = pl.pallas_call(
-            tri_kernel if return_lse else _drop_lse_arg(tri_kernel),
-            grid_spec=grid_spec,
-            out_shape=out_shapes,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(
-            jnp.asarray(cells_i, jnp.int32),
-            jnp.asarray(cells_j, jnp.int32),
-            *tri_inputs,
-        )
-    else:
+            ] + [s(True) for s in extra_out_specs]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(batch, num_heads, len(cells_i)),
+                in_specs=tri_in_specs,
+                out_specs=v_out_specs,
+                scratch_shapes=scratch_shapes,
+            )
+            kern = (tri_variant_kernel if return_lse
+                    else _drop_lse_arg(tri_variant_kernel, n_scratch))
+            return pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=v_out_shapes,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel", "arbitrary"),
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(
+                jnp.asarray(cells_i, jnp.int32),
+                jnp.asarray(cells_j, jnp.int32),
+                q, k, v, *extra_inputs,
+            )
         rect_in_specs = [
             pl.BlockSpec((1, 1, bq, head_dim),
                          lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
             pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
-        ]
-        rect_inputs = [q, k, v]
-        if alibi_slopes is not None:
-            rect_in_specs.append(pl.BlockSpec(
-                (1, 8, LANES), lambda b, h, i, j: (h, 0, 0)))
-            rect_inputs.append(slopes_in)
-        outs = pl.pallas_call(
-            kernel if return_lse else _drop_lse_arg(kernel),
+        ] + [s(False) for s in extra_in_specs]
+        v_out_specs = out_specs + [s(False) for s in extra_out_specs]
+        kern = (variant_kernel if return_lse
+                else _drop_lse_arg(variant_kernel, n_scratch))
+        return pl.pallas_call(
+            kern,
             grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
             in_specs=rect_in_specs,
-            out_specs=out_specs,
-            out_shape=out_shapes,
+            out_specs=v_out_specs,
+            out_shape=v_out_shapes,
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel",
@@ -450,7 +676,62 @@ def prefill_attention(
             ),
             cost_estimate=cost,
             interpret=interpret,
-        )(*rect_inputs)
+        )(q, k, v, *extra_inputs)
+
+    def call_classic():
+        extra_inputs, extra_in_specs = (), ()
+        if alibi_slopes is not None:
+            extra_inputs = (slopes_in,)
+            extra_in_specs = (
+                lambda tri: pl.BlockSpec(
+                    (1, 8, LANES),
+                    (lambda b, h, t, im, jm: (h, 0, 0)) if tri
+                    else (lambda b, h, i, j: (h, 0, 0))),
+            )
+        outs = _call(kernel, functools.partial(_prefill_tri_kernel,
+                                               **kparams),
+                     extra_inputs, extra_in_specs)
+        return tuple(outs) if isinstance(outs, (list, tuple)) else (outs,)
+
+    if use_bound:
+        bparams = dict(
+            scale_log2e=kparams["scale_log2e"], block_q=bq, block_k=bk,
+            seqlen_q=sq, seqlen_k=sk, num_kv_blocks=num_kv_blocks,
+            window_left=window_left, window_right=window_right,
+            with_lse=return_lse, sinks=int(sink_tokens),
+        )
+        kf32 = k.astype(jnp.float32)
+        maxk = jnp.max(jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1)),
+                       axis=-1)  # [b, hkv]
+        maxk_in = jnp.broadcast_to(maxk[:, :, None, None],
+                                   (batch, num_kv_heads, 8, LANES))
+        extra_inputs = (maxk_in,)
+        extra_in_specs = (
+            lambda tri: pl.BlockSpec(
+                (1, 1, 8, LANES),
+                (lambda b, h, t, im, jm: (b, h // group, 0, 0)) if tri
+                else (lambda b, h, i, j: (b, h // group, 0, 0))),
+        )
+        extra_out_shapes = (jax.ShapeDtypeStruct(
+            (batch, num_heads, num_q_blocks, LANES), jnp.float32),)
+        extra_out_specs = (
+            lambda tri: pl.BlockSpec(
+                (1, 1, 1, LANES),
+                (lambda b, h, t, im, jm: (b, h, im[t], 0)) if tri
+                else (lambda b, h, i, j: (b, h, i, 0))),
+        )
+        outs_b = _call(
+            functools.partial(_bound_kernel, **bparams),
+            functools.partial(_bound_tri_kernel, **bparams),
+            extra_inputs, extra_in_specs, extra_out_shapes, extra_out_specs,
+            n_scratch=4,
+        )
+        flag = outs_b[-1]
+        risky = jnp.any(flag == 0.0)
+        outs = jax.lax.cond(risky, call_classic,
+                            lambda: tuple(outs_b[:-1]))
+    else:
+        outs = call_classic()
 
     if return_lse:
         out, lse = outs
@@ -459,11 +740,12 @@ def prefill_attention(
     return out[:, :, :sq]
 
 
-def _drop_lse_arg(kernel):
-    """Adapt the kernel signature when no LSE output exists (the lse ref
-    sits immediately before the three scratch refs in every variant)."""
+def _drop_lse_arg(kernel, n_tail=3):
+    """Adapt the kernel signature when no LSE output exists: the lse ref
+    sits immediately before the last `n_tail` refs (3 scratch refs; the
+    bound variant adds its flag output ref ahead of them)."""
 
     def wrapped(*refs):
-        return kernel(*refs[:-3], None, *refs[-3:])
+        return kernel(*refs[:-n_tail], None, *refs[-n_tail:])
 
     return wrapped
