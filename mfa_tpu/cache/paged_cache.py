@@ -201,7 +201,17 @@ def cache_shardings(cache: PagedKVCache, mesh, model_axis: str = "model"):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    size = mesh.shape[model_axis]
+    # Expert-only meshes carry no model axis: the cache replicates (EP
+    # shards the MoE weight banks, not attention).
+    if model_axis in mesh.axis_names:
+        size = mesh.shape[model_axis]
+    else:
+        rep = NamedSharding(mesh, P())
+        scales = rep if cache.k_scales is not None else None
+        return _dc.replace(
+            cache, k_pages=rep, v_pages=rep, k_scales=scales,
+            v_scales=scales, block_tables=rep, lengths=rep,
+        )
     if cache.num_kv_heads % size != 0:
         raise ValueError(
             f"kv heads ({cache.num_kv_heads}) must divide over "

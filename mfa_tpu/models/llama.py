@@ -310,24 +310,31 @@ def _stack_layers(layers):
 
 
 def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Params:
-    """TP partition specs: head/ffn dims on MODEL_AXIS, rest replicated."""
+    """TP partition specs: head/ffn dims on MODEL_AXIS, rest replicated.
+    With an 'expert' mesh axis, the MoE expert banks shard on it
+    (composable with MODEL_AXIS on the expert ffn dim — EP x TP; see
+    mfa_tpu/shard/expert.py)."""
+    from mfa_tpu.shard.mesh import EXPERT_AXIS
+
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
+    ep = EXPERT_AXIS if EXPERT_AXIS in mesh.axis_names else None
+    tp = MODEL_AXIS if MODEL_AXIS in mesh.axis_names else None
+
     layer = dict(
-        wq=ns(None, None, MODEL_AXIS),
-        wk=ns(None, None, MODEL_AXIS),
-        wv=ns(None, None, MODEL_AXIS),
-        wo=ns(None, MODEL_AXIS, None),
-        w_gate=ns(None, None, MODEL_AXIS),
-        w_up=ns(None, None, MODEL_AXIS),
-        w_down=ns(None, MODEL_AXIS, None),
+        wq=ns(None, None, tp),
+        wk=ns(None, None, tp),
+        wv=ns(None, None, tp),
+        wo=ns(None, tp, None),
+        w_gate=ns(None, None, tp),
+        w_up=ns(None, None, tp),
+        w_down=ns(None, tp, None),
         attn_norm=ns(None),
         mlp_norm=ns(None),
     )
     if cfg.qkv_bias:
-        layer.update(bq=ns(None, MODEL_AXIS), bk=ns(None, MODEL_AXIS),
-                     bv=ns(None, MODEL_AXIS))
+        layer.update(bq=ns(None, tp), bk=ns(None, tp), bv=ns(None, tp))
     if cfg.post_norms:
         layer.update(post_attn_norm=ns(None), post_mlp_norm=ns(None))
     if cfg.qk_norm:
@@ -339,15 +346,15 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Params:
             moe_layer.pop(k_, None)
         moe_layer.update(
             w_router=ns(None, None, None),
-            we_gate=ns(None, None, None, MODEL_AXIS),
-            we_up=ns(None, None, None, MODEL_AXIS),
-            we_down=ns(None, None, MODEL_AXIS, None),
+            we_gate=ns(None, ep, None, tp),
+            we_up=ns(None, ep, None, tp),
+            we_down=ns(None, ep, tp, None),
         )
         if cfg.shared_expert_dim:
             moe_layer.update(
-                ws_gate=ns(None, None, MODEL_AXIS),
-                ws_up=ns(None, None, MODEL_AXIS),
-                ws_down=ns(None, MODEL_AXIS, None),
+                ws_gate=ns(None, None, tp),
+                ws_up=ns(None, None, tp),
+                ws_down=ns(None, tp, None),
             )
             if cfg.shared_expert_gate:
                 moe_layer.update(w_shared_gate=ns(None, None, None))
@@ -358,7 +365,7 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Params:
     return dict(
         embed=ns(None, None),
         final_norm=ns(None),
-        lm_head=ns(None, MODEL_AXIS),
+        lm_head=ns(None, tp),
         layers=layer,
     )
 
@@ -388,41 +395,48 @@ def _qkv(h, lp, cfg: "LlamaConfig", *lead):
     return q, k, v
 
 
-def _moe(x, lp, cfg: "LlamaConfig"):
+def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     """Mixtral-style top-k routed expert MLP, token-dropless.
 
     TPU-idiomatic: token-expert pairs are sorted by expert and pushed
     through ONE grouped matmul per projection (lax.ragged_dot -> MXU),
     instead of a per-expert python loop or dense all-expert compute.
     Router runs in fp32; top-k weights renormalize over the selected
-    experts (Mixtral convention)."""
+    experts (Mixtral convention). With a mesh carrying an 'expert' axis,
+    the routed part runs expert-parallel (mfa_tpu/shard/expert.py)."""
+    from mfa_tpu.shard.expert import expert_parallel_moe, use_expert_parallel
+
     h = _rms_norm(x, lp["mlp_norm"], cfg)
     lead = h.shape[:-1]
     t = h.reshape(-1, h.shape[-1])  # [T, d]
     T = t.shape[0]
-    k = cfg.n_active_experts
-    logits = (t.astype(jnp.float32) @ lp["w_router"])  # [T, E]
-    w_top, idx = jax.lax.top_k(logits, k)
-    if cfg.norm_topk:  # Mixtral: softmax over the selected experts
-        w_top = jax.nn.softmax(w_top, axis=-1)  # [T, k]
-    else:  # Qwen3-MoE default: full-softmax weights, not renormalized
-        full = jax.nn.softmax(logits, axis=-1)
-        w_top = jnp.take_along_axis(full, idx, axis=-1)
-    flat_e = idx.reshape(-1)  # [T*k]
-    order = jnp.argsort(flat_e)  # stable: ties keep token order
-    tok_of = (jnp.arange(T * k, dtype=jnp.int32) // k)[order]
-    gathered = t[tok_of]  # [T*k, d] expert-sorted
-    gs = jnp.zeros((cfg.n_experts,), jnp.int32).at[flat_e].add(1)
-    gate = jax.lax.ragged_dot(gathered, lp["we_gate"], gs)
-    up = jax.lax.ragged_dot(gathered, lp["we_up"], gs)
-    if cfg.hidden_act == "gelu_tanh":
-        gate = jax.nn.gelu(gate, approximate=True)
+    if use_expert_parallel(mesh):
+        out = expert_parallel_moe(mesh, cfg)(
+            t, lp["w_router"], lp["we_gate"], lp["we_up"], lp["we_down"])
     else:
-        gate = jax.nn.silu(gate)
-    down = jax.lax.ragged_dot(gate * up, lp["we_down"], gs)  # [T*k, d]
-    wflat = w_top.reshape(-1)[order].astype(down.dtype)
-    out = jnp.zeros((T, t.shape[-1]), down.dtype).at[tok_of].add(
-        down * wflat[:, None])
+        k = cfg.n_active_experts
+        logits = (t.astype(jnp.float32) @ lp["w_router"])  # [T, E]
+        w_top, idx = jax.lax.top_k(logits, k)
+        if cfg.norm_topk:  # Mixtral: softmax over the selected experts
+            w_top = jax.nn.softmax(w_top, axis=-1)  # [T, k]
+        else:  # Qwen3-MoE default: full-softmax weights, not renormalized
+            full = jax.nn.softmax(logits, axis=-1)
+            w_top = jnp.take_along_axis(full, idx, axis=-1)
+        flat_e = idx.reshape(-1)  # [T*k]
+        order = jnp.argsort(flat_e)  # stable: ties keep token order
+        tok_of = (jnp.arange(T * k, dtype=jnp.int32) // k)[order]
+        gathered = t[tok_of]  # [T*k, d] expert-sorted
+        gs = jnp.zeros((cfg.n_experts,), jnp.int32).at[flat_e].add(1)
+        gate = jax.lax.ragged_dot(gathered, lp["we_gate"], gs)
+        up = jax.lax.ragged_dot(gathered, lp["we_up"], gs)
+        if cfg.hidden_act == "gelu_tanh":
+            gate = jax.nn.gelu(gate, approximate=True)
+        else:
+            gate = jax.nn.silu(gate)
+        down = jax.lax.ragged_dot(gate * up, lp["we_down"], gs)  # [T*k, d]
+        wflat = w_top.reshape(-1)[order].astype(down.dtype)
+        out = jnp.zeros((T, t.shape[-1]), down.dtype).at[tok_of].add(
+            down * wflat[:, None])
     if "ws_gate" in lp:
         # Qwen2-MoE/DeepSeek shared expert: dense SwiGLU on every token,
         # optionally scaled by a sigmoid gate on the (normed) hidden state
@@ -441,9 +455,9 @@ def _moe(x, lp, cfg: "LlamaConfig"):
     return x + out.astype(x.dtype)
 
 
-def _mlp(x, lp, cfg: "LlamaConfig"):
+def _mlp(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     if cfg.n_experts and "we_gate" in lp:
-        return _moe(x, lp, cfg)
+        return _moe(x, lp, cfg, mesh)
     h = _rms_norm(x, lp["mlp_norm"], cfg)
     gate = h @ lp["w_gate"]
     if cfg.hidden_act == "gelu_tanh":
@@ -691,7 +705,7 @@ def forward(
         k = _rope(k, positions, *rope)
         attn = _attention_sharded(q, k, v, mesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(b, s, cfg.n_heads * hd), lp, cfg)
-        x = _mlp(x, lp, cfg)
+        x = _mlp(x, lp, cfg, mesh)
         return x, ()
 
     x, _ = _scan_layers(cfg, body, x, params["layers"], (), remat=remat)
@@ -923,7 +937,7 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
                 vs_new.reshape(cfg.n_kv_heads, n * npg, page))
         attn = _attention_sharded(q, k, v, pmesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(n, s, cfg.n_heads * hd), lp, cfg)
-        x = _mlp(x, lp, cfg)
+        x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
     x, (kp, vp, ksc, vsc) = _scan_layers(
@@ -1051,7 +1065,7 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
         )
         x = _attn_residual(x, attn.reshape(n, chunk, cfg.n_heads * hd),
                            lp, cfg)
-        x = _mlp(x, lp, cfg)
+        x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
     x, (kp, vp, ksc, vsc) = _scan_layers(
@@ -1176,7 +1190,7 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             cfg, wl, cache.quant_dtype,
         )  # [n, heads, hd]
         x = _attn_residual(x, attn.reshape(n, 1, cfg.n_heads * hd), lp, cfg)
-        x = _mlp(x, lp, cfg)
+        x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
     x, (kp, vp, ksc, vsc) = _scan_layers(
@@ -1245,7 +1259,7 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         )  # [n, span, heads, hd]
         x = _attn_residual(x, attn.reshape(n, span, cfg.n_heads * hd),
                            lp, cfg)
-        x = _mlp(x, lp, cfg)
+        x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
     x, (kp, vp, ksc, vsc) = _scan_layers(

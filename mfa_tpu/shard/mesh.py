@@ -10,6 +10,10 @@ TPU-native communication backend is XLA collectives over ICI/DCN driven by
   all-reduce axis for o-proj/MLP partials in the model layer.
 - axis "ctx":   KV-sequence context parallelism (CP) for long-KV decode,
   combined with the same LSE algebra as split-KV (SURVEY.md §2.8).
+- axis "expert": expert parallelism (EP) for MoE layers — the expert bank
+  is sharded across the axis, routing is computed replicated, and each
+  shard runs grouped matmuls for its local experts only
+  (mfa_tpu/shard/expert.py).
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 CTX_AXIS = "ctx"
+EXPERT_AXIS = "expert"
 
 
 def make_mesh(
