@@ -132,12 +132,10 @@ class Engine:
         if draft_params is not None:
             if draft_cfg is None:
                 raise ValueError("draft_params requires draft_cfg")
-            if not self.sampling.greedy:
-                raise ValueError("speculative decoding is greedy-only")
             if self.sampling.needs_presence:
                 raise ValueError(
                     "speculative decoding does not support the repetition "
-                    "penalty (verification assumes context-free argmax)")
+                    "penalty (verification is context-free)")
             self.draft_cache = llama.build_kv_caches(
                 draft_cfg, num_pages, page_size, max_seqs, pages_per_seq,
                 quant_dtype,
@@ -568,42 +566,72 @@ class Engine:
         nact = len(active)
         slots_j = jnp.asarray(slots)
         toks_j = jnp.asarray(tokens)
-        # draft proposes k tokens (greedy burst; zero host syncs inside)
-        self.draft_cache, d_toks, _ = llama.decode_burst(
-            self.draft_params, self.draft_cfg, self.draft_cache,
-            slots_j, toks_j, k,
-        )  # [k, nb]
+        from mfa_tpu.serve.sampling import speculative_accept, token_logprobs
+
+        if self.sampling.greedy:
+            # draft proposes k tokens (greedy burst; zero host syncs inside)
+            self.draft_cache, d_toks, _ = llama.decode_burst(
+                self.draft_params, self.draft_cfg, self.draft_cache,
+                slots_j, toks_j, k,
+            )  # [k, nb]
+            d_logits = None
+        else:
+            # sampled draft burst: keep the per-step draft distributions
+            # for the rejection-sampling acceptance rule
+            self._key, sub = jax.random.split(self._key)
+            self.draft_cache, d_toks, _, d_logits = llama.decode_burst(
+                self.draft_params, self.draft_cfg, self.draft_cache,
+                slots_j, toks_j, k, sampling=self.sampling, key=sub,
+                return_logits=True,
+            )  # [k, nb], [k, nb, vocab]
         # target verifies [t_cur, d_1..d_{k-1}] in one forward
         feed = jnp.concatenate([toks_j[None], d_toks[:-1]], axis=0).T  # [nb, k]
         self.cache, logits = llama.verify_step(
             self.params, self.cfg, self.cache, slots_j, feed, mesh=self.mesh,
         )
-        from mfa_tpu.serve.sampling import token_logprobs
-
-        a = jnp.argmax(logits, axis=-1)  # [nb, k]
-        a_np = np.asarray(a)
         vocab = logits.shape[-1]
-        lp_np = np.asarray(
-            token_logprobs(logits.reshape(-1, vocab), a.reshape(-1))
-        ).reshape(a_np.shape)  # logprob of the greedy token per position
-        d_np = np.asarray(d_toks).T  # [nb, k] proposals d_1..d_k
+        if self.sampling.greedy:
+            # greedy acceptance: longest prefix where draft == target argmax
+            a = jnp.argmax(logits, axis=-1)  # [nb, k]
+            a_np = np.asarray(a)
+            lp_np = np.asarray(
+                token_logprobs(logits.reshape(-1, vocab), a.reshape(-1))
+            ).reshape(a_np.shape)  # logprob of the greedy token per position
+            d_np = np.asarray(d_toks).T  # [nb, k] proposals d_1..d_k
+            m_np = np.zeros((nb,), np.int32)
+            t_np = d_np.copy()
+            for i in range(nact):
+                m = 0
+                while m < k and d_np[i, m] == a_np[i, m]:
+                    m += 1
+                m_np[i] = m
+                if m < k:
+                    t_np[i, m] = a_np[i, m]  # target correction token
+        else:
+            # rejection sampling (Leviathan/Chen): accepted stream is
+            # distributed exactly like plain sampling from the target
+            self._key, ka = jax.random.split(self._key)
+            t_dev, m_dev = speculative_accept(
+                ka, jnp.transpose(d_logits, (1, 0, 2)), logits,
+                jnp.transpose(d_toks), self.sampling,
+            )
+            t_np = np.asarray(t_dev)
+            m_np = np.asarray(m_dev)
+            lp_np = np.asarray(
+                token_logprobs(logits.reshape(-1, vocab),
+                               t_dev.reshape(-1))
+            ).reshape(t_np.shape)
 
-        # acceptance + rollback lengths (a[:, i] verifies d_{i+1})
+        # emitted tokens + rollback lengths per row
         new_lens = np.zeros((nb,), np.int32)
         emitted = []
         for i, req in enumerate(active):
             base = req.total_len - 1  # cache length before this step
-            m = 0
-            while m < k and d_np[i, m] == a_np[i, m]:
-                m += 1
-            toks_out = list(d_np[i, :m])
-            lps_out = list(lp_np[i, :m])
-            if m < k:
-                toks_out.append(int(a_np[i, m]))
-                lps_out.append(float(lp_np[i, m]))
-                new_lens[i] = base + 1 + m
-            else:
-                new_lens[i] = base + k
+            m = int(m_np[i])
+            n_emit = m + 1 if m < k else k
+            toks_out = [int(t) for t in t_np[i, :n_emit]]
+            lps_out = [float(x) for x in lp_np[i, :n_emit]]
+            new_lens[i] = base + n_emit if m < k else base + k
             emitted.append((toks_out, lps_out))
             self.stats.spec_proposed += k
             self.stats.spec_accepted += m

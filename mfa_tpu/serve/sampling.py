@@ -40,25 +40,14 @@ class SamplingParams:
         return self.repetition_penalty != 1.0
 
 
-def sample(logits: jax.Array, key: jax.Array, params: SamplingParams,
-           presence: jax.Array = None) -> jax.Array:
-    """logits [n, vocab] -> token ids [n] int32.
+def filtered_logits(logits: jax.Array, params: SamplingParams) -> jax.Array:
+    """Temperature-scaled, truncation-masked logits (no categorical draw).
 
-    presence: optional [n, vocab] bool — tokens already in each row's
-    context (prompt + generated), for the repetition penalty.
-
-    Filtering order matches the common convention (vLLM/HF): repetition
-    penalty on raw logits, temperature, then top-k -> min-p -> top-p
-    truncations, then categorical.
-    """
-    logits = logits.astype(jnp.float32)
-    if params.repetition_penalty != 1.0 and presence is not None:
-        pen = params.repetition_penalty
-        penalized = jnp.where(logits > 0, logits / pen, logits * pen)
-        logits = jnp.where(presence, penalized, logits)
-    if params.greedy:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    l = logits / params.temperature
+    The distribution `softmax(filtered_logits(l, p))` is EXACTLY what
+    sample() draws from for stochastic params — shared by sample() and
+    speculative_accept() so the rejection-sampling ratio uses the true
+    proposal/target distributions."""
+    l = logits.astype(jnp.float32) / params.temperature
     vocab = l.shape[-1]
     if params.top_k and params.top_k < vocab:
         kth = jax.lax.top_k(l, params.top_k)[0][..., -1:]
@@ -77,7 +66,29 @@ def sample(logits: jax.Array, key: jax.Array, params: SamplingParams,
             jnp.where(keep, sorted_l, jnp.inf), axis=-1, keepdims=True
         )
         l = jnp.where(l < cutoff, -jnp.inf, l)
-    return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+    return l
+
+
+def sample(logits: jax.Array, key: jax.Array, params: SamplingParams,
+           presence: jax.Array = None) -> jax.Array:
+    """logits [n, vocab] -> token ids [n] int32.
+
+    presence: optional [n, vocab] bool — tokens already in each row's
+    context (prompt + generated), for the repetition penalty.
+
+    Filtering order matches the common convention (vLLM/HF): repetition
+    penalty on raw logits, temperature, then top-k -> min-p -> top-p
+    truncations, then categorical.
+    """
+    logits = logits.astype(jnp.float32)
+    if params.repetition_penalty != 1.0 and presence is not None:
+        pen = params.repetition_penalty
+        penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where(presence, penalized, logits)
+    if params.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        key, filtered_logits(logits, params), axis=-1).astype(jnp.int32)
 
 
 def sample_dynamic(logits: jax.Array, key: jax.Array,
@@ -117,6 +128,53 @@ def sample_dynamic(logits: jax.Array, key: jax.Array,
     ls = jnp.where((top_p[:, None] < 1.0) & (ls < cutoff), -jnp.inf, ls)
     sampled = jax.random.categorical(key, ls, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy_ids, sampled)
+
+
+@jax.jit
+def _accept_jit(key, ql, pl_, d_toks):
+    n, k, _ = ql.shape
+    q = jax.nn.softmax(ql, axis=-1)  # [n, k, V] proposal
+    p = jax.nn.softmax(pl_, axis=-1)  # [n, k, V] target
+    qx = jnp.take_along_axis(q, d_toks[..., None], axis=-1)[..., 0]
+    px = jnp.take_along_axis(p, d_toks[..., None], axis=-1)[..., 0]
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (n, k))
+    acc = u * qx <= px  # accept iff u < p(x)/q(x)
+    m = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)  # [n]
+    # Residual distribution at the (first) rejection position:
+    # norm(max(p - q, 0)); if it vanishes numerically (p ~= q), fall back
+    # to p itself — any draw from p is correct there.
+    mi = jnp.minimum(m, k - 1)
+    p_m = jnp.take_along_axis(p, mi[:, None, None], axis=1)[:, 0]  # [n, V]
+    q_m = jnp.take_along_axis(q, mi[:, None, None], axis=1)[:, 0]
+    res = jnp.clip(p_m - q_m, 0.0, None)
+    res = jnp.where(jnp.sum(res, -1, keepdims=True) > 1e-9, res, p_m)
+    r_tok = jax.random.categorical(kr, jnp.log(res + 1e-30), axis=-1)
+    cols = jnp.arange(k, dtype=jnp.int32)[None]
+    toks = jnp.where(cols == m[:, None], r_tok[:, None].astype(jnp.int32),
+                     d_toks)
+    return toks, m
+
+
+def speculative_accept(key: jax.Array, draft_logits: jax.Array,
+                       target_logits: jax.Array, d_toks: jax.Array,
+                       params: SamplingParams):
+    """Speculative-sampling acceptance (Leviathan/Chen rejection rule).
+
+    draft_logits/target_logits: [n, k, vocab] raw model logits for the k
+    span positions; d_toks: [n, k] tokens the draft SAMPLED (from
+    softmax(filtered_logits(draft_logits))). Both distributions get the
+    same temperature/top-k/top-p/min-p filtering, so the emitted stream
+    is distributed exactly like plain sampling from the filtered target.
+
+    Returns (tokens [n, k] int32, accept_len m [n] int32): tokens[:, :m]
+    are accepted draft tokens; tokens[:, m] (when m < k) is the residual
+    resample to emit at the rejection position; columns past m are dead.
+    On full acceptance (m == k) all k draft tokens stand.
+    """
+    ql = filtered_logits(draft_logits, params)
+    pl_ = filtered_logits(target_logits, params)
+    return _accept_jit(key, ql, pl_, jnp.asarray(d_toks, jnp.int32))
 
 
 def token_logprobs(logits: jax.Array, ids: jax.Array) -> jax.Array:

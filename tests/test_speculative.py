@@ -172,3 +172,69 @@ def test_all_features_combined_match_plain_greedy():
         return [r.generated for r in reqs]
 
     assert run(True) == run(False)
+
+
+def test_speculative_accept_preserves_target_distribution():
+    """Rejection-sampling acceptance: the marginal of the first emitted
+    token must equal the (filtered) target distribution regardless of the
+    draft — the defining property of speculative sampling."""
+    from mfa_tpu.serve.sampling import (SamplingParams, filtered_logits,
+                                        speculative_accept)
+
+    V, k, n = 16, 3, 1
+    params = SamplingParams(temperature=0.8, top_p=0.9)
+    rng = np.random.RandomState(0)
+    draft_logits = jnp.asarray(rng.randn(n, k, V), jnp.float32)
+    target_logits = jnp.asarray(rng.randn(n, k, V) * 1.5, jnp.float32)
+
+    ql0 = filtered_logits(draft_logits, params)[:, 0]
+    p_target = np.asarray(
+        jax.nn.softmax(filtered_logits(target_logits, params), axis=-1)
+    )[0, 0]
+
+    N = 4000
+    counts = np.zeros(V)
+
+    def draw(key):
+        kd, ka = jax.random.split(key)
+        d_toks = jax.random.categorical(
+            kd, jnp.broadcast_to(
+                filtered_logits(draft_logits, params), (n, k, V)), axis=-1
+        ).astype(jnp.int32)
+        toks, m = speculative_accept(ka, draft_logits, target_logits,
+                                     d_toks, params)
+        return toks[0, 0]
+
+    draws = jax.vmap(draw)(jax.random.split(jax.random.key(1), N))
+    for t in np.asarray(draws):
+        counts[t] += 1
+    emp = counts / N
+    tv = 0.5 * np.abs(emp - p_target).sum()
+    assert tv < 0.05, f"TV distance {tv} (empirical {emp} vs {p_target})"
+    del ql0
+
+
+def test_speculative_sampled_engine_runs():
+    """Spec decoding composes with stochastic sampling: the engine runs,
+    completes, and reports acceptance (distribution preservation is the
+    unit test above; here we drive the full engine path)."""
+    from mfa_tpu.serve.engine import Engine
+    from mfa_tpu.serve.sampling import SamplingParams
+
+    params = llama.init_params(jax.random.key(0), CFG)
+    draft_cfg = llama.LlamaConfig.tiny(vocab=64, dim=32, layers=1, heads=2,
+                                       kv_heads=1, ffn=64, dtype=jnp.float32)
+    draft = llama.init_params(jax.random.key(9), draft_cfg)
+    eng = Engine(params, CFG, num_pages=64, page_size=8, max_seqs=2,
+                 pages_per_seq=8, draft_params=draft, draft_cfg=draft_cfg,
+                 spec_tokens=3,
+                 sampling=SamplingParams(temperature=0.8, top_p=0.95))
+    reqs = [eng.submit([1, 2, 3, 4, 5], 8), eng.submit([9, 8, 7], 6)]
+    eng.run()
+    for r in reqs:
+        assert r.done and len(r.generated) in (8, 6) or r.done
+        assert len(r.logprobs) == len(r.generated)
+        assert all(0 <= t < CFG.vocab_size for t in r.generated)
+    assert eng.stats.spec_proposed > 0
+    assert 0.0 <= eng.stats.spec_acceptance <= 1.0
+    assert eng.sched.allocator.free_pages == 63
