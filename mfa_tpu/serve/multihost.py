@@ -36,9 +36,12 @@ def init_distributed(coordinator_address: Optional[str] = None,
                      process_id: Optional[int] = None) -> int:
     """Initialize jax.distributed from args or environment (JAX_COORDINATOR
     etc.); a no-op when the runtime is already initialized or single-host.
-    Returns the process index."""
-    if jax.process_count() > 1:
-        return jax.process_index()
+    Returns the process index.
+
+    NOTE: must be called BEFORE anything touches a jax backend — even
+    jax.process_count() initializes it, after which distributed.initialize
+    cannot take effect (that was a latent bug here: the old guard queried
+    process_count() first and silently froze every run single-process)."""
     if coordinator_address is None and num_processes is None:
         return jax.process_index()  # single host, nothing to do
     try:
@@ -79,11 +82,19 @@ def make_hybrid_mesh(dcn_axes: Mapping[str, int],
     if jax.process_count() > 1:
         from jax.experimental import mesh_utils
 
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=tuple(ici_axes.values()),
-            dcn_mesh_shape=tuple(dcn_axes.values()),
-        )
-        return Mesh(devices.reshape(sizes), names)
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=tuple(ici_axes.values()),
+                dcn_mesh_shape=tuple(dcn_axes.values()),
+            )
+            return Mesh(devices.reshape(sizes), names)
+        except ValueError:
+            # Non-TPU multi-process (CPU pods, tests): devices carry no
+            # slice_index, so group by process instead — process-major
+            # ordering keeps DCN axes outermost.
+            devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+            return Mesh(np.array(devs).reshape(sizes), names)
     devices = jax.devices()
     total = int(np.prod(sizes))
     if total > len(devices):

@@ -60,3 +60,75 @@ def test_aggregate_stats_single():
     assert isinstance(agg, FleetStats)
     assert agg.prefill_tokens == 10 and agg.decode_tokens == 20
     assert agg.decode_tokens_per_s == 10.0
+
+
+_TWO_PROC_WORKER = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid = sys.argv[1], int(sys.argv[2])
+from mfa_tpu.serve.multihost import (init_distributed, make_hybrid_mesh,
+                                     route_requests)
+idx = init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+assert idx == pid and jax.process_count() == 2, (idx, jax.process_count())
+assert len(jax.devices()) == 4, jax.devices()
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from mfa_tpu.shard.mesh import DATA_AXIS, MODEL_AXIS
+mesh = make_hybrid_mesh({DATA_AXIS: 2}, {MODEL_AXIS: 2})
+assert mesh.shape[DATA_AXIS] == 2 and mesh.shape[MODEL_AXIS] == 2
+try:
+    shard_map = jax.shard_map
+except AttributeError:
+    from jax.experimental.shard_map import shard_map
+x = jax.device_put(
+    jnp.arange(4.0).reshape(4, 1),
+    NamedSharding(mesh, P(DATA_AXIS, None)),
+)
+f = jax.jit(shard_map(lambda a: jax.lax.psum(a, DATA_AXIS), mesh=mesh,
+                      in_specs=P(DATA_AXIS, None), out_specs=P(None, None)))
+s = jax.device_get(f(x))  # row blocks [0,1]+[2,3] -> [2,4]
+assert np.allclose(np.asarray(s).ravel(), [2.0, 4.0]), s
+mine = route_requests(list(range(10)), pid, 2)
+other = route_requests(list(range(10)), 1 - pid, 2)
+assert sorted(mine + other) == list(range(10)) and not set(mine) & set(other)
+print("WORKER_OK", flush=True)
+'''
+
+
+def test_two_process_distributed_smoke():
+    """REAL 2-process jax.distributed run on CPU: coordinator init, a
+    hybrid DCN x ICI mesh spanning both processes, a cross-process psum
+    through it, and disjoint request routing. Skips only if the local
+    runtime cannot bind the coordinator port."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _TWO_PROC_WORKER, str(port), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{err[-2000:]}"
+        assert "WORKER_OK" in out, (out, err[-500:])
