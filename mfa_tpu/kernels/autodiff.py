@@ -129,6 +129,90 @@ def _bwd_jnp_reference(causal, softmax_scale, window_size, res, do):
 flash_attention_grad.defvjp(_fwd, _bwd)
 
 
+# ---------------- varlen (packed / cu_seqlens) autodiff ----------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _varlen_grad_p(
+    q, k, v, cu_seqlens_q, cu_seqlens_k, alibi_slopes,
+    max_seqlen_q, max_seqlen_k, causal, softmax_scale, window_size,
+    logit_softcap,
+):
+    from mfa_tpu.kernels.varlen import varlen_attention
+
+    return varlen_attention(
+        q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
+        causal=causal, softmax_scale=softmax_scale, window_size=window_size,
+        logit_softcap=logit_softcap, alibi_slopes=alibi_slopes,
+    )
+
+
+def _varlen_fwd(q, k, v, cu_q, cu_k, alibi_slopes, max_seqlen_q,
+                max_seqlen_k, causal, softmax_scale, window_size,
+                logit_softcap):
+    from mfa_tpu.kernels.varlen import varlen_attention
+
+    out, lse = varlen_attention(
+        q, k, v, cu_q, cu_k, max_seqlen_q, max_seqlen_k,
+        causal=causal, softmax_scale=softmax_scale, window_size=window_size,
+        logit_softcap=logit_softcap, alibi_slopes=alibi_slopes,
+        return_lse=True,
+    )
+    return out, (q, k, v, cu_q, cu_k, alibi_slopes, out, lse)
+
+
+def _varlen_bwd(max_seqlen_q, max_seqlen_k, causal, softmax_scale,
+                window_size, logit_softcap, res, do):
+    import numpy as np
+
+    from mfa_tpu.kernels.backward import varlen_attention_bwd
+
+    q, k, v, cu_q, cu_k, alibi_slopes, out, lse = res
+    dq, dk, dv = varlen_attention_bwd(
+        q, k, v, out, lse, do, cu_q, cu_k,
+        causal=causal, softmax_scale=softmax_scale, window_size=window_size,
+        logit_softcap=logit_softcap, alibi_slopes=alibi_slopes,
+    )
+    # integer cu_seqlens carry symbolic-zero (float0) cotangents
+    f0 = jax.dtypes.float0
+    dcu_q = np.zeros(cu_q.shape, f0)
+    dcu_k = np.zeros(cu_k.shape, f0)
+    dslopes = (None if alibi_slopes is None
+               else jnp.zeros_like(alibi_slopes))
+    return dq, dk, dv, dcu_q, dcu_k, dslopes
+
+
+_varlen_grad_p.defvjp(_varlen_fwd, _varlen_bwd)
+
+
+def flash_attn_varlen_func_grad(
+    q: jax.Array,  # [total_q, num_heads, head_dim]
+    k: jax.Array,  # [total_k, num_kv_heads, head_dim]
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: jax.Array,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: tuple[int, int] = (-1, -1),
+    logit_softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Differentiable flash_attn_varlen_func on the packed layout (the
+    training-side complement of interface.flash_attn_varlen_func; the
+    reference is inference-only, SURVEY.md §0). Sequence boundaries come
+    from cu_seqlens; the backward runs the segment-masked Pallas dKV/dQ
+    kernels (kernels/backward.py:varlen_attention_bwd). Attention sinks
+    are serving-only and not offered here; the paged (block_table) route
+    is inference-only too."""
+    return _varlen_grad_p(
+        q, k, v, cu_seqlens_q, cu_seqlens_k, alibi_slopes,
+        int(max_seqlen_q), int(max_seqlen_k), causal, softmax_scale,
+        tuple(window_size), float(logit_softcap),
+    )
+
+
 def flash_attn_func_grad(
     q: jax.Array,
     k: jax.Array,

@@ -628,3 +628,450 @@ def flash_attention_bwd(
         )(*rect2_inputs)
 
     return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
+
+
+# --------------------------------------------------------------------------
+# Varlen (packed / cu_seqlens) backward
+#
+# Same recomputation scheme as the dense kernels above, on the packed
+# [total_tokens, heads, head_dim] layout of kernels/varlen.py: sequence
+# membership is a segment-id mask (seg_q == seg_k) and causal/windows act
+# on segment-relative positions, so one kernel invocation covers the whole
+# ragged batch (the TPU inversion of the reference's per-CTA base-pointer
+# arithmetic, csrc/mfa/prefill.cuh:19-33 — which has no backward at all).
+# Per-block live ranges are scalar-prefetched exactly like the varlen
+# forward, so out-of-segment tiles cost no DMA and no FLOPs.
+# --------------------------------------------------------------------------
+
+
+def _vl_tile_mask(seg_q, pos_q, seg_k, pos_k, causal, window_left,
+                  window_right):
+    """[bq, bk] mask from blocked segment/position refs ([bq,1] q side,
+    [1,bk] k side — skinny, broadcast in the compares)."""
+    mask = seg_q == seg_k
+    if causal or window_right == 0:
+        mask = jnp.logical_and(mask, pos_k <= pos_q)
+    elif window_right > 0:
+        mask = jnp.logical_and(mask, pos_k <= pos_q + window_right)
+    if window_left >= 0:
+        mask = jnp.logical_and(mask, pos_k >= pos_q - window_left)
+    return mask
+
+
+def _vl_tile_needs_mask(seg_q_ref, pos_q_ref, seg_k_ref, pos_k_ref,
+                        block_q, block_k, causal, window_left, window_right):
+    """Scalar interior test: a tile whose q and kv blocks sit inside ONE
+    common segment and fully inside the causal/window band needs no mask
+    (the varlen analog of _tile_needs_mask; padded tails have sentinel
+    segment ids so they always fail the same-segment test)."""
+    interior = jnp.logical_and(
+        seg_q_ref[0, 0] == seg_q_ref[block_q - 1, 0],
+        jnp.logical_and(seg_q_ref[0, 0] == seg_k_ref[0, 0],
+                        seg_k_ref[0, 0] == seg_k_ref[0, block_k - 1]),
+    )
+    if causal or window_right >= 0:
+        wr = 0 if causal else window_right
+        interior = jnp.logical_and(
+            interior, pos_k_ref[0, block_k - 1] <= pos_q_ref[0, 0] + wr)
+    if window_left >= 0:
+        interior = jnp.logical_and(
+            interior,
+            pos_k_ref[0, 0] >= pos_q_ref[block_q - 1, 0] - window_left)
+    return jnp.logical_not(interior)
+
+
+def _vl_dkv_kernel(
+    qf_ref, ql_ref,  # scalar prefetch: first/last q block per kv block
+    *refs,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    group: int,
+    causal: bool,
+    window_left: int,
+    window_right: int,
+    softcap: float = 0.0,
+    softcap_mul: float = 0.0,
+    alibi: bool = False,
+):
+    j = pl.program_id(1)
+    g = pl.program_id(2)
+    i = pl.program_id(3)
+    if alibi:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         seg_q_ref, pos_q_ref, seg_k_ref, pos_k_ref, slopes_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         seg_q_ref, pos_q_ref, seg_k_ref, pos_k_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        slopes_ref = None
+    first_i = qf_ref[j]
+    last_i = ql_ref[j]
+
+    @pl.when(jnp.logical_and(g == 0, i == first_i))
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    run = jnp.logical_and(i >= first_i, i <= last_i)
+    needs_mask = _vl_tile_needs_mask(
+        seg_q_ref, pos_q_ref, seg_k_ref, pos_k_ref, block_q, block_k,
+        causal, window_left, window_right)
+
+    def _step(masked: bool):
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]  # [bq, 1]
+        delta = delta_ref[0]
+        mask = (_vl_tile_mask(seg_q_ref[...], pos_q_ref[...],
+                              seg_k_ref[...], pos_k_ref[...],
+                              causal, window_left, window_right)
+                if masked else None)
+        bias = (-slopes_ref[0, 0, 0] * jnp.abs(
+            pos_q_ref[...] - pos_k_ref[...]).astype(jnp.float32)
+            if alibi else None)
+        p, dcap = _recompute_p(q, k, lse, mask, scale * _LOG2E,
+                               softcap, softcap_mul, bias)
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        if dcap is not None:
+            ds = ds * dcap
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    pl.when(jnp.logical_and(run, needs_mask))(lambda: _step(True))
+    pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))(
+        lambda: _step(False))
+
+    @pl.when(jnp.logical_and(g == group - 1, i == last_i))
+    def _store():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _vl_dq_kernel(
+    kvf_ref, kvl_ref,  # scalar prefetch: first/last kv block per q block
+    *refs,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    causal: bool,
+    window_left: int,
+    window_right: int,
+    softcap: float = 0.0,
+    softcap_mul: float = 0.0,
+    alibi: bool = False,
+):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    if alibi:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         seg_q_ref, pos_q_ref, seg_k_ref, pos_k_ref, slopes_ref,
+         dq_ref, dq_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         seg_q_ref, pos_q_ref, seg_k_ref, pos_k_ref,
+         dq_ref, dq_acc) = refs
+        slopes_ref = None
+    first_j = kvf_ref[i]
+    last_j = kvl_ref[i]
+
+    @pl.when(j == first_j)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    run = jnp.logical_and(j >= first_j, j <= last_j)
+    needs_mask = _vl_tile_needs_mask(
+        seg_q_ref, pos_q_ref, seg_k_ref, pos_k_ref, block_q, block_k,
+        causal, window_left, window_right)
+
+    def _step(masked: bool):
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+        mask = (_vl_tile_mask(seg_q_ref[...], pos_q_ref[...],
+                              seg_k_ref[...], pos_k_ref[...],
+                              causal, window_left, window_right)
+                if masked else None)
+        bias = (-slopes_ref[0, 0, 0] * jnp.abs(
+            pos_q_ref[...] - pos_k_ref[...]).astype(jnp.float32)
+            if alibi else None)
+        p, dcap = _recompute_p(q, k, lse, mask, scale * _LOG2E,
+                               softcap, softcap_mul, bias)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        if dcap is not None:
+            ds = ds * dcap
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    pl.when(jnp.logical_and(run, needs_mask))(lambda: _step(True))
+    pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))(
+        lambda: _step(False))
+
+    @pl.when(j == last_j)
+    def _store():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "softmax_scale", "window_size", "block_q",
+                     "block_k", "interpret", "logit_softcap"),
+)
+def varlen_attention_bwd(
+    q: jax.Array,  # [total_q, hq, d]
+    k: jax.Array,  # [total_k, hkv, d]
+    v: jax.Array,
+    out: jax.Array,  # forward output [total_q, hq, d]
+    lse: jax.Array,  # [hq, total_q] natural-log LSE (varlen return_lse)
+    do: jax.Array,
+    cu_seqlens_q: jax.Array,  # [batch+1] int32
+    cu_seqlens_k: jax.Array,
+    *,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: tuple[int, int] = (-1, -1),
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    logit_softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
+):
+    """-> (dq, dk, dv) on the packed [total, h, d] layout."""
+    from mfa_tpu.kernels.varlen import _segments_from_cu
+
+    total_q, num_heads, head_dim = q.shape
+    total_k, num_kv_heads, _ = k.shape
+    group = num_heads // num_kv_heads
+    batch = cu_seqlens_q.shape[0] - 1
+    if softmax_scale is None:
+        softmax_scale = softmax_scale_default(head_dim)
+    if interpret is None:
+        interpret = default_interpret()
+    window_left, window_right = window_size
+
+    alibi = alibi_slopes is not None
+    if alibi:
+        if logit_softcap:
+            raise ValueError("alibi_slopes and logit_softcap are exclusive")
+        slopes_in = jnp.broadcast_to(
+            (jnp.asarray(alibi_slopes, jnp.float32)
+             / float(softmax_scale))[:, None, None],
+            (num_heads, 8, 128),
+        )
+
+    cfg_bq, cfg_bk = choose_bwd_config(total_q, total_k, head_dim,
+                                       q.dtype.itemsize)
+    bq = min(block_q or cfg_bq, round_up(total_q, 8))
+    bk = min(block_k or cfg_bk, round_up(total_k, 128))
+    tq_p = round_up(total_q, bq)
+    tk_p = round_up(total_k, bk)
+    n_q_blocks = tq_p // bq
+    n_kv_blocks = tk_p // bk
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # [total_q, hq]
+
+    def pad_t(x, target, axis=1):
+        padw = [(0, 0)] * x.ndim
+        padw[axis] = (0, target - x.shape[axis])
+        return jnp.pad(x, padw) if target != x.shape[axis] else x
+
+    qt = pad_t(jnp.swapaxes(q, 0, 1), tq_p)  # [hq, tq_p, d]
+    dot = pad_t(jnp.swapaxes(do, 0, 1), tq_p)
+    kt = pad_t(jnp.swapaxes(k, 0, 1), tk_p)
+    vt = pad_t(jnp.swapaxes(v, 0, 1), tk_p)
+    # fully-masked rows carry -inf LSE; the recompute masks their P to 0,
+    # but sanitize so padded tails never produce inf-inf on the VPU
+    lse_c = jnp.where(jnp.isfinite(lse), lse, 0.0)
+    lsep = pad_t(lse_c[..., None], tq_p)  # [hq, tq_p, 1]
+    deltap = pad_t(jnp.swapaxes(delta, 0, 1)[..., None], tq_p)
+
+    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+    cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+    lens_q = cu_q[1:] - cu_q[:-1]
+    lens_k = cu_k[1:] - cu_k[:-1]
+    q_start = cu_q[:-1]
+    k_start = cu_k[:-1]
+    seg_q, pos_q = _segments_from_cu(cu_q, total_q, tq_p, fill=-1)
+    seg_k, pos_k = _segments_from_cu(cu_k, total_k, tk_p, fill=-2)
+
+    # ---- per-q-block kv block bounds (for dQ; same derivation as the
+    # varlen forward, minus sinks) ----
+    qb_start = jnp.arange(n_q_blocks, dtype=jnp.int32) * bq
+    qb_end = jnp.minimum(qb_start + bq - 1, max(total_q - 1, 0))
+    segf = seg_q[qb_start].clip(0, batch - 1)
+    segl = seg_q[qb_end].clip(0, batch - 1)
+    kv_first_tok = k_start[segf]
+    if window_left >= 0:
+        kv_first_tok = jnp.minimum(
+            kv_first_tok + jnp.maximum(0, pos_q[qb_start] - window_left),
+            k_start[segf] + jnp.maximum(lens_k[segf] - 1, 0))
+    if causal or window_right >= 0:
+        last_pos = pos_q[qb_end] + max(window_right, 0)
+        kv_last_tok = k_start[segl] + jnp.minimum(
+            last_pos, lens_k[segl] - 1)
+    else:
+        kv_last_tok = k_start[segl] + lens_k[segl] - 1
+    kv_first = kv_first_tok // bk
+    kv_last = jnp.clip(kv_last_tok, 0, max(total_k - 1, 0)) // bk
+    kv_last = jnp.maximum(kv_last, kv_first)
+
+    # ---- per-kv-block q block bounds (for dKV; the transpose) ----
+    jb_start = jnp.arange(n_kv_blocks, dtype=jnp.int32) * bk
+    jb_end = jnp.minimum(jb_start + bk - 1, max(total_k - 1, 0))
+    ksegf = seg_k[jb_start].clip(0, batch - 1)
+    ksegl = seg_k[jb_end].clip(0, batch - 1)
+    q_first_tok = q_start[ksegf]
+    if causal or window_right >= 0:
+        wr = 0 if causal else window_right
+        q_first_tok = jnp.minimum(
+            q_first_tok + jnp.maximum(0, pos_k[jb_start] - wr),
+            q_start[ksegf] + jnp.maximum(lens_q[ksegf] - 1, 0))
+    if window_left >= 0:
+        q_last_tok = q_start[ksegl] + jnp.minimum(
+            pos_k[jb_end] + window_left, lens_q[ksegl] - 1)
+    else:
+        q_last_tok = q_start[ksegl] + lens_q[ksegl] - 1
+    q_first = q_first_tok // bq
+    q_last = jnp.clip(q_last_tok, 0, max(total_q - 1, 0)) // bq
+    q_last = jnp.maximum(q_last, q_first)
+
+    seg_q_col = seg_q[:, None]
+    pos_q_col = pos_q[:, None]
+    seg_k_row = seg_k[None, :]
+    pos_k_row = pos_k[None, :]
+
+    common = dict(
+        scale=float(softmax_scale),
+        softcap=float(logit_softcap),
+        softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                     if logit_softcap else 0.0),
+        block_q=bq, block_k=bk,
+        causal=causal,
+        window_left=window_left, window_right=window_right,
+        alibi=alibi,
+    )
+
+    # ---------------- dKV ----------------
+    def q_idx_dkv(h, j, g, i, qf, ql):
+        return (h * group + g, jnp.clip(i, qf[j], ql[j]), 0)
+
+    def k_idx_dkv(h, j, g, i, qf, ql):
+        return (h, j, 0)
+
+    def segq_idx_dkv(h, j, g, i, qf, ql):
+        return (jnp.clip(i, qf[j], ql[j]), 0)
+
+    dkv_in_specs = [
+        pl.BlockSpec((1, bq, head_dim), q_idx_dkv),
+        pl.BlockSpec((1, bk, head_dim), k_idx_dkv),
+        pl.BlockSpec((1, bk, head_dim), k_idx_dkv),
+        pl.BlockSpec((1, bq, head_dim), q_idx_dkv),
+        pl.BlockSpec((1, bq, 1), q_idx_dkv),
+        pl.BlockSpec((1, bq, 1), q_idx_dkv),
+        pl.BlockSpec((bq, 1), segq_idx_dkv),
+        pl.BlockSpec((bq, 1), segq_idx_dkv),
+        pl.BlockSpec((1, bk), lambda h, j, g, i, qf, ql: (0, j)),
+        pl.BlockSpec((1, bk), lambda h, j, g, i, qf, ql: (0, j)),
+    ]
+    dkv_inputs = [qt, kt, vt, dot, lsep, deltap,
+                  seg_q_col, pos_q_col, seg_k_row, pos_k_row]
+    if alibi:
+        dkv_in_specs.append(pl.BlockSpec(
+            (1, 8, 128),
+            lambda h, j, g, i, qf, ql: (h * group + g, 0, 0)))
+        dkv_inputs.append(slopes_in)
+    dk, dv = pl.pallas_call(
+        functools.partial(_vl_dkv_kernel, group=group, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_kv_heads, n_kv_blocks, group, n_q_blocks),
+            in_specs=dkv_in_specs,
+            out_specs=[
+                pl.BlockSpec((1, bk, head_dim), k_idx_dkv),
+                pl.BlockSpec((1, bk, head_dim), k_idx_dkv),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, head_dim), jnp.float32),
+                pltpu.VMEM((bk, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_kv_heads, tk_p, head_dim), k.dtype),
+            jax.ShapeDtypeStruct((num_kv_heads, tk_p, head_dim), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_first.astype(jnp.int32), q_last.astype(jnp.int32), *dkv_inputs)
+
+    # ---------------- dQ ----------------
+    def q_idx_dq(h, i, j, f, l):
+        return (h, i, 0)
+
+    def k_idx_dq(h, i, j, f, l):
+        return (h // group, jnp.clip(j, f[i], l[i]), 0)
+
+    dq_in_specs = [
+        pl.BlockSpec((1, bq, head_dim), q_idx_dq),
+        pl.BlockSpec((1, bk, head_dim), k_idx_dq),
+        pl.BlockSpec((1, bk, head_dim), k_idx_dq),
+        pl.BlockSpec((1, bq, head_dim), q_idx_dq),
+        pl.BlockSpec((1, bq, 1), q_idx_dq),
+        pl.BlockSpec((1, bq, 1), q_idx_dq),
+        pl.BlockSpec((bq, 1), lambda h, i, j, f, l: (i, 0)),
+        pl.BlockSpec((bq, 1), lambda h, i, j, f, l: (i, 0)),
+        pl.BlockSpec((1, bk), lambda h, i, j, f, l: (0, jnp.clip(j, f[i], l[i]))),
+        pl.BlockSpec((1, bk), lambda h, i, j, f, l: (0, jnp.clip(j, f[i], l[i]))),
+    ]
+    dq_inputs = [qt, kt, vt, dot, lsep, deltap,
+                 seg_q_col, pos_q_col, seg_k_row, pos_k_row]
+    if alibi:
+        dq_in_specs.append(pl.BlockSpec(
+            (1, 8, 128), lambda h, i, j, f, l: (h, 0, 0)))
+        dq_inputs.append(slopes_in)
+    dq = pl.pallas_call(
+        functools.partial(_vl_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_heads, n_q_blocks, n_kv_blocks),
+            in_specs=dq_in_specs,
+            out_specs=pl.BlockSpec((1, bq, head_dim), q_idx_dq),
+            scratch_shapes=[pltpu.VMEM((bq, head_dim), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_heads, tq_p, head_dim), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_first.astype(jnp.int32), kv_last.astype(jnp.int32), *dq_inputs)
+
+    return (jnp.swapaxes(dq[:, :total_q], 0, 1),
+            jnp.swapaxes(dk[:, :total_k], 0, 1),
+            jnp.swapaxes(dv[:, :total_k], 0, 1))

@@ -44,6 +44,7 @@ from mfa_tpu.dispatch.config import (
 )
 
 _LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
 _MASK = -1e30
 
 
@@ -57,7 +58,7 @@ def _varlen_kernel(
     pos_q_ref,  # [bq, 1] int32
     seg_k_ref,  # [1, bk] int32
     pos_k_ref,  # [1, bk] int32
-    *rest,  # [alibi slopes (1, LANES)], o_ref, m/l/acc scratch
+    *rest,  # [alibi slopes (1, LANES)], o_ref, [lse_ref], m/l/acc scratch
     scale_log2e: float,
     causal: bool,
     softcap: float = 0.0,
@@ -66,12 +67,17 @@ def _varlen_kernel(
     window_left: int = -1,
     window_right: int = -1,
     sinks: int = 0,
+    with_lse: bool = False,
 ):
     if alibi:
-        slopes_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        slopes_ref, *rest = rest
+    else:
+        slopes_ref = None
+    if with_lse:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
-        slopes_ref = None
+        lse_ref = None
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -137,6 +143,13 @@ def _varlen_kernel(
         l = l_scr[:, :1]
         l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        if with_lse:
+            # natural-log LSE of the kernel's score domain (scale-folded
+            # raw scores, or capped scores under softcap) — what the
+            # backward's P recomputation expects (backward.py:_recompute_p)
+            lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)
+            lse = jnp.where(l == 0.0, -jnp.inf, lse)
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _segments_from_cu(cu: jax.Array, total: int, pad_to: int, fill: int):
@@ -164,6 +177,7 @@ def _segments_from_cu(cu: jax.Array, total: int, pad_to: int, fill: int):
         "interpret",
         "window_size",
         "sink_tokens",
+        "return_lse",
     ),
 )
 def varlen_attention(
@@ -184,13 +198,16 @@ def varlen_attention(
     alibi_slopes: Optional[jax.Array] = None,
     window_size: tuple[int, int] = (-1, -1),
     sink_tokens: int = 0,
+    return_lse: bool = False,
 ) -> jax.Array:
     """Packed varlen attention.
 
     q: [total_q, num_heads, head_dim]
     k/v: [total_k, num_kv_heads, head_dim], or with block_table a paged pool
          [num_pages, page_size, num_kv_heads, head_dim].
-    Returns [total_q, num_heads, head_dim].
+    Returns [total_q, num_heads, head_dim] (and, with return_lse, the
+    natural-log softmax LSE [num_heads, total_q] fp32 — flash-attn's varlen
+    softmax_lse convention; non-paged route only).
     """
     total_q, num_heads, head_dim = q.shape
     if softmax_scale is None:
@@ -204,6 +221,9 @@ def varlen_attention(
     if sink_tokens and window_left < 0:
         sink_tokens = 0  # without a left window, sinks are a no-op
 
+    if return_lse and block_table is not None:
+        raise NotImplementedError(
+            "return_lse is only supported on the non-paged varlen route")
     if block_table is not None:
         # Paged path: unpack q per sequence and run the in-kernel-DMA paged
         # prefill kernel (kernels/paged_prefill.py) — pages stream straight
@@ -318,7 +338,10 @@ def varlen_attention(
             pl.BlockSpec((1, bk), lambda h, i, j, f, l: (0, j)),
         ] + ([pl.BlockSpec((1, 8, LANES), lambda h, i, j, f, l: (h, 0, 0))]
              if alibi_slopes is not None else []),
-        out_specs=pl.BlockSpec((1, bq, head_dim), lambda h, i, j, f, l: (h, i, 0)),
+        out_specs=[
+            pl.BlockSpec((1, bq, head_dim), lambda h, i, j, f, l: (h, i, 0)),
+        ] + ([pl.BlockSpec((1, bq, LANES), lambda h, i, j, f, l: (h, i, 0))]
+             if return_lse else []),
         scratch_shapes=[
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, LANES), jnp.float32),
@@ -338,12 +361,16 @@ def varlen_attention(
         window_left=int(window_left),
         window_right=int(window_right),
         sinks=int(sink_tokens),
+        with_lse=return_lse,
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_heads, tq_p, head_dim), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_heads, tq_p, head_dim), q.dtype),
+        ] + ([jax.ShapeDtypeStruct((num_heads, tq_p, LANES), jnp.float32)]
+             if return_lse else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -361,4 +388,7 @@ def varlen_attention(
         *varlen_extra,
     )
 
-    return jnp.swapaxes(out[:, :total_q], 0, 1)
+    if return_lse:
+        o, lse = out
+        return jnp.swapaxes(o[:, :total_q], 0, 1), lse[:, :total_q, 0]
+    return jnp.swapaxes(out[0][:, :total_q], 0, 1)
