@@ -176,6 +176,38 @@ def num_splits_heuristic(
     return max(1, splits)
 
 
+# INT4 KV pages halve decode HBM traffic but pay an in-kernel nibble
+# unpack (int32 shift math — see kernels/quant.py) plus a read-modify-write
+# on append, so they only win once the cache read dominates: the measured
+# v5e crossover vs int8 sits between 2k and 4k tokens of KV per sequence
+# (benchmark/compare_decode.py sweep; at 8192 int4 is ~1.13x faster, at
+# ≤1024 it loses). Below the crossover int8 is both faster and accurate
+# enough; above it int4 wins on speed AND doubles residency.
+INT4_KV_CROSSOVER_TOKENS = 4096
+
+
+def recommend_kv_quant(
+    expected_kv_len: int,
+    *,
+    memory_bound: bool = False,
+    quality_floor: bool = False,
+) -> str:
+    """Pick the KV-cache storage dtype for a serving config.
+
+    The analog of the reference's fixed fp16 cache (it has no KV quant at
+    all — SURVEY §2.9 lists quant as north-star): callers pass the cache
+    capacity per sequence (pages_per_seq * page_size) and get the dtype
+    that maximizes decode throughput at that length. `memory_bound=True`
+    forces int4 (capacity over latency); `quality_floor=True` refuses
+    int4 (quality-sensitive serving) and returns int8.
+    """
+    if quality_floor:
+        return "int8"
+    if memory_bound or expected_kv_len >= INT4_KV_CROSSOVER_TOKENS:
+        return "int4"
+    return "int8"
+
+
 def validate_attention_inputs(q, k, v, *, api_name: str) -> None:
     """Shape/dtype validation mirroring csrc/mfa/api.cpp:126-162."""
     if q.dtype not in (jnp.float16, jnp.bfloat16, jnp.float32):

@@ -319,3 +319,103 @@ def from_hf(model_or_state_dict, hf_config=None,
         layers=stacked,
     )
     return params, cfg
+
+
+def gemma3_multimodal_from_hf(model_or_state_dict, hf_config=None,
+                              dtype=jnp.bfloat16):
+    """Convert a transformers Gemma3ForConditionalGeneration (text stack +
+    SigLIP vision tower + multimodal projector).
+
+    Returns (params, cfg, vparams, vcfg, image_token_id) for
+    models/vision.py:multimodal_forward. The text stack reuses from_hf by
+    stripping the `model.language_model.` prefix back to the text-only
+    layout; the tower maps onto the init_vision_params pytree.
+    """
+    import types
+
+    from mfa_tpu.models.vision import SiglipVisionConfig
+
+    if hasattr(model_or_state_dict, "state_dict"):
+        sd = model_or_state_dict.state_dict()
+        hf = hf_config or model_or_state_dict.config
+    else:
+        sd = model_or_state_dict
+        if hf_config is None:
+            raise ValueError("state_dict input requires hf_config")
+        hf = hf_config
+    # nested configs may arrive as plain dicts (config.to_dict() JSON)
+    if isinstance(getattr(hf, "text_config", None), dict):
+        hf = types.SimpleNamespace(**{**hf.__dict__})
+        hf.text_config = types.SimpleNamespace(**hf.text_config)
+        hf.vision_config = types.SimpleNamespace(**hf.vision_config)
+    lm_pre = "model.language_model."
+    text_sd = {"model." + k[len(lm_pre):]: v
+               for k, v in sd.items() if k.startswith(lm_pre)}
+    if "lm_head.weight" in sd:
+        text_sd["lm_head.weight"] = sd["lm_head.weight"]
+    params, cfg = from_hf(text_sd, hf.text_config, dtype=dtype)
+
+    vc = hf.vision_config
+    vcfg = SiglipVisionConfig(
+        hidden=vc.hidden_size,
+        intermediate=vc.intermediate_size,
+        n_layers=vc.num_hidden_layers,
+        n_heads=vc.num_attention_heads,
+        image_size=vc.image_size,
+        patch_size=vc.patch_size,
+        eps=vc.layer_norm_eps,
+        mm_tokens_per_image=hf.mm_tokens_per_image,
+    )
+    vt = "model.vision_tower.vision_model."
+
+    def vw(name):  # linear [out, in] -> [in, out]
+        return jnp.asarray(_np(sd[name]).T, dtype)
+
+    def vb(name, f32=False):
+        return jnp.asarray(_np(sd[name]), jnp.float32 if f32 else dtype)
+
+    layers = []
+    for i in range(vcfg.n_layers):
+        p = f"{vt}encoder.layers.{i}."
+        layers.append(dict(
+            ln1_w=vb(p + "layer_norm1.weight", True),
+            ln1_b=vb(p + "layer_norm1.bias", True),
+            wq=vw(p + "self_attn.q_proj.weight"),
+            bq=vb(p + "self_attn.q_proj.bias"),
+            wk=vw(p + "self_attn.k_proj.weight"),
+            bk=vb(p + "self_attn.k_proj.bias"),
+            wv=vw(p + "self_attn.v_proj.weight"),
+            bv=vb(p + "self_attn.v_proj.bias"),
+            wo=vw(p + "self_attn.out_proj.weight"),
+            bo=vb(p + "self_attn.out_proj.bias"),
+            ln2_w=vb(p + "layer_norm2.weight", True),
+            ln2_b=vb(p + "layer_norm2.bias", True),
+            fc1=vw(p + "mlp.fc1.weight"),
+            fc1_b=vb(p + "mlp.fc1.bias"),
+            fc2=vw(p + "mlp.fc2.weight"),
+            fc2_b=vb(p + "mlp.fc2.bias"),
+        ))
+    stacked_v = {k: jnp.stack([l[k] for l in layers]) for k in layers[0]}
+
+    # stride==kernel conv [h, 3, p, p] -> patchify matmul [3*p*p, h]
+    # (flatten order (c, ph, pw) matches vision.siglip_encode's reshape)
+    patch = _np(sd[vt + "embeddings.patch_embedding.weight"])
+    patch_w = jnp.asarray(patch.reshape(patch.shape[0], -1).T, dtype)
+    vparams = dict(
+        patch_w=patch_w,
+        patch_b=vb(vt + "embeddings.patch_embedding.bias"),
+        pos=jnp.asarray(
+            _np(sd[vt + "embeddings.position_embedding.weight"]), dtype),
+        layers=stacked_v,
+        post_ln_w=vb(vt + "post_layernorm.weight", True),
+        post_ln_b=vb(vt + "post_layernorm.bias", True),
+        mm_norm=jnp.asarray(
+            _np(sd["model.multi_modal_projector.mm_soft_emb_norm.weight"]),
+            jnp.float32),
+        mm_proj=jnp.asarray(
+            _np(sd["model.multi_modal_projector.mm_input_projection_weight"]),
+            dtype),
+    )
+    image_token_id = int(getattr(hf, "image_token_id", None)
+                         or hf.image_token_index)
+    return params, cfg, vparams, vcfg, image_token_id

@@ -680,22 +680,60 @@ def _attention_sharded(q, k, v, mesh: Optional[Mesh],
     return jnp.swapaxes(out, 1, 2)
 
 
+def _attention_dense_masked(q, k, v, cfg: "LlamaConfig", window_left: int,
+                            extra_mask: jax.Array):
+    """Dense jnp attention on [b, s, h, d] with mask =
+    (causal AND window) OR extra_mask [b, s, s]. The escape hatch for
+    mask shapes the flash grids can't express (Gemma3 multimodal: image
+    tokens attend bidirectionally within their image block — transformers
+    token_type_ids or-mask). Prompt-length sequences only; decode stays
+    on the paged kernels."""
+    b, s, nh, hd = q.shape
+    group = nh // k.shape[2]
+    kf = jnp.repeat(k, group, axis=2)
+    vf = jnp.repeat(v, group, axis=2)
+    scale = cfg.attn_scale or (hd ** -0.5)
+    sc = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                    kf.astype(jnp.float32)) * scale
+    if cfg.attn_softcap:
+        cap = float(cfg.attn_softcap)
+        sc = jnp.tanh(sc / cap) * cap
+    row = jnp.arange(s)[:, None]
+    col = jnp.arange(s)[None, :]
+    mask = col <= row
+    if window_left >= 0:
+        mask = jnp.logical_and(mask, col >= row - window_left)
+    mask = jnp.logical_or(mask[None], extra_mask)
+    sc = jnp.where(mask[:, None], sc, -1e30)
+    p = jax.nn.softmax(sc, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, vf.astype(jnp.float32)
+                      ).astype(q.dtype)
+
+
 def forward(
     params: Params,
     tokens: jax.Array,  # [batch, seq] int32
     cfg: LlamaConfig,
     mesh: Optional[Mesh] = None,
     remat: bool = False,
+    input_embeds: Optional[jax.Array] = None,
+    extra_attn_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full-sequence causal forward -> logits [batch, seq, vocab].
 
     remat=True checkpoints each layer of the scan (activations are
     recomputed in the backward pass), trading ~30% more FLOPs for O(1)
     layer activations — the standard TPU memory lever for long sequences
-    (HBM, not FLOPs, binds training step size)."""
+    (HBM, not FLOPs, binds training step size).
+
+    input_embeds: optional pre-built [b, s, d] embeddings (multimodal:
+    image features already merged — models/vision.py). extra_attn_mask:
+    optional [b, s, s] bool OR'd into the causal/window mask; its
+    presence routes attention through the dense masked path."""
     b, s = tokens.shape
     hd = cfg.head_dim
-    x = _embed(params, tokens, cfg)  # [b, s, d]
+    x = input_embeds if input_embeds is not None else _embed(
+        params, tokens, cfg)  # [b, s, d]
     positions = jnp.arange(s, dtype=jnp.int32)[None].repeat(b, 0)
 
     def body(x, lp, _leaves, wl, rope):
@@ -703,7 +741,11 @@ def forward(
         q, k, v = _qkv(h, lp, cfg, b, s)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
-        attn = _attention_sharded(q, k, v, mesh, cfg, wl)
+        if extra_attn_mask is not None:
+            attn = _attention_dense_masked(q, k, v, cfg, wl,
+                                           extra_attn_mask)
+        else:
+            attn = _attention_sharded(q, k, v, mesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(b, s, cfg.n_heads * hd), lp, cfg)
         x = _mlp(x, lp, cfg, mesh)
         return x, ()

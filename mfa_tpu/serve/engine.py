@@ -82,6 +82,14 @@ class Engine:
         self.mesh = mesh
         self.cfg = cfg
         self.page_size = page_size
+        if quant_dtype == "auto":
+            # int4 only beats int8 past a measured KV-length crossover
+            # (dispatch/config.py:INT4_KV_CROSSOVER_TOKENS); pick from the
+            # cache capacity a sequence can actually reach.
+            from mfa_tpu.dispatch.config import recommend_kv_quant
+
+            quant_dtype = recommend_kv_quant(pages_per_seq * page_size)
+        self.quant_dtype = quant_dtype
         cache = llama.build_kv_caches(
             cfg, num_pages, page_size, max_seqs, pages_per_seq, quant_dtype
         )

@@ -227,3 +227,97 @@ def test_converted_model_serves(hf_artifacts):
     eng.run(burst=3)
     # greedy continuation must match transformers' greedy generate
     assert req.generated == hf_toks, (family, req.generated, hf_toks)
+
+
+# ---------------- Gemma3 multimodal (SigLIP tower + projector) ----------------
+
+_MM_SCRIPT = r'''
+import json, sys
+import numpy as np
+import torch, transformers
+
+out = sys.argv[1]
+vc = transformers.SiglipVisionConfig(
+    hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=2, image_size=28, patch_size=7, layer_norm_eps=1e-6)
+tc = transformers.Gemma3TextConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=112,
+    num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=32, rms_norm_eps=1e-6, sliding_window=8,
+    query_pre_attn_scalar=16, rope_local_base_freq=10000.0,
+    rope_scaling={"rope_type": "linear", "factor": 8.0},
+    hidden_activation="gelu_pytorch_tanh", max_position_embeddings=256,
+    rope_theta=1000000.0, tie_word_embeddings=True)
+cfg = transformers.Gemma3Config(
+    text_config=tc, vision_config=vc, mm_tokens_per_image=4,
+    image_token_index=100, boi_token_index=98, eoi_token_index=99)
+cfg._attn_implementation = "eager"
+torch.manual_seed(0)
+model = transformers.Gemma3ForConditionalGeneration(cfg)
+model.eval()
+rng = np.random.RandomState(0)
+img = [98] + [100] * 4 + [99]  # boi, image placeholders, eoi
+ids = [[2, 5] + img + [7, 11, 13], [2, 9] + img + [17, 19, 23]]
+input_ids = torch.tensor(ids)
+ttype = (input_ids == 100).long()
+pixels = torch.tensor(rng.randn(2, 3, 28, 28), dtype=torch.float32)
+with torch.no_grad():
+    logits = model(input_ids=input_ids, pixel_values=pixels,
+                   token_type_ids=ttype).logits.float().numpy()
+    gen = model.generate(
+        input_ids=input_ids[:1], pixel_values=pixels[:1],
+        token_type_ids=ttype[:1], max_new_tokens=6, do_sample=False,
+        num_beams=1, pad_token_id=0)[0, input_ids.shape[1]:].tolist()
+sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+np.savez(out, __ids__=np.asarray(ids, np.int32), __pixels__=pixels.numpy(),
+         __logits__=logits, __gen__=np.asarray(gen, np.int32),
+         __config__=np.array(json.dumps(cfg.to_dict())), **sd)
+'''
+
+
+@pytest.fixture(scope="module")
+def mm_artifacts(tmp_path_factory):
+    out = tmp_path_factory.mktemp("hf") / "gemma3_mm.npz"
+    proc = subprocess.run(
+        [sys.executable, "-c", _MM_SCRIPT, str(out)],
+        capture_output=True, text=True, timeout=420,
+    )
+    if proc.returncode != 0:
+        pytest.skip("transformers gemma3 multimodal generation failed: "
+                    f"{proc.stderr[-500:]}")
+    data = np.load(out)
+    hf_config = types.SimpleNamespace(**json.loads(str(data["__config__"])))
+    sd = {k: data[k] for k in data.files if not k.startswith("__")}
+    return (sd, hf_config, data["__ids__"], data["__pixels__"],
+            data["__logits__"], list(data["__gen__"]))
+
+
+def test_gemma3_multimodal_matches_transformers(mm_artifacts):
+    """Full conditional-generation forward: SigLIP tower, avg-pool+RMSNorm
+    projector, image-feature scatter, bidirectional image-block mask."""
+    from mfa_tpu.models.convert import gemma3_multimodal_from_hf
+    from mfa_tpu.models.vision import multimodal_forward
+
+    sd, hf_config, ids, pixels, ref_logits, _ = mm_artifacts
+    params, cfg, vparams, vcfg, image_tok = gemma3_multimodal_from_hf(
+        sd, hf_config, dtype=jnp.float32)
+    assert image_tok == 100 and vcfg.mm_tokens_per_image == 4
+    assert vcfg.patches_per_side == 4  # 28 / 7
+    ours = np.asarray(multimodal_forward(
+        params, vparams, jnp.asarray(ids), jnp.asarray(pixels), cfg, vcfg,
+        image_tok))
+    diff = np.abs(ours - ref_logits).max()
+    assert diff < 2e-3, f"gemma3 multimodal logits diverge: {diff}"
+
+
+def test_gemma3_multimodal_generate(mm_artifacts):
+    from mfa_tpu.models.convert import gemma3_multimodal_from_hf
+    from mfa_tpu.models.vision import multimodal_generate_greedy
+
+    sd, hf_config, ids, pixels, _, hf_gen = mm_artifacts
+    params, cfg, vparams, vcfg, image_tok = gemma3_multimodal_from_hf(
+        sd, hf_config, dtype=jnp.float32)
+    got = multimodal_generate_greedy(
+        params, vparams, jnp.asarray(ids[:1]), jnp.asarray(pixels[:1]),
+        cfg, vcfg, image_tok, max_new_tokens=6)
+    assert got == hf_gen, (got, hf_gen)

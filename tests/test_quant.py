@@ -171,3 +171,45 @@ def test_engine_int4_kv_serves():
     r_ref = eng_ref.submit([1, 2, 3, 4, 5], 6)
     eng_ref.run(burst=3)
     assert r_ref.generated[0] == reqs[0].generated[0]
+
+
+def test_recommend_kv_quant_crossover():
+    """The int4/int8 dispatch rule: int8 below the measured crossover,
+    int4 at/above it, with explicit memory/quality overrides."""
+    from mfa_tpu.dispatch.config import (
+        INT4_KV_CROSSOVER_TOKENS,
+        recommend_kv_quant,
+    )
+
+    assert recommend_kv_quant(INT4_KV_CROSSOVER_TOKENS - 1) == "int8"
+    assert recommend_kv_quant(INT4_KV_CROSSOVER_TOKENS) == "int4"
+    assert recommend_kv_quant(16384) == "int4"
+    assert recommend_kv_quant(512, memory_bound=True) == "int4"
+    assert recommend_kv_quant(16384, quality_floor=True) == "int8"
+
+
+def test_engine_auto_quant():
+    """quant_dtype='auto' resolves from the per-seq cache capacity and the
+    engine still generates (short capacity -> int8)."""
+    import numpy as np
+
+    from mfa_tpu.models import llama
+    from mfa_tpu.serve.engine import Engine
+
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                 kv_heads=2, ffn=128, dtype=jnp.float32)
+    params = llama.init_params(jax.random.key(0), cfg)
+    eng = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=4,
+                 pages_per_seq=8, quant_dtype="auto")
+    assert eng.quant_dtype == "int8"  # 64-token capacity < crossover
+    prompt = list(np.random.RandomState(3).randint(0, cfg.vocab_size, 7))
+    r = eng.submit(prompt, 5)
+    eng.run()
+    assert len(r.generated) == 5
+
+    from mfa_tpu.dispatch.config import INT4_KV_CROSSOVER_TOKENS
+
+    eng4 = Engine(params, cfg, num_pages=8, page_size=1024, max_seqs=2,
+                  pages_per_seq=INT4_KV_CROSSOVER_TOKENS // 1024,
+                  quant_dtype="auto")
+    assert eng4.quant_dtype == "int4"
