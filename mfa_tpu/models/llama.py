@@ -888,7 +888,8 @@ def _cache_xs(cache):
 
 
 def prefill_batch(params, cfg, cache, seq_slots, pages_list, token_lists,
-                  mesh: Optional[Mesh] = None):
+                  mesh: Optional[Mesh] = None, vision=None,
+                  pixel_lists=None):
     """Prefill n prompts in ONE jitted program (batched prompt ingestion).
 
     Per-request prefill calls cost a full dispatch each; batching all
@@ -901,6 +902,12 @@ def prefill_batch(params, cfg, cache, seq_slots, pages_list, token_lists,
     seq_slots: [n] slot ids; pages_list: per-request page id lists;
     token_lists: per-request python token lists (or 1-D arrays).
     Returns (cache, logits [n, vocab]) at each prompt's last position.
+
+    vision: optional (vparams, vcfg, image_token_id) for multimodal
+    (Gemma3) prompts; pixel_lists: per-request [k_i, 3, H, W] arrays (or
+    None) in request order — their projected features replace the
+    <image> placeholder rows and the prefill runs the dense image-block
+    mask path (models/vision.py). Decode afterwards is plain causal.
     """
     import numpy as np
 
@@ -923,10 +930,28 @@ def prefill_batch(params, cfg, cache, seq_slots, pages_list, token_lists,
         page_ids[i, :need_i] = np.asarray(list(pgs[:need_i]), np.int32)
         table_rows[i, : len(pgs)] = np.asarray(list(pgs), np.int32)
         true_lens[i] = lens[i]
+    toks_j = jnp.asarray(toks)
+    embeds = mask = None
+    if vision is not None and pixel_lists is not None and any(
+            p is not None for p in pixel_lists):
+        from mfa_tpu.models.vision import (
+            gemma3_image_features,
+            image_bidir_mask,
+            merge_image_embeds,
+        )
+
+        vparams, vcfg, image_tok = vision
+        pixels = jnp.concatenate(
+            [jnp.asarray(p) for p in pixel_lists if p is not None], axis=0)
+        feats = gemma3_image_features(vparams, pixels, vcfg)
+        embeds = merge_image_embeds(
+            _embed(params, toks_j, cfg), toks_j, feats, image_tok)
+        mask = image_bidir_mask(toks_j, image_tok)
     return _prefill_jit(
         params, cfg, cache, jnp.asarray(seq_slots, jnp.int32),
-        jnp.asarray(table_rows), jnp.asarray(page_ids), jnp.asarray(toks),
-        jnp.asarray(true_lens), mesh=mesh,
+        jnp.asarray(table_rows), jnp.asarray(page_ids), toks_j,
+        jnp.asarray(true_lens), mesh=mesh, input_embeds=embeds,
+        extra_attn_mask=mask,
     )
 
 
@@ -943,7 +968,8 @@ def prefill_step(params, cfg, cache, seq_slot: int, pages, tokens_1d,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
-                 page_ids, tokens, true_lens, mesh: Optional[Mesh] = None):
+                 page_ids, tokens, true_lens, mesh: Optional[Mesh] = None,
+                 input_embeds=None, extra_attn_mask=None):
     import dataclasses as _dc
 
     n, s = tokens.shape
@@ -951,7 +977,8 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     page = cache.page_size
     npg = page_ids.shape[1]
     pmesh = _prefill_mesh(mesh)
-    x = _embed(params, tokens, cfg)  # [n, s, d]
+    x = (input_embeds if input_embeds is not None
+         else _embed(params, tokens, cfg))  # [n, s, d]
     positions = jnp.arange(s, dtype=jnp.int32)[None]  # broadcast over n
     flat_ids = page_ids.reshape(-1)  # [n*npg]; duplicates only on null page
 
@@ -977,7 +1004,11 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
                 ks_new.reshape(cfg.n_kv_heads, n * npg, page))
             vsc = vsc.at[:, flat_ids].set(
                 vs_new.reshape(cfg.n_kv_heads, n * npg, page))
-        attn = _attention_sharded(q, k, v, pmesh, cfg, wl)
+        if extra_attn_mask is not None:
+            attn = _attention_dense_masked(q, k, v, cfg, wl,
+                                           extra_attn_mask)
+        else:
+            attn = _attention_sharded(q, k, v, pmesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(n, s, cfg.n_heads * hd), lp, cfg)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)

@@ -71,6 +71,7 @@ class Engine:
         draft_params=None,
         draft_cfg: Optional[llama.LlamaConfig] = None,
         spec_tokens: int = 4,
+        vision=None,
     ):
         """mesh: optional jax.sharding.Mesh with a 'model' axis for
         tensor-parallel serving — params (llama.param_shardings) and the
@@ -78,10 +79,18 @@ class Engine:
         decode attention runs kv-head-sharded with zero communication.
         Serving meshes should be model-only; scale-out across hosts is
         data-parallel at the engine level (one engine replica per host
-        group, each with its own scheduler — requests never share KV)."""
+        group, each with its own scheduler — requests never share KV).
+
+        vision: optional (vision_params, SiglipVisionConfig,
+        image_token_id) tuple (models/convert.gemma3_multimodal_from_hf
+        returns the pieces) enabling submit(..., images=) multimodal
+        prompts: prefill merges projected image features over the
+        placeholder rows under the bidirectional image-block mask; decode
+        is unchanged (the images live entirely in the prompt)."""
         self.mesh = mesh
         self.cfg = cfg
         self.page_size = page_size
+        self.vision = vision
         if quant_dtype == "auto":
             # int4 only beats int8 past a measured KV-length crossover
             # (dispatch/config.py:INT4_KV_CROSSOVER_TOKENS); pick from the
@@ -152,12 +161,25 @@ class Engine:
     def submit(self, prompt: List[int], max_new_tokens: int,
                eos_token: Optional[int] = None,
                stop: Optional[List[List[int]]] = None,
-               sampling=None) -> Request:
+               sampling=None, images=None) -> Request:
         """stop: token-id sequences that end generation when the output
         ends with one of them (the matched tokens stay in the output).
         sampling: per-request SamplingParams override (temperature/top_p/
         min_p/repetition_penalty; top_k stays engine-level). Mixed batches
-        run in ONE compiled program via per-row parameter vectors."""
+        run in ONE compiled program via per-row parameter vectors.
+        images: [n_images, 3, H, W] pixels matching the prompt's <image>
+        placeholder runs (requires the engine's vision= tuple); image
+        prompts prefill whole (never chunked) and never share prefix
+        pages."""
+        if images is not None:
+            if self.vision is None:
+                raise ValueError(
+                    "images= requires an Engine vision= tuple "
+                    "(vision_params, vision_cfg, image_token_id)")
+            if self.draft_params is not None:
+                raise ValueError(
+                    "speculative decoding does not support image prompts "
+                    "(the draft model has no vision tower)")
         if sampling is not None:
             if self.draft_params is not None:
                 raise ValueError("per-request sampling is incompatible "
@@ -169,7 +191,7 @@ class Engine:
                 self._pres_dev = jnp.zeros(
                     (self.sched.max_seqs, self.cfg.vocab_size), bool)
         req = Request(self._next_uid, list(prompt), max_new_tokens,
-                      eos_token, stop=stop, sampling=sampling)
+                      eos_token, stop=stop, sampling=sampling, images=images)
         self._next_uid += 1
         self.sched.submit(req)
         self._stream_pos[req.uid] = 0
@@ -220,18 +242,23 @@ class Engine:
         for r in reqs:
             toks = r.prompt + r.generated[:-1]
             # chunked path for long prompts AND for prefix-cache hits
-            # (their suffix prefill needs a page-aligned start offset)
-            if ((chunk_limit is not None and len(toks) > chunk_limit)
-                    or r.cached_len > 0):
+            # (their suffix prefill needs a page-aligned start offset);
+            # image prompts always prefill whole — the bidirectional
+            # image-block mask needs every prompt row in one program
+            if (((chunk_limit is not None and len(toks) > chunk_limit)
+                    or r.cached_len > 0) and r.images is None):
                 self._prefilling[r.uid] = (r, r.cached_len, toks)
         reqs = [r for r in reqs if r.uid not in self._prefilling]
         if not reqs:
             return
         token_lists = [r.prompt + r.generated[:-1] for r in reqs]
+        has_images = any(r.images is not None for r in reqs)
         self.cache, logits = llama.prefill_batch(
             self.params, self.cfg, self.cache,
             [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
             mesh=self.mesh,
+            vision=self.vision if has_images else None,
+            pixel_lists=([r.images for r in reqs] if has_images else None),
         )
         if self.draft_cache is not None:
             self.draft_cache, _ = llama.prefill_batch(
@@ -248,7 +275,7 @@ class Engine:
         for req, toks, first, flp in zip(reqs, token_lists, firsts,
                                          first_lps):
             self.stats.prefill_tokens += len(toks)
-            if self.sched.prefix is not None:
+            if self.sched.prefix is not None and req.images is None:
                 self.sched.prefix.register(req)
             if not req.generated:  # fresh request (not a recovery resume)
                 req.generated.append(int(first))

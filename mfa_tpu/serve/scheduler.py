@@ -52,6 +52,9 @@ class Request:
     # per-request sampling override (serve.sampling.SamplingParams);
     # None -> the engine's default. top_k stays engine-level (static).
     sampling: Optional[object] = None
+    # multimodal: [n_images, 3, H, W] pixel array whose projected features
+    # fill the prompt's <image> placeholder runs (Gemma3; engine `vision=`)
+    images: Optional[object] = None
     # filled during execution
     generated: List[int] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)
@@ -222,7 +225,11 @@ class Scheduler:
         admitted = []
         while self.waiting and self._free_slots:
             req = self.waiting[0]
-            keys, shared = self.prefix.match(req.prompt)
+            # image prompts never share prefix pages: identical token ids
+            # do NOT imply identical KV (the placeholders' KV depends on
+            # the pixels), so a cache hit would serve the wrong image
+            keys, shared = ((), []) if req.images is not None else \
+                self.prefix.match(req.prompt)
             cached_len = len(shared) * self.page_size
             need = max(1, -(-(req.total_len - cached_len) // self.page_size))
             if self.allocator.free_pages < need + 1:

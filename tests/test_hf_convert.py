@@ -321,3 +321,34 @@ def test_gemma3_multimodal_generate(mm_artifacts):
         params, vparams, jnp.asarray(ids[:1]), jnp.asarray(pixels[:1]),
         cfg, vcfg, image_tok, max_new_tokens=6)
     assert got == hf_gen, (got, hf_gen)
+
+
+def test_gemma3_multimodal_serves(mm_artifacts):
+    """Image prompts through the paged serving engine: multimodal prefill
+    (dense image-block mask) + ordinary causal paged decode must equal
+    transformers' greedy generate; a text request in the SAME admission
+    wave (mixed batch through the vision prefill path) must equal its
+    text-only engine run."""
+    from mfa_tpu.models.convert import gemma3_multimodal_from_hf
+    from mfa_tpu.serve.engine import Engine
+
+    sd, hf_config, ids, pixels, _, hf_gen = mm_artifacts
+    params, cfg, vparams, vcfg, image_tok = gemma3_multimodal_from_hf(
+        sd, hf_config, dtype=jnp.float32)
+
+    text_prompt = [2, 5, 7, 11, 13]
+    eng0 = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=2,
+                  pages_per_seq=8)
+    t0 = eng0.submit(text_prompt, 5)
+    eng0.run()
+
+    eng = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=2,
+                 pages_per_seq=8, vision=(vparams, vcfg, image_tok))
+    rimg = eng.submit([int(t) for t in ids[0]], 6, images=pixels[:1])
+    rtxt = eng.submit(text_prompt, 5)
+    eng.run()
+    assert rimg.generated == hf_gen, (rimg.generated, hf_gen)
+    assert rtxt.generated == t0.generated
+
+    with pytest.raises(ValueError):
+        eng0.submit([1, 2], 2, images=pixels[:1])  # no vision= tuple
