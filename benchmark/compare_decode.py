@@ -50,16 +50,25 @@ def bench_paged(rtt, batch, heads, kv_heads, d, kv_len, page=128, quant=None):
     ).reshape(batch, pps).astype(jnp.int32)
     lens = jnp.full((batch,), kv_len, jnp.int32)
     if quant:
+        from mfa_tpu.cache.paged_cache import pack_pages_payload
+
         kq, ks = quantize_rows(kp, quant)
         vq, vs = quantize_rows(vp, quant)
+        if quant == "int4":  # token-pair nibble-packed pages
+            kq = pack_pages_payload("int4", kq.reshape(kv_heads, -1, d),
+                                    num_pages, page)
+            vq = pack_pages_payload("int4", vq.reshape(kv_heads, -1, d),
+                                    num_pages, page)
+        qd = quant if quant == "int4" else None
 
         def step(q, kq, vq, lens, table, ks, vs):
             return _chain(q, paged_attention(q, kq, vq, lens, table,
-                                             k_scales=ks, v_scales=vs))
+                                             k_scales=ks, v_scales=vs,
+                                             quant_dtype=qd))
 
         dt = scan_timeit(step, q0, args=(kq, vq, lens, table, ks, vs),
                          rtt=rtt)
-        itemsize = 1
+        itemsize = 0.5 if quant == "int4" else 1
         extra = 2 * batch * kv_heads * kv_len * 4  # scales
     else:
         kpb = kp.astype(jnp.bfloat16)
@@ -72,7 +81,7 @@ def bench_paged(rtt, batch, heads, kv_heads, d, kv_len, page=128, quant=None):
                          rtt=rtt)
         itemsize = 2
         extra = 0
-    return dt, 2 * batch * kv_heads * kv_len * d * itemsize + extra
+    return dt, int(2 * batch * kv_heads * kv_len * d * itemsize) + extra
 
 
 def main():
@@ -100,6 +109,9 @@ def main():
             ("int8-paged", lambda: bench_paged(rtt, args.batch, args.heads,
                                                kv_heads, args.head_dim, kv_len,
                                                quant="int8")),
+            ("int4-paged", lambda: bench_paged(rtt, args.batch, args.heads,
+                                               kv_heads, args.head_dim, kv_len,
+                                               quant="int4")),
         ]:
             dt, nbytes = fn()
             print(f"{kv_len:>8} {name:>12} {dt*1e3:>9.3f} "
