@@ -14,6 +14,9 @@ TPU-native communication backend is XLA collectives over ICI/DCN driven by
   is sharded across the axis, routing is computed replicated, and each
   shard runs grouped matmuls for its local experts only
   (mfa_tpu/shard/expert.py).
+- axis "pipe":  pipeline parallelism (PP) — contiguous layer blocks per
+  stage, GPipe microbatch schedule as one lax.scan with ppermute
+  activation rotation (mfa_tpu/shard/pipeline.py).
 """
 
 from __future__ import annotations
