@@ -112,3 +112,135 @@ def ring_attention_prefill(
         return o_acc.astype(q.dtype)
 
     return jax.jit(_fn)
+
+
+def ring_attention_grad(
+    mesh: Mesh,
+    causal: bool = True,
+    softmax_scale: Optional[float] = None,
+    ctx_axis: str = CTX_AXIS,
+):
+    """Differentiable ring attention (context/sequence-parallel TRAINING).
+
+    Forward is the same rotating-KV schedule as ring_attention_prefill but
+    keeps the merged global LSE as a residual. The backward exploits the
+    blockwise decomposition of the flash gradient: with the GLOBAL row LSE
+    (and delta = rowsum(dO*O), which has no KV dependence), each visiting
+    KV shard's (dQ_partial, dK_blk, dV_blk) is exactly the dense backward
+    kernel evaluated on that block — so the backward is one more ring
+    pass: KV shards rotate with their dK/dV accumulators riding along,
+    each chip adds its contribution, and after a full revolution every
+    accumulator is home. dQ accumulates locally. No cross-chip softmax
+    state beyond the forward's LSE.
+    """
+    from mfa_tpu.kernels.backward import flash_attention_bwd
+
+    n_ring = mesh.shape[ctx_axis]
+    spec = P(None, None, ctx_axis, None)
+    lse_spec = P(None, None, ctx_axis)
+    perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+
+    def _forward(q, k, v):
+        my = jax.lax.axis_index(ctx_axis)
+
+        def partial_attn(kv_pair, src):
+            k_blk, v_blk = kv_pair
+
+            def full(_):
+                o, lse = prefill_attention(
+                    q, k_blk, v_blk, causal=False,
+                    softmax_scale=softmax_scale, return_lse=True)
+                return o.astype(jnp.float32), lse
+
+            def diag(_):
+                o, lse = prefill_attention(
+                    q, k_blk, v_blk, causal=True,
+                    softmax_scale=softmax_scale, return_lse=True)
+                return o.astype(jnp.float32), lse
+
+            def masked(_):
+                return (jnp.zeros(q.shape, jnp.float32),
+                        jnp.full(q.shape[:-1], -jnp.inf, jnp.float32))
+
+            if not causal:
+                return full(None)
+            case = jnp.where(src < my, 0, jnp.where(src == my, 1, 2))
+            return jax.lax.switch(case, [full, diag, masked], None)
+
+        kv = (k, v)
+        o_acc, lse_acc = partial_attn(kv, my)
+        for step in range(1, n_ring):
+            kv = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, ctx_axis, perm), kv)
+            src = (my - step) % n_ring
+            o_i, lse_i = partial_attn(kv, src)
+            o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
+        return o_acc.astype(q.dtype), lse_acc
+
+    def _backward(q, k, v, out, lse, do):
+        my = jax.lax.axis_index(ctx_axis)
+        lse_safe = jnp.where(jnp.isfinite(lse), lse, 0.0)
+
+        def partial_bwd(k_blk, v_blk, src):
+            def full(_):
+                return flash_attention_bwd(
+                    q, k_blk, v_blk, out, lse_safe, do, causal=False,
+                    softmax_scale=softmax_scale)
+
+            def diag(_):
+                return flash_attention_bwd(
+                    q, k_blk, v_blk, out, lse_safe, do, causal=True,
+                    softmax_scale=softmax_scale)
+
+            def masked(_):
+                return (jnp.zeros_like(q), jnp.zeros_like(k_blk),
+                        jnp.zeros_like(v_blk))
+
+            if not causal:
+                return full(None)
+            case = jnp.where(src < my, 0, jnp.where(src == my, 1, 2))
+            return jax.lax.switch(case, [full, diag, masked], None)
+
+        # dK/dV accumulate in fp32 while riding the ring (bf16 += would
+        # lose low bits across n_ring partial sums)
+        state = (k, v, jnp.zeros(k.shape, jnp.float32),
+                 jnp.zeros(v.shape, jnp.float32))
+        dq_acc = jnp.zeros(q.shape, jnp.float32)
+        for step in range(n_ring):
+            if step:
+                state = jax.tree.map(
+                    lambda x: jax.lax.ppermute(x, ctx_axis, perm), state)
+            k_blk, v_blk, dk_t, dv_t = state
+            src = (my - step) % n_ring
+            dq_i, dk_i, dv_i = partial_bwd(k_blk, v_blk, src)
+            dq_acc = dq_acc + dq_i.astype(jnp.float32)
+            state = (k_blk, v_blk, dk_t + dk_i.astype(dk_t.dtype),
+                     dv_t + dv_i.astype(dv_t.dtype))
+        # one last hop brings every accumulator back to its owner
+        state = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, ctx_axis, perm), state)
+        return (dq_acc.astype(q.dtype), state[2].astype(k.dtype),
+                state[3].astype(v.dtype))
+
+    fwd_sm = shard_map(
+        _forward, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, lse_spec), check_vma=False)
+    bwd_sm = shard_map(
+        _backward, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, lse_spec, spec),
+        out_specs=(spec, spec, spec), check_vma=False)
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return fwd_sm(q, k, v)[0]
+
+    def f_fwd(q, k, v):
+        out, lse = fwd_sm(q, k, v)
+        return out, (q, k, v, out, lse)
+
+    def f_bwd(res, do):
+        q, k, v, out, lse = res
+        return bwd_sm(q, k, v, out, lse, do)
+
+    f.defvjp(f_fwd, f_bwd)
+    return jax.jit(f)

@@ -192,3 +192,29 @@ def test_context_parallel_paged_decode_matches_single_pool():
                      jnp.asarray(total))[:, 0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_grad(causal):
+    """Differentiable ring attention: jax.grad through the rotating-KV
+    custom VJP == dense flash grads (the global-LSE blockwise backward
+    decomposition, with dK/dV accumulators riding the ring home)."""
+    from mfa_tpu.kernels.autodiff import flash_attention_grad
+    from mfa_tpu.shard.ring import ring_attention_grad
+
+    mesh = make_mesh({"ctx": 4})
+    f = ring_attention_grad(mesh, causal=causal)
+    b, h, s, d = 1, 2, 256, 64  # s sharded 4-way -> 64 per chip
+    q = jax.random.normal(jax.random.key(30), (b, h, s, d))
+    k = jax.random.normal(jax.random.key(31), (b, h, s, d))
+    v = jax.random.normal(jax.random.key(32), (b, h, s, d))
+    w = jax.random.normal(jax.random.key(33), (b, h, s, d))
+
+    g_ring = jax.grad(lambda q, k, v: (f(q, k, v) * w).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: (flash_attention_grad(q, k, v, causal) * w).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, r, name in zip(g_ring, g_ref, ["dq", "dk", "dv"]):
+        diff = np.abs(np.asarray(a) - np.asarray(r)).max()
+        assert diff < 2e-3, f"{name} diff {diff} (causal={causal})"
