@@ -114,33 +114,32 @@ def ring_attention_prefill(
     return jax.jit(_fn)
 
 
-def ring_attention_grad(
-    mesh: Mesh,
-    causal: bool = True,
-    softmax_scale: Optional[float] = None,
-    ctx_axis: str = CTX_AXIS,
-):
-    """Differentiable ring attention (context/sequence-parallel TRAINING).
 
-    Forward is the same rotating-KV schedule as ring_attention_prefill but
-    keeps the merged global LSE as a residual. The backward exploits the
-    blockwise decomposition of the flash gradient: with the GLOBAL row LSE
-    (and delta = rowsum(dO*O), which has no KV dependence), each visiting
-    KV shard's (dQ_partial, dK_blk, dV_blk) is exactly the dense backward
-    kernel evaluated on that block — so the backward is one more ring
-    pass: KV shards rotate with their dK/dV accumulators riding along,
-    each chip adds its contribution, and after a full revolution every
-    accumulator is home. dQ accumulates locally. No cross-chip softmax
-    state beyond the forward's LSE.
+@functools.lru_cache(maxsize=None)
+def _ring_grad_local(n_ring: int, ctx_axis: str, causal: bool,
+                     softmax_scale: Optional[float]):
+    """Per-shard differentiable ring attention on LOCAL [b, h, s/n, d]
+    blocks (must be called inside a shard_map over `ctx_axis`).
+
+    Forward is the rotating-KV schedule of ring_attention_prefill keeping
+    the merged global LSE as a residual. The backward exploits the
+    blockwise decomposition of the flash gradient: with the GLOBAL row
+    LSE (and delta = rowsum(dO*O), which has no KV dependence), each
+    visiting KV shard's (dQ_partial, dK_blk, dV_blk) is exactly the dense
+    backward kernel evaluated on that block — one more ring pass, with
+    dK/dV accumulators riding along their KV shards; after a full
+    revolution every accumulator is home. dQ accumulates locally in fp32.
+    No cross-chip softmax state beyond the forward's LSE.
+
+    Cached per (ring size, axis, causal, scale) so the same custom-VJP
+    function object serves both the standalone wrapper below and model
+    integrations (sequence_parallel_loss_fn) without re-tracing.
     """
     from mfa_tpu.kernels.backward import flash_attention_bwd
 
-    n_ring = mesh.shape[ctx_axis]
-    spec = P(None, None, ctx_axis, None)
-    lse_spec = P(None, None, ctx_axis)
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
-    def _forward(q, k, v):
+    def _fwd_lse(q, k, v):
         my = jax.lax.axis_index(ctx_axis)
 
         def partial_attn(kv_pair, src):
@@ -177,7 +176,16 @@ def ring_attention_grad(
             o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
         return o_acc.astype(q.dtype), lse_acc
 
-    def _backward(q, k, v, out, lse, do):
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _fwd_lse(q, k, v)[0]
+
+    def f_fwd(q, k, v):
+        out, lse = _fwd_lse(q, k, v)
+        return out, (q, k, v, out, lse)
+
+    def f_bwd(res, do):
+        q, k, v, out, lse = res
         my = jax.lax.axis_index(ctx_axis)
         lse_safe = jnp.where(jnp.isfinite(lse), lse, 0.0)
 
@@ -214,33 +222,97 @@ def ring_attention_grad(
             src = (my - step) % n_ring
             dq_i, dk_i, dv_i = partial_bwd(k_blk, v_blk, src)
             dq_acc = dq_acc + dq_i.astype(jnp.float32)
-            state = (k_blk, v_blk, dk_t + dk_i.astype(dk_t.dtype),
-                     dv_t + dv_i.astype(dv_t.dtype))
+            state = (k_blk, v_blk, dk_t + dk_i.astype(jnp.float32),
+                     dv_t + dv_i.astype(jnp.float32))
         # one last hop brings every accumulator back to its owner
         state = jax.tree.map(
             lambda x: jax.lax.ppermute(x, ctx_axis, perm), state)
         return (dq_acc.astype(q.dtype), state[2].astype(k.dtype),
                 state[3].astype(v.dtype))
 
-    fwd_sm = shard_map(
-        _forward, mesh=mesh, in_specs=(spec, spec, spec),
-        out_specs=(spec, lse_spec), check_vma=False)
-    bwd_sm = shard_map(
-        _backward, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, lse_spec, spec),
-        out_specs=(spec, spec, spec), check_vma=False)
-
-    @jax.custom_vjp
-    def f(q, k, v):
-        return fwd_sm(q, k, v)[0]
-
-    def f_fwd(q, k, v):
-        out, lse = fwd_sm(q, k, v)
-        return out, (q, k, v, out, lse)
-
-    def f_bwd(res, do):
-        q, k, v, out, lse = res
-        return bwd_sm(q, k, v, out, lse, do)
-
     f.defvjp(f_fwd, f_bwd)
-    return jax.jit(f)
+    return f
+
+
+def ring_attention_grad(
+    mesh: Mesh,
+    causal: bool = True,
+    softmax_scale: Optional[float] = None,
+    ctx_axis: str = CTX_AXIS,
+):
+    """Differentiable ring attention on [batch, heads, seq, head_dim] with
+    `seq` sharded on `ctx_axis` (context/sequence-parallel TRAINING) —
+    the standalone shard_map wrapper over _ring_grad_local."""
+    inner = _ring_grad_local(mesh.shape[ctx_axis], ctx_axis, causal,
+                             softmax_scale)
+    spec = P(None, None, ctx_axis, None)
+    return jax.jit(shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    ))
+
+
+def sequence_parallel_loss_fn(params, tokens, cfg, mesh: Mesh,
+                              ctx_axis: str = CTX_AXIS):
+    """Next-token cross entropy with ACTIVATIONS sequence-sharded on
+    `ctx_axis` and attention running the differentiable ring schedule —
+    long-context training where one chip cannot hold the sequence.
+
+    Tokens arrive replicated (O(s) int32 — negligible); each shard embeds
+    its own slice, runs every layer on [b, s/n, d] local activations
+    (norms/MLP are pointwise over seq so they shard freely; RoPE gets
+    absolute positions from the shard offset), and attention is the
+    rotating-KV custom VJP (_ring_grad_local, GQA handled natively by the
+    kernels). The next-token shift crosses shard boundaries, so targets
+    slice the replicated tokens at offset+1 — no activation communication
+    beyond the ring. Uniform layer stacks only (like the pipeline axis).
+    Numerically equal to llama.loss_fn; jax.grad flows through the ring.
+    """
+    from mfa_tpu.models import llama
+
+    n_ctx = mesh.shape[ctx_axis]
+    batch, seq = tokens.shape
+    # the model consumes tokens[:, :-1]; that length must shard evenly
+    if (seq - 1) % n_ctx != 0:
+        raise ValueError(f"seq-1 ({seq - 1}) must divide over {n_ctx} "
+                         "context shards")
+    if cfg.layer_pattern is not None or cfg.moe_hetero:
+        raise ValueError("sequence-parallel training needs a uniform "
+                         "layer stack")
+    chunk = (seq - 1) // n_ctx
+    rope = (cfg.rope_theta, cfg.rope_scale, cfg.rope_scaling)
+    ring = _ring_grad_local(n_ctx, ctx_axis, True, cfg.attn_scale)
+
+    def run(params, tokens):
+        my = jax.lax.axis_index(ctx_axis)
+        start = my * chunk
+        inp = jax.lax.dynamic_slice(tokens, (0, start), (batch, chunk))
+        tgt = jax.lax.dynamic_slice(tokens, (0, start + 1), (batch, chunk))
+        x = llama._embed(params, inp, cfg)
+        positions = start + jnp.arange(chunk, dtype=jnp.int32)[None]
+
+        def layer(x, lp):
+            h = llama._rms_norm(x, lp["attn_norm"], cfg)
+            q, k, v = llama._qkv(h, lp, cfg, batch, chunk)
+            q = llama._rope(q, positions, *rope)
+            k = llama._rope(k, positions, *rope)
+            attn = jnp.swapaxes(
+                ring(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                     jnp.swapaxes(v, 1, 2)), 1, 2)
+            x = llama._attn_residual(
+                x, attn.reshape(batch, chunk, cfg.n_heads * cfg.head_dim),
+                lp, cfg)
+            x = llama._mlp(x, lp, cfg)
+            return x, ()
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        x = llama._rms_norm(x, params["final_norm"], cfg)
+        logits = llama._unembed(params, x, cfg)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)
+        total = jax.lax.psum(nll.sum(), ctx_axis)
+        return total / (batch * (seq - 1))
+
+    fn = shard_map(run, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                   check_vma=False)
+    return fn(params, tokens)

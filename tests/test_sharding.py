@@ -218,3 +218,27 @@ def test_ring_attention_grad(causal):
     for a, r, name in zip(g_ring, g_ref, ["dq", "dk", "dv"]):
         diff = np.abs(np.asarray(a) - np.asarray(r)).max()
         assert diff < 2e-3, f"{name} diff {diff} (causal={causal})"
+
+
+def test_sequence_parallel_loss_and_grads():
+    """Model-level SP training: sequence-sharded activations + ring
+    attention per layer == unsharded loss_fn, value and grads."""
+    from mfa_tpu.models import llama
+    from mfa_tpu.shard.ring import sequence_parallel_loss_fn
+
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                 kv_heads=2, ffn=128, dtype=jnp.float32)
+    params = llama.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 33), 0,
+                                cfg.vocab_size)  # 32 positions / 4 shards
+    mesh = make_mesh({"ctx": 4})
+
+    want = llama.loss_fn(params, tokens, cfg)
+    got = sequence_parallel_loss_fn(params, tokens, cfg, mesh)
+    assert abs(float(got) - float(want)) < 1e-5, (got, want)
+
+    g_want = jax.grad(llama.loss_fn)(params, tokens, cfg)
+    g_got = jax.grad(sequence_parallel_loss_fn)(params, tokens, cfg, mesh)
+    for a, b in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_want)):
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert diff < 5e-5, diff
