@@ -106,13 +106,19 @@ def _body(
         """Number of real q rows for sequence bb."""
         return qlens_ref[bb]
 
+    def _last_block(bb, ii):
+        return jnp.maximum(0, (_row_hi(bb, ii) - 1)) // bt
+
     def _first_block(bb, ii):
         if sinks > 0:  # sink blocks precede the window band
             return jnp.int32(0)
-        return _row_lo(bb, ii) // bt
-
-    def _last_block(bb, ii):
-        return jnp.maximum(0, (_row_hi(bb, ii) - 1)) // bt
+        # Clamp to _last_block: when a left window lies entirely past the
+        # end of a SHORTER kv range (row_lo >= row_hi), the raw bounds
+        # would be empty and the cell-walker would never visit this q
+        # block, leaving its output block unwritten (garbage). Running the
+        # last in-length block instead is cheap and fully masked, so the
+        # dead-row store writes the required zeros.
+        return jnp.minimum(_row_lo(bb, ii) // bt, _last_block(bb, ii))
 
     def _cell_live(bb, ii):
         """q block ii of sequence bb has at least one real row."""
@@ -300,8 +306,14 @@ def _body(
         @pl.when(j == _last_block(b, i))
         def _store():
             l = l_scr[...][:, :, :1]
-            l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
-            o_ref[0, 0] = acc_scr[...] / l_safe
+            # Rows with NO visible column (left window past the end of a
+            # shorter kv range) leave m at its _MASK init while
+            # p = exp2(_MASK - _MASK) = 1 pollutes l/acc uniformly;
+            # detect via m and zero the row (see kernels/prefill.py).
+            dead = m_scr[...][:, :, :1] <= _MASK * 0.5
+            bad = jnp.logical_or(dead, jnp.logical_or(l == 0.0, jnp.isnan(l)))
+            l_safe = jnp.where(bad, 1.0, l)
+            o_ref[0, 0] = jnp.where(dead, 0.0, acc_scr[...] / l_safe)
 
 
 def paged_prefill_attention(

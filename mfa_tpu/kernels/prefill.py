@@ -261,13 +261,20 @@ def _prefill_body(
     def _store():
         l = l_scr[:, :1]
         # expsum==0/NaN guard (reference prefill.cuh:599-612): fully-masked
-        # rows produce zeros instead of NaN.
-        l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
-        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        # rows produce zeros instead of NaN. A row with NO visible column
+        # (left window past the end of a shorter kv sequence) leaves m at
+        # its _MASK init — and since masked scores are also _MASK,
+        # p = exp2((_MASK - _MASK)*c) = 1 pollutes l/acc with a uniform
+        # distribution rather than leaving l == 0; detect via m directly.
+        dead = m_scr[:, :1] <= _MASK * 0.5
+        bad = jnp.logical_or(dead, jnp.logical_or(l == 0.0, jnp.isnan(l)))
+        l_safe = jnp.where(bad, 1.0, l)
+        o = acc_scr[...] / l_safe
+        o_ref[0, 0] = jnp.where(dead, 0.0, o).astype(o_ref.dtype)
         if with_lse:
             # m is in the raw score domain: LSE = m*scale + log(l).
             lse = m_scr[:, :1] * (scale_log2e * _LN2) + jnp.log(l_safe)
-            lse = jnp.where(l == 0.0, -jnp.inf, lse)
+            lse = jnp.where(jnp.logical_or(l == 0.0, dead), -jnp.inf, lse)
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 

@@ -141,14 +141,22 @@ def _varlen_kernel(
     @pl.when(j == last_j)
     def _store():
         l = l_scr[:, :1]
-        l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        # Fully-masked rows (possible when a left window pushes past the
+        # end of a SHORTER kv sequence): every visited score was _MASK, so
+        # m stayed at its _MASK init and p = exp2(_MASK - _MASK) = 1
+        # polluted l/acc with a uniform distribution. Detect via m (a real
+        # visible score can never be ~-1e30) and zero the row.
+        dead = m_scr[:, :1] <= _MASK * 0.5
+        bad = jnp.logical_or(dead, jnp.logical_or(l == 0.0, jnp.isnan(l)))
+        l_safe = jnp.where(bad, 1.0, l)
+        o = acc_scr[...] / l_safe
+        o_ref[0] = jnp.where(dead, 0.0, o).astype(o_ref.dtype)
         if with_lse:
             # natural-log LSE of the kernel's score domain (scale-folded
             # raw scores, or capped scores under softcap) — what the
             # backward's P recomputation expects (backward.py:_recompute_p)
             lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)
-            lse = jnp.where(l == 0.0, -jnp.inf, lse)
+            lse = jnp.where(jnp.logical_or(l == 0.0, dead), -jnp.inf, lse)
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -252,7 +260,13 @@ def varlen_attention(
         out4 = paged_prefill_attention(
             q_pad, pool, pool_v, lens_k,
             jnp.zeros((batch,), jnp.int32), dense_table,
-            q_lens=lens_q, causal=causal, softmax_scale=softmax_scale,
+            # window_right == 0 (set by causal=True above, or passed
+            # explicitly with causal=False) means "each row sees columns
+            # <= its own position" — exactly the paged kernel's causal
+            # mask, mirroring the non-paged kernel's
+            # `causal or window_right == 0` handling.
+            q_lens=lens_q, causal=causal or window_right == 0,
+            softmax_scale=softmax_scale,
             interpret=interpret, logit_softcap=logit_softcap,
             window_left=window_left, sink_tokens=sink_tokens,
             alibi_slopes=alibi_slopes,
@@ -294,12 +308,15 @@ def varlen_attention(
     seg_last = seg_q[qb_end].clip(0, batch - 1)
     kv_first_tok = k_start[seg_first]
     if window_left >= 0 and sink_tokens == 0:
-        # Tighten with the block's FIRST row's window start. Safe for
-        # blocks spanning several segments: later segments' k ranges start
-        # at k_start[seg] >= k_start[seg_first] + lens_k[seg_first]
-        # >= k_start[seg_first] + pos_q[qb_start] - window_left.
-        kv_first_tok = kv_first_tok + jnp.maximum(
-            0, pos_q[qb_start] - window_left)
+        # Tighten with the block's FIRST row's window start, clamped to
+        # the first segment's own kv range: when lens_k < lens_q the
+        # untightened bound could overshoot into (or past) the NEXT
+        # segment's kv range and skip blocks its rows still need. The
+        # clamp keeps kv_first <= k_start of every later segment the
+        # block spans (mirrors varlen_attention_bwd, backward.py:926).
+        kv_first_tok = jnp.minimum(
+            kv_first_tok + jnp.maximum(0, pos_q[qb_start] - window_left),
+            k_start[seg_first] + jnp.maximum(lens_k[seg_first] - 1, 0))
     kv_first = kv_first_tok // bk
     if causal or window_right >= 0:
         # Last kv token needed by row r is pos_q(r) + window_right within

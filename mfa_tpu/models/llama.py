@@ -216,10 +216,10 @@ class LlamaConfig:
 
     @staticmethod
     def tiny(vocab=256, dim=128, layers=2, heads=4, kv_heads=2,
-             ffn=256, dtype=jnp.float32) -> "LlamaConfig":
+             ffn=256, dtype=jnp.float32, **kw) -> "LlamaConfig":
         return LlamaConfig(
             vocab_size=vocab, dim=dim, n_layers=layers, n_heads=heads,
-            n_kv_heads=kv_heads, ffn_dim=ffn, dtype=dtype,
+            n_kv_heads=kv_heads, ffn_dim=ffn, dtype=dtype, **kw,
         )
 
 

@@ -54,7 +54,9 @@ def _stage_apply(x, local_layers, cfg, positions):
         q, k, v = llama._qkv(h, lp, cfg, b, s)
         q = llama._rope(q, positions, *rope)
         k = llama._rope(k, positions, *rope)
-        attn = llama._attention_sharded(q, k, v, None, cfg)
+        # cfg.window_left carries uniform sliding windows (Mistral-style);
+        # softcap/sinks/scale ride on cfg inside the helper.
+        attn = llama._attention_sharded(q, k, v, None, cfg, cfg.window_left)
         x = llama._attn_residual(
             x, attn.reshape(b, s, cfg.n_heads * cfg.head_dim), lp, cfg)
         x = llama._mlp(x, lp, cfg)

@@ -279,6 +279,14 @@ def sequence_parallel_loss_fn(params, tokens, cfg, mesh: Mesh,
     if cfg.layer_pattern is not None or cfg.moe_hetero:
         raise ValueError("sequence-parallel training needs a uniform "
                          "layer stack")
+    if cfg.sliding_window is not None or cfg.attn_softcap or cfg.attn_sinks:
+        # the rotating-KV schedule computes pure causal attention; a
+        # sliding window would need cross-shard position offsets the
+        # prefill kernel's (left, right) window cannot express, and
+        # softcap/sinks are not wired through the ring VJP either
+        raise ValueError("sequence-parallel training supports pure causal "
+                         "attention only (no sliding window / softcap / "
+                         "sinks)")
     chunk = (seq - 1) // n_ctx
     rope = (cfg.rope_theta, cfg.rope_scale, cfg.rope_scaling)
     ring = _ring_grad_local(n_ctx, ctx_axis, True, cfg.attn_scale)

@@ -46,6 +46,22 @@ def test_sliding_window(window):
     assert_close(out, ref, msg=f"window {window}")
 
 
+@pytest.mark.parametrize("bound", [True, False])
+def test_window_short_kv_fully_masked_rows(bound):
+    """Regression: with seqlen_k << seqlen_q, a left window pushes past the
+    end of the kv sequence and some q rows have NO visible column. Those
+    rows must output zeros (reference expsum==0 guard) — the classic
+    kernel's m/l scratch used to be polluted by p = exp2(_MASK - _MASK) = 1
+    into a uniform distribution over the masked block instead."""
+    q, k, v = make_qkv(jax.random.key(6), 1, 256, 8, 2, 2, 64)
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    out = prefill_attention(qt, kt, vt, causal=True, window_size=(4, -1),
+                            bound_softmax=bound)
+    ref = jnp.swapaxes(
+        attention_ref(q, k, v, causal=True, window_size=(4, -1)), 1, 2)
+    assert_close(out, ref, msg=f"window short-kv bound={bound}")
+
+
 def test_causal_bf16():
     q, k, v = make_qkv(jax.random.key(4), 2, 256, 256, 4, 4, 128, dtype=jnp.bfloat16)
     out = flash_attn_func(q, k, v, causal=True)

@@ -35,6 +35,20 @@ def test_pipeline_loss_matches_unsharded(setup):
     assert abs(float(got8) - float(want)) < 1e-5
 
 
+def test_pipeline_sliding_window_matches_unsharded():
+    """Regression: uniform sliding-window models (Mistral-style) must carry
+    the window through the pipeline stages, not silently run full causal."""
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=4, heads=4,
+                                 kv_heads=2, ffn=128, dtype=jnp.float32,
+                                 sliding_window=8)
+    params = llama.init_params(jax.random.key(2), cfg)
+    tokens = jax.random.randint(jax.random.key(3), (4, 24), 0, cfg.vocab_size)
+    mesh = make_mesh({PIPE_AXIS: 4})
+    want = llama.loss_fn(params, tokens, cfg)
+    got = pipeline_loss_fn(params, tokens, cfg, mesh, n_micro=4)
+    assert abs(float(got) - float(want)) < 1e-5, (got, want)
+
+
 def test_pipeline_grads_match_unsharded(setup):
     """jax.grad through the scan+ppermute schedule == dense grads: the
     backward pipeline (reverse-flowing ppermute transpose) is exact."""

@@ -242,3 +242,22 @@ def test_sequence_parallel_loss_and_grads():
     for a, b in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_want)):
         diff = np.abs(np.asarray(a) - np.asarray(b)).max()
         assert diff < 5e-5, diff
+
+
+def test_sequence_parallel_rejects_unsupported_attention():
+    """The ring schedule is pure causal: sliding-window / softcap configs
+    must be refused loudly, not silently trained full-causal."""
+    import pytest
+
+    from mfa_tpu.models import llama
+    from mfa_tpu.shard.ring import sequence_parallel_loss_fn
+
+    mesh = make_mesh({"ctx": 4})
+    tokens = jnp.zeros((1, 33), jnp.int32)
+    for kw in ({"sliding_window": 8}, {"attn_softcap": 30.0}):
+        cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                     kv_heads=2, ffn=128,
+                                     dtype=jnp.float32, **kw)
+        params = llama.init_params(jax.random.key(0), cfg)
+        with pytest.raises(ValueError, match="causal"):
+            sequence_parallel_loss_fn(params, tokens, cfg, mesh)

@@ -169,7 +169,10 @@ def _win_oracle(q, k, v, cu_q, cu_k, wl, wr, sinks, slopes=None):
                 in_win |= col < sinks
             vis &= in_win
         sc = jnp.where(vis[None], sc, -jnp.inf)
-        outs.append(jnp.einsum("hqk,khd->qhd", jax.nn.softmax(sc, -1), vb))
+        o = jnp.einsum("hqk,khd->qhd", jax.nn.softmax(sc, -1), vb)
+        # kernel semantics: fully-masked rows produce zeros, not NaN
+        o = jnp.where(jnp.any(vis, axis=1)[:, None, None], o, 0.0)
+        outs.append(o)
     return jnp.concatenate(outs, axis=0)
 
 
@@ -184,6 +187,25 @@ def test_varlen_window_sinks(wl, sinks):
     assert_close(out, ref, msg=f"varlen window wl={wl} sinks={sinks}")
 
 
+def test_varlen_window_short_kv_segment_boundary():
+    """Regression: the per-q-block kv_first window tightening must clamp to
+    the first spanned segment's kv range. With lens_k << lens_q, a q block
+    whose first row's window starts beyond segment A's entire kv range
+    spans into segment B — the unclamped bound skipped B's kv blocks."""
+    from mfa_tpu.kernels.varlen import varlen_attention
+
+    seqlens_q = [300, 100]
+    seqlens_k = [8, 100]
+    q, k, v, cu_q, cu_k = _pack(
+        jax.random.key(11), seqlens_q, seqlens_k, 2, 1, 64)
+    out = varlen_attention(
+        q, k, v, cu_seqlens_q=cu_q, cu_seqlens_k=cu_k,
+        max_seqlen_q=300, max_seqlen_k=100, causal=True,
+        window_size=(4, 0), block_q=128, block_k=128)
+    ref = _win_oracle(q, k, v, cu_q, cu_k, 4, 0, 0)
+    assert_close(out, ref, msg="varlen window short-kv segment boundary")
+
+
 def test_varlen_right_window_noncausal():
     seqlens = [100, 220]
     q, k, v, cu_q, cu_k = _pack(jax.random.key(9), seqlens, seqlens, 2, 2, 64)
@@ -192,6 +214,35 @@ def test_varlen_right_window_noncausal():
         window_size=(30, 20))
     ref = _win_oracle(q, k, v, cu_q, cu_k, 30, 20, 0)
     assert_close(out, ref, msg="varlen right window")
+
+
+def test_varlen_paged_noncausal_window_right0():
+    """causal=False + window_size=(wl, 0) must behave like causal+window on
+    the paged route too (non-paged kernel: `causal or window_right == 0`)."""
+    seqlens = [100, 256]
+    q, kp, vp, table, cu_q, cu_k, k_packed, v_packed = _paged_varlen(
+        jax.random.key(12), seqlens, seqlens, 4, 2, 64, 64
+    )
+    out = flash_attn_varlen_func(
+        q, kp, vp, cu_q, cu_k, max(seqlens), max(seqlens),
+        causal=False, block_table=jnp.asarray(table), window_size=(50, 0))
+    ref = _win_oracle(q, k_packed, v_packed, cu_q, cu_k, 50, 0, 0)
+    assert_close(out, ref, msg="varlen paged noncausal wr=0")
+
+
+def test_varlen_paged_window_short_kv_dead_rows():
+    """Paged-route analog of the short-kv dead-row regression: rows whose
+    window lies entirely past a shorter kv sequence must output zeros."""
+    seqlens_q = [300, 100]
+    seqlens_k = [8, 100]
+    q, kp, vp, table, cu_q, cu_k, k_packed, v_packed = _paged_varlen(
+        jax.random.key(13), seqlens_q, seqlens_k, 2, 1, 64, 64
+    )
+    out = flash_attn_varlen_func(
+        q, kp, vp, cu_q, cu_k, 300, 100, causal=True,
+        block_table=jnp.asarray(table), window_size=(4, 0))
+    ref = _win_oracle(q, k_packed, v_packed, cu_q, cu_k, 4, 0, 0)
+    assert_close(out, ref, msg="varlen paged window short-kv")
 
 
 @pytest.mark.parametrize("wl,sinks", [(-1, 0), (50, 6)])
