@@ -78,8 +78,9 @@ class LlamaConfig:
     # (Gemma3: 10k local vs 1M global)
     rope_theta_local: Optional[float] = None
     # linear RoPE position scaling (positions divided by this factor).
-    # With a layer pattern it applies to the GLOBAL sub-layers only
-    # (Gemma3 scales the 1M-theta layers by 8); uniform models scale all.
+    # With a DUAL rope config (rope_theta_local set) it applies to the
+    # GLOBAL sub-layers only (Gemma3 scales the 1M-theta layers by 8);
+    # single-rope-config models scale every layer (see _sub_rope).
     rope_scale: float = 1.0
     # Non-linear RoPE frequency rescaling, as a hashable tuple (static at
     # trace time; the inv_freq rescale is pure numpy in _rope):
@@ -88,7 +89,7 @@ class LlamaConfig:
     #   ("yarn", factor, attention_factor, beta_fast, beta_slow, orig_ctx)
     #     — YaRN NTK-by-parts (Qwen long-context); attention_factor
     #       multiplies cos/sin (the mscale)
-    # With a layer pattern, applies to GLOBAL sub-layers only (like
+    # With a dual rope config, applies to GLOBAL sub-layers only (like
     # rope_scale).
     rope_scaling: Optional[tuple] = None
     # Mixture-of-experts MLP (Mixtral): n_experts > 0 replaces the dense
@@ -395,6 +396,31 @@ def _qkv(h, lp, cfg: "LlamaConfig", *lead):
     return q, k, v
 
 
+def _moe_route(t, w_router, k: int, norm_topk: bool):
+    """fp32 router + top-k expert weights — the SINGLE definition of this
+    framework's routing convention, shared by the dense path below and the
+    expert-parallel path (shard/expert.py). Returns (w_top [T, k],
+    idx [T, k] global expert ids).
+
+    norm_topk=True: softmax over the selected experts (Mixtral);
+    False: full-softmax weights, not renormalized (Qwen3-MoE default)."""
+    logits = t.astype(jnp.float32) @ w_router  # [T, E]
+    w_top, idx = jax.lax.top_k(logits, k)
+    if norm_topk:
+        w_top = jax.nn.softmax(w_top, axis=-1)
+    else:
+        full = jax.nn.softmax(logits, axis=-1)
+        w_top = jnp.take_along_axis(full, idx, axis=-1)
+    return w_top, idx
+
+
+def _act(x, hidden_act: str):
+    """The family activation on the gate projection (gelu_tanh: Gemma)."""
+    if hidden_act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.silu(x)
+
+
 def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     """Mixtral-style top-k routed expert MLP, token-dropless.
 
@@ -415,24 +441,15 @@ def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
             t, lp["w_router"], lp["we_gate"], lp["we_up"], lp["we_down"])
     else:
         k = cfg.n_active_experts
-        logits = (t.astype(jnp.float32) @ lp["w_router"])  # [T, E]
-        w_top, idx = jax.lax.top_k(logits, k)
-        if cfg.norm_topk:  # Mixtral: softmax over the selected experts
-            w_top = jax.nn.softmax(w_top, axis=-1)  # [T, k]
-        else:  # Qwen3-MoE default: full-softmax weights, not renormalized
-            full = jax.nn.softmax(logits, axis=-1)
-            w_top = jnp.take_along_axis(full, idx, axis=-1)
+        w_top, idx = _moe_route(t, lp["w_router"], k, cfg.norm_topk)
         flat_e = idx.reshape(-1)  # [T*k]
         order = jnp.argsort(flat_e)  # stable: ties keep token order
         tok_of = (jnp.arange(T * k, dtype=jnp.int32) // k)[order]
         gathered = t[tok_of]  # [T*k, d] expert-sorted
         gs = jnp.zeros((cfg.n_experts,), jnp.int32).at[flat_e].add(1)
-        gate = jax.lax.ragged_dot(gathered, lp["we_gate"], gs)
+        gate = _act(jax.lax.ragged_dot(gathered, lp["we_gate"], gs),
+                    cfg.hidden_act)
         up = jax.lax.ragged_dot(gathered, lp["we_up"], gs)
-        if cfg.hidden_act == "gelu_tanh":
-            gate = jax.nn.gelu(gate, approximate=True)
-        else:
-            gate = jax.nn.silu(gate)
         down = jax.lax.ragged_dot(gate * up, lp["we_down"], gs)  # [T*k, d]
         wflat = w_top.reshape(-1)[order].astype(down.dtype)
         out = jnp.zeros((T, t.shape[-1]), down.dtype).at[tok_of].add(
@@ -440,9 +457,7 @@ def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     if "ws_gate" in lp:
         # Qwen2-MoE/DeepSeek shared expert: dense SwiGLU on every token,
         # optionally scaled by a sigmoid gate on the (normed) hidden state
-        sg = t @ lp["ws_gate"]
-        sg = (jax.nn.gelu(sg, approximate=True)
-              if cfg.hidden_act == "gelu_tanh" else jax.nn.silu(sg))
+        sg = _act(t @ lp["ws_gate"], cfg.hidden_act)
         sh = (sg * (t @ lp["ws_up"])) @ lp["ws_down"]
         if "w_shared_gate" in lp:
             sh = sh * jax.nn.sigmoid(
@@ -459,11 +474,7 @@ def _mlp(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     if cfg.n_experts and "we_gate" in lp:
         return _moe(x, lp, cfg, mesh)
     h = _rms_norm(x, lp["mlp_norm"], cfg)
-    gate = h @ lp["w_gate"]
-    if cfg.hidden_act == "gelu_tanh":
-        gate = jax.nn.gelu(gate, approximate=True)
-    else:
-        gate = jax.nn.silu(gate)
+    gate = _act(h @ lp["w_gate"], cfg.hidden_act)
     out = (gate * (h @ lp["w_up"])) @ lp["w_down"]
     if cfg.post_norms:  # Gemma2 post_feedforward_layernorm
         out = _rms_norm(out, lp["post_mlp_norm"], cfg)
@@ -481,11 +492,16 @@ def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig"):
 
 def _sub_rope(cfg: "LlamaConfig", sliding: bool):
     """(theta, linear position scale, freq rescaling) for a sub-layer of
-    the pattern. Sliding sub-layers are local attention: they use the local
-    theta (Gemma3: 10k) and UNSCALED positions — long-context rescaling
-    (linear/llama3/yarn) applies to the GLOBAL sub-layers only."""
-    if sliding:
-        return (cfg.rope_theta_local or cfg.rope_theta, 1.0, None)
+    the pattern. With a DUAL rope config (rope_theta_local set — Gemma3:
+    local 10k / global 1M), sliding sub-layers are local attention on the
+    local theta with UNSCALED positions; long-context rescaling
+    (linear/llama3/yarn) applies to the global sub-layers only — matching
+    transformers' Gemma3, which builds the local rotary without
+    rope_scaling. A patterned model with a SINGLE rope config (no local
+    theta, e.g. Gemma2) has one rotary shared by every layer, so scaling
+    applies to sliding sub-layers too."""
+    if sliding and cfg.rope_theta_local is not None:
+        return (cfg.rope_theta_local, 1.0, None)
     return (cfg.rope_theta, cfg.rope_scale, cfg.rope_scaling)
 
 

@@ -251,38 +251,47 @@ class Engine:
         reqs = [r for r in reqs if r.uid not in self._prefilling]
         if not reqs:
             return
-        token_lists = [r.prompt + r.generated[:-1] for r in reqs]
-        has_images = any(r.images is not None for r in reqs)
-        self.cache, logits = llama.prefill_batch(
-            self.params, self.cfg, self.cache,
-            [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
-            mesh=self.mesh,
-            vision=self.vision if has_images else None,
-            pixel_lists=([r.images for r in reqs] if has_images else None),
-        )
-        if self.draft_cache is not None:
-            self.draft_cache, _ = llama.prefill_batch(
-                self.draft_params, self.draft_cfg, self.draft_cache,
-                [r.slot for r in reqs], [r.pages for r in reqs], token_lists,
+        # Split the wave: image prompts need the dense-masked prefill
+        # program (bidirectional image-block mask, O(s^2) fp32 scores);
+        # routing the whole mixed batch through it — padded to the longest
+        # prompt — would spike HBM and stall the text requests behind a
+        # far slower program. Text requests keep the flash path.
+        text_reqs = [r for r in reqs if r.images is None]
+        img_reqs = [r for r in reqs if r.images is not None]
+        for group, vision in ((text_reqs, None), (img_reqs, self.vision)):
+            if not group:
+                continue
+            token_lists = [r.prompt + r.generated[:-1] for r in group]
+            self.cache, logits = llama.prefill_batch(
+                self.params, self.cfg, self.cache,
+                [r.slot for r in group], [r.pages for r in group],
+                token_lists, mesh=self.mesh, vision=vision,
+                pixel_lists=([r.images for r in group] if vision else None),
             )
-        ids, lps = self._sample(
-            logits, self._pres_rows([r.slot for r in reqs]),
-            self._sampling_vecs(reqs, len(reqs)))
-        firsts, first_lps = np.asarray(ids), np.asarray(lps)
-        self._pres_mark(
-            [r.slot for r in reqs if not r.generated],
-            [int(f) for r, f in zip(reqs, firsts) if not r.generated])
-        for req, toks, first, flp in zip(reqs, token_lists, firsts,
-                                         first_lps):
-            self.stats.prefill_tokens += len(toks)
-            if self.sched.prefix is not None and req.images is None:
-                self.sched.prefix.register(req)
-            if not req.generated:  # fresh request (not a recovery resume)
-                req.generated.append(int(first))
-                req.logprobs.append(float(flp))
-                self.stats.decode_tokens += 1
-            if req.done:
-                self._finish(req)
+            if self.draft_cache is not None:
+                self.draft_cache, _ = llama.prefill_batch(
+                    self.draft_params, self.draft_cfg, self.draft_cache,
+                    [r.slot for r in group], [r.pages for r in group],
+                    token_lists,
+                )
+            ids, lps = self._sample(
+                logits, self._pres_rows([r.slot for r in group]),
+                self._sampling_vecs(group, len(group)))
+            firsts, first_lps = np.asarray(ids), np.asarray(lps)
+            self._pres_mark(
+                [r.slot for r in group if not r.generated],
+                [int(f) for r, f in zip(group, firsts) if not r.generated])
+            for req, toks, first, flp in zip(group, token_lists, firsts,
+                                             first_lps):
+                self.stats.prefill_tokens += len(toks)
+                if self.sched.prefix is not None and req.images is None:
+                    self.sched.prefix.register(req)
+                if not req.generated:  # fresh request (not a recovery resume)
+                    req.generated.append(int(first))
+                    req.logprobs.append(float(flp))
+                    self.stats.decode_tokens += 1
+                if req.done:
+                    self._finish(req)
 
     def _map_new_pages(self, n: int = 1) -> None:
         """Map pages for the next n decode positions of every active

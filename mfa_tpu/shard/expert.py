@@ -57,15 +57,14 @@ def expert_parallel_moe(mesh: Mesh, cfg):
     k = cfg.n_active_experts
 
     def fn(t, w_router, weg, weu, wed):
+        # routing convention (fp32 router, norm_topk semantics) is defined
+        # ONCE in llama._moe_route; every shard computes the same global
+        # routing from the replicated router (no routing traffic)
+        from mfa_tpu.models.llama import _act, _moe_route
+
         T = t.shape[0]
         e_local = weg.shape[0]
-        logits = t.astype(jnp.float32) @ w_router  # [T, E] replicated
-        w_top, idx = jax.lax.top_k(logits, k)
-        if cfg.norm_topk:  # Mixtral: softmax over the selected experts
-            w_top = jax.nn.softmax(w_top, axis=-1)
-        else:  # Qwen-MoE: full-softmax weights, not renormalized
-            full = jax.nn.softmax(logits, axis=-1)
-            w_top = jnp.take_along_axis(full, idx, axis=-1)
+        w_top, idx = _moe_route(t, w_router, k, cfg.norm_topk)
 
         e0 = jax.lax.axis_index(EXPERT_AXIS) * e_local
         flat_e = idx.reshape(-1)  # [T*k] global expert ids
@@ -83,12 +82,8 @@ def expert_parallel_moe(mesh: Mesh, cfg):
         # group_sizes sum to the local-prefix length only: ragged_dot
         # touches just those rows; the uncovered tail is unspecified and
         # its scatter targets are dropped below.
-        gate = jax.lax.ragged_dot(gathered, weg, gs)
+        gate = _act(jax.lax.ragged_dot(gathered, weg, gs), cfg.hidden_act)
         up = jax.lax.ragged_dot(gathered, weu, gs)
-        if cfg.hidden_act == "gelu_tanh":
-            gate = jax.nn.gelu(gate, approximate=True)
-        else:
-            gate = jax.nn.silu(gate)
         down = jax.lax.ragged_dot(gate * up, wed, gs)  # [T*k, d]
 
         wflat = w_top.reshape(-1)[order].astype(down.dtype)

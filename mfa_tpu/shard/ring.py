@@ -50,6 +50,56 @@ def _merge(o1, lse1, o2, lse2):
     return o, lse
 
 
+def _ring_forward(q, k, v, n_ring: int, ctx_axis: str, causal: bool,
+                  softmax_scale: Optional[float]):
+    """Rotating-KV forward on LOCAL [b, h, s/n, d] blocks (must run inside
+    a shard_map over `ctx_axis`): each chip folds every visiting KV shard
+    into its running (O fp32, global LSE) pair. Shared by the inference
+    wrapper (ring_attention_prefill) and the custom-VJP training path
+    (_ring_grad_local). The permute for step t+1 has no data dependency on
+    step t's compute, so XLA overlaps it with the attention kernel."""
+    my = jax.lax.axis_index(ctx_axis)
+    perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+
+    def partial_attn(kv_pair, src):
+        k_blk, v_blk = kv_pair
+
+        def full(_):
+            o, lse = prefill_attention(
+                q, k_blk, v_blk, causal=False,
+                softmax_scale=softmax_scale, return_lse=True,
+            )
+            return o.astype(jnp.float32), lse
+
+        def diag(_):
+            o, lse = prefill_attention(
+                q, k_blk, v_blk, causal=True,
+                softmax_scale=softmax_scale, return_lse=True,
+            )
+            return o.astype(jnp.float32), lse
+
+        def masked(_):
+            return (
+                jnp.zeros(q.shape, jnp.float32),
+                jnp.full(q.shape[:-1], -jnp.inf, jnp.float32),
+            )
+
+        if not causal:
+            return full(None)
+        case = jnp.where(src < my, 0, jnp.where(src == my, 1, 2))
+        return jax.lax.switch(case, [full, diag, masked], None)
+
+    kv = (k, v)
+    o_acc, lse_acc = partial_attn(kv, my)
+    for step in range(1, n_ring):
+        kv = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, ctx_axis, perm), kv)
+        src = (my - step) % n_ring
+        o_i, lse_i = partial_attn(kv, src)
+        o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
+    return o_acc.astype(q.dtype), lse_acc
+
+
 def ring_attention_prefill(
     mesh: Mesh,
     causal: bool = True,
@@ -66,53 +116,10 @@ def ring_attention_prefill(
         in_specs=(spec, spec, spec), out_specs=spec, check_vma=False,
     )
     def _fn(q, k, v):
-        my = jax.lax.axis_index(ctx_axis)
-        perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
-
-        def partial_attn(kv_pair, src):
-            k_blk, v_blk = kv_pair
-
-            def full(_):
-                o, lse = prefill_attention(
-                    q, k_blk, v_blk, causal=False,
-                    softmax_scale=softmax_scale, return_lse=True,
-                )
-                return o.astype(jnp.float32), lse
-
-            def diag(_):
-                o, lse = prefill_attention(
-                    q, k_blk, v_blk, causal=True,
-                    softmax_scale=softmax_scale, return_lse=True,
-                )
-                return o.astype(jnp.float32), lse
-
-            def masked(_):
-                return (
-                    jnp.zeros(q.shape, jnp.float32),
-                    jnp.full(q.shape[:-1], -jnp.inf, jnp.float32),
-                )
-
-            if not causal:
-                return full(None)
-            case = jnp.where(src < my, 0, jnp.where(src == my, 1, 2))
-            return jax.lax.switch(case, [full, diag, masked], None)
-
-        kv = (k, v)
-        o_acc, lse_acc = partial_attn(kv, my)
-        for step in range(1, n_ring):
-            # Rotate KV to the next chip; XLA overlaps this permute with
-            # the attention below (no data dependency until next step).
-            kv = jax.tree.map(
-                lambda x: jax.lax.ppermute(x, ctx_axis, perm), kv
-            )
-            src = (my - step) % n_ring
-            o_i, lse_i = partial_attn(kv, src)
-            o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
-
-        return o_acc.astype(q.dtype)
+        return _ring_forward(q, k, v, n_ring, ctx_axis, causal,
+                             softmax_scale)[0]
 
     return jax.jit(_fn)
-
 
 
 @functools.lru_cache(maxsize=None)
@@ -140,41 +147,8 @@ def _ring_grad_local(n_ring: int, ctx_axis: str, causal: bool,
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
     def _fwd_lse(q, k, v):
-        my = jax.lax.axis_index(ctx_axis)
-
-        def partial_attn(kv_pair, src):
-            k_blk, v_blk = kv_pair
-
-            def full(_):
-                o, lse = prefill_attention(
-                    q, k_blk, v_blk, causal=False,
-                    softmax_scale=softmax_scale, return_lse=True)
-                return o.astype(jnp.float32), lse
-
-            def diag(_):
-                o, lse = prefill_attention(
-                    q, k_blk, v_blk, causal=True,
-                    softmax_scale=softmax_scale, return_lse=True)
-                return o.astype(jnp.float32), lse
-
-            def masked(_):
-                return (jnp.zeros(q.shape, jnp.float32),
-                        jnp.full(q.shape[:-1], -jnp.inf, jnp.float32))
-
-            if not causal:
-                return full(None)
-            case = jnp.where(src < my, 0, jnp.where(src == my, 1, 2))
-            return jax.lax.switch(case, [full, diag, masked], None)
-
-        kv = (k, v)
-        o_acc, lse_acc = partial_attn(kv, my)
-        for step in range(1, n_ring):
-            kv = jax.tree.map(
-                lambda x: jax.lax.ppermute(x, ctx_axis, perm), kv)
-            src = (my - step) % n_ring
-            o_i, lse_i = partial_attn(kv, src)
-            o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
-        return o_acc.astype(q.dtype), lse_acc
+        return _ring_forward(q, k, v, n_ring, ctx_axis, causal,
+                             softmax_scale)
 
     @jax.custom_vjp
     def f(q, k, v):
