@@ -170,8 +170,14 @@ def _prefill_body(
         m_cur = jnp.max(s, axis=1, keepdims=True)  # [rows, 1]
         m_next = jnp.maximum(m_prev, m_cur)  # lane-broadcast
         alpha = jnp.exp2((m_prev - m_next) * scale_log2e)
-        # One fused multiply-sub + exp2 over the tile.
-        p = jnp.exp2(s * scale_log2e - m_next[:, :1] * scale_log2e)
+        # Subtract-FIRST, then scale. The algebraically equal
+        # `s*c - m*c` form compiles to fma(s, c, -(m*c)), whose exact
+        # s*c product minus the ROUNDED m*c leaves a residual of up to
+        # ~ulp(|m*c|)/2 — for a fully-masked row (s == m == -1e30) that
+        # is ~1e22, and exp2(+1e22) = inf poisons acc with inf*0 = NaN
+        # on the next block's rescale. (s - m) is IEEE-exact at 0 for
+        # s == m and can never be positive, so p <= 1 always.
+        p = jnp.exp2((s - m_next[:, :1]) * scale_log2e)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[qsl, :] = m_next
         l_scr[qsl, :] = l_next

@@ -696,14 +696,45 @@ def _attention_sharded(q, k, v, mesh: Optional[Mesh],
     return jnp.swapaxes(out, 1, 2)
 
 
+def _attention_blockmask(q, k, v, cfg: "LlamaConfig", window_left: int,
+                         block_ids: jax.Array, mesh: Optional[Mesh] = None):
+    """Flash attention on [b, s, h, d] with the Gemma3 multimodal mask:
+    (causal AND window) OR same-image-run (kernels/blockmask.py).
+    block_ids [b, s] int32: contiguous image-run id per token, -1 = text.
+    Heads shard on a 'model' mesh axis like _attention_sharded (the ids
+    are replicated). Prompt-length sequences only; decode stays causal on
+    the paged kernels."""
+    from mfa_tpu.kernels.blockmask import image_block_prefill
+
+    assert not cfg.attn_softcap, "softcap + image-block mask not supported"
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    attn = functools.partial(image_block_prefill,
+                             softmax_scale=cfg.attn_scale,
+                             window_left=window_left)
+    if mesh is not None and MODEL_AXIS in mesh.axis_names:
+        spec = P(DATA_AXIS if DATA_AXIS in mesh.axis_names else None,
+                 MODEL_AXIS, None, None)
+        fn = shard_map(
+            attn, mesh=mesh, in_specs=(spec, spec, spec, P(None, None)),
+            out_specs=spec, check_vma=False,
+        )
+        out = fn(qt, kt, vt, block_ids)
+    else:
+        out = attn(qt, kt, vt, block_ids)
+    return jnp.swapaxes(out, 1, 2)
+
+
 def _attention_dense_masked(q, k, v, cfg: "LlamaConfig", window_left: int,
                             extra_mask: jax.Array):
     """Dense jnp attention on [b, s, h, d] with mask =
-    (causal AND window) OR extra_mask [b, s, s]. The escape hatch for
-    mask shapes the flash grids can't express (Gemma3 multimodal: image
-    tokens attend bidirectionally within their image block — transformers
-    token_type_ids or-mask). Prompt-length sequences only; decode stays
-    on the paged kernels."""
+    (causal AND window) OR extra_mask [b, s, s]. The REFERENCE
+    implementation of the multimodal mask algebra (Gemma3: image tokens
+    attend bidirectionally within their image block — transformers
+    token_type_ids or-mask); the serving/production path is the flash
+    tiling of the same mask, _attention_blockmask, which is pinned to
+    this oracle in tests/test_blockmask.py."""
     b, s, nh, hd = q.shape
     group = nh // k.shape[2]
     kf = jnp.repeat(k, group, axis=2)
@@ -733,7 +764,7 @@ def forward(
     mesh: Optional[Mesh] = None,
     remat: bool = False,
     input_embeds: Optional[jax.Array] = None,
-    extra_attn_mask: Optional[jax.Array] = None,
+    image_block_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full-sequence causal forward -> logits [batch, seq, vocab].
 
@@ -743,9 +774,11 @@ def forward(
     (HBM, not FLOPs, binds training step size).
 
     input_embeds: optional pre-built [b, s, d] embeddings (multimodal:
-    image features already merged — models/vision.py). extra_attn_mask:
-    optional [b, s, s] bool OR'd into the causal/window mask; its
-    presence routes attention through the dense masked path."""
+    image features already merged — models/vision.py). image_block_ids:
+    optional [b, s] int32 per-token image-run id (-1 = text); its
+    presence OR's bidirectional same-run visibility into the causal/
+    window mask and routes attention through the image-block flash
+    kernel (kernels/blockmask.py)."""
     b, s = tokens.shape
     hd = cfg.head_dim
     x = input_embeds if input_embeds is not None else _embed(
@@ -757,9 +790,9 @@ def forward(
         q, k, v = _qkv(h, lp, cfg, b, s)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
-        if extra_attn_mask is not None:
-            attn = _attention_dense_masked(q, k, v, cfg, wl,
-                                           extra_attn_mask)
+        if image_block_ids is not None:
+            attn = _attention_blockmask(q, k, v, cfg, wl,
+                                        image_block_ids, mesh)
         else:
             attn = _attention_sharded(q, k, v, mesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(b, s, cfg.n_heads * hd), lp, cfg)
@@ -952,7 +985,7 @@ def prefill_batch(params, cfg, cache, seq_slots, pages_list, token_lists,
             p is not None for p in pixel_lists):
         from mfa_tpu.models.vision import (
             gemma3_image_features,
-            image_bidir_mask,
+            image_block_ids_from_tokens,
             merge_image_embeds,
         )
 
@@ -962,12 +995,12 @@ def prefill_batch(params, cfg, cache, seq_slots, pages_list, token_lists,
         feats = gemma3_image_features(vparams, pixels, vcfg)
         embeds = merge_image_embeds(
             _embed(params, toks_j, cfg), toks_j, feats, image_tok)
-        mask = image_bidir_mask(toks_j, image_tok)
+        mask = image_block_ids_from_tokens(toks_j, image_tok)
     return _prefill_jit(
         params, cfg, cache, jnp.asarray(seq_slots, jnp.int32),
         jnp.asarray(table_rows), jnp.asarray(page_ids), toks_j,
         jnp.asarray(true_lens), mesh=mesh, input_embeds=embeds,
-        extra_attn_mask=mask,
+        image_block_ids=mask,
     )
 
 
@@ -985,7 +1018,7 @@ def prefill_step(params, cfg, cache, seq_slot: int, pages, tokens_1d,
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
                  page_ids, tokens, true_lens, mesh: Optional[Mesh] = None,
-                 input_embeds=None, extra_attn_mask=None):
+                 input_embeds=None, image_block_ids=None):
     import dataclasses as _dc
 
     n, s = tokens.shape
@@ -1020,9 +1053,9 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
                 ks_new.reshape(cfg.n_kv_heads, n * npg, page))
             vsc = vsc.at[:, flat_ids].set(
                 vs_new.reshape(cfg.n_kv_heads, n * npg, page))
-        if extra_attn_mask is not None:
-            attn = _attention_dense_masked(q, k, v, cfg, wl,
-                                           extra_attn_mask)
+        if image_block_ids is not None:
+            attn = _attention_blockmask(q, k, v, cfg, wl,
+                                        image_block_ids, pmesh)
         else:
             attn = _attention_sharded(q, k, v, pmesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(n, s, cfg.n_heads * hd), lp, cfg)

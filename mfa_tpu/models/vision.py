@@ -13,12 +13,12 @@ Design notes (why there is no Pallas here):
 - The patchify "conv" is stride==kernel, i.e. a reshape + one matmul —
   no halo, no im2col materialization.
 - Image tokens attend BIDIRECTIONALLY within each image while text stays
-  causal (transformers token_type_ids or-mask). That mask shape doesn't
-  fit the flash kernels' causal/window grids, so multimodal *prefill*
-  runs a dense-masked attention path (llama.forward's extra_attn_mask);
-  multimodal prompts are short (one image = mm_tokens_per_image rows),
-  so the O(s^2) score tile is immaterial next to the matmuls. Decode
-  after the prompt is ordinary causal and reuses every serving kernel.
+  causal (transformers token_type_ids or-mask). Multimodal *prefill*
+  runs that mask through a dedicated flash kernel
+  (kernels/blockmask.py, fed [b, s] image-run ids via llama.forward's
+  image_block_ids) with per-q-block KV bounds scalar-prefetched around
+  the runs. Decode after the prompt is ordinary causal and reuses every
+  serving kernel.
 """
 
 from __future__ import annotations
@@ -184,19 +184,27 @@ def merge_image_embeds(text_embeds: jax.Array, tokens: jax.Array,
     return merged.reshape(b, s, d)
 
 
-def image_bidir_mask(tokens: jax.Array, image_token_id: int) -> jax.Array:
-    """[b, s, s] OR-mask: image tokens of the SAME contiguous image block
-    attend to each other bidirectionally (transformers
-    token_type_ids_mask_function); everything else stays causal."""
+def image_block_ids_from_tokens(tokens: jax.Array,
+                                image_token_id: int) -> jax.Array:
+    """[b, s] int32: contiguous <image>-run id per token (-1 = text) —
+    the input of the image-block flash kernel (kernels/blockmask.py)."""
     is_img = tokens == image_token_id  # [b, s]
     starts = jnp.logical_and(
         is_img, jnp.logical_not(
             jnp.pad(is_img, ((0, 0), (1, 0)))[:, :-1]))
     group = jnp.cumsum(starts.astype(jnp.int32), axis=1) - 1
-    group = jnp.where(is_img, group, -1)
+    return jnp.where(is_img, group, -1)
+
+
+def image_bidir_mask(tokens: jax.Array, image_token_id: int) -> jax.Array:
+    """[b, s, s] OR-mask: image tokens of the SAME contiguous image block
+    attend to each other bidirectionally (transformers
+    token_type_ids_mask_function); everything else stays causal. Dense
+    form of image_block_ids_from_tokens — kept as the oracle for
+    llama._attention_dense_masked."""
+    group = image_block_ids_from_tokens(tokens, image_token_id)
     same = group[:, :, None] == group[:, None, :]
-    both = jnp.logical_and(is_img[:, :, None], is_img[:, None, :])
-    return jnp.logical_and(same, both)
+    return jnp.logical_and(same, group[:, :, None] >= 0)
 
 
 def multimodal_forward(params, vparams, tokens, pixel_values,
@@ -213,9 +221,9 @@ def multimodal_forward(params, vparams, tokens, pixel_values,
     feats = gemma3_image_features(vparams, pixel_values, vcfg)
     embeds = llama._embed(params, tokens, cfg)
     embeds = merge_image_embeds(embeds, tokens, feats, image_token_id)
-    extra = image_bidir_mask(tokens, image_token_id)
+    bids = image_block_ids_from_tokens(tokens, image_token_id)
     return llama.forward(params, tokens, cfg, mesh=mesh,
-                         input_embeds=embeds, extra_attn_mask=extra)
+                         input_embeds=embeds, image_block_ids=bids)
 
 
 def multimodal_generate_greedy(params, vparams, tokens, pixel_values,

@@ -62,6 +62,22 @@ def test_window_short_kv_fully_masked_rows(bound):
     assert_close(out, ref, msg=f"window short-kv bound={bound}")
 
 
+@pytest.mark.parametrize("bound", [True, False])
+def test_window_spanning_kv_blocks(bound):
+    """Regression: rows whose window skips ENTIRE leading kv blocks used to
+    blow up the classic kernel — `exp2(s*c - m*c)` FMA-contracts, and for a
+    fully-masked block (s == m == -1e30) the rounding residual of the
+    contraction can be ~+1e22, so p = inf and the next block's alpha=0
+    rescale turned acc into NaN. exp2((s-m)*c) is sign-exact."""
+    q, k, v = make_qkv(jax.random.key(7), 1, 300, 300, 2, 2, 64)
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    out = prefill_attention(qt, kt, vt, causal=True, window_size=(32, -1),
+                            block_q=128, block_k=128, bound_softmax=bound)
+    ref = jnp.swapaxes(
+        attention_ref(q, k, v, causal=True, window_size=(32, -1)), 1, 2)
+    assert_close(out, ref, msg=f"multi-block window bound={bound}")
+
+
 def test_causal_bf16():
     q, k, v = make_qkv(jax.random.key(4), 2, 256, 256, 4, 4, 128, dtype=jnp.bfloat16)
     out = flash_attn_func(q, k, v, causal=True)
