@@ -113,6 +113,10 @@ def _bwd_jnp_reference(causal, softmax_scale, window_size, res, do):
     mask = _mask(sq, k.shape[2], causal, window_size)
     s = jnp.where(mask, s, _MASK)
     p = jax.nn.softmax(s, axis=-1)
+    # fully-masked rows (window past a shorter kv) produce ZERO output in
+    # the forward and therefore zero gradients — not the uniform p the
+    # finite _MASK would leave
+    p = jnp.where(jnp.any(mask, axis=-1, keepdims=True), p, 0.0)
 
     dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
     dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)

@@ -100,6 +100,9 @@ def _recompute_p(q, k, lse, mask, scale_log2e, softcap=0.0,
         s2 = s * scale_log2e - lse * _LOG2E  # log2 domain
         dcap = None
     p = jnp.exp2(s2)
+    # rows the forward fully masked carry lse = -inf; their probabilities
+    # (and hence their gradients) are zero, not exp2(s*c + inf) = inf
+    p = jnp.where(jnp.isfinite(lse), p, 0.0)
     if mask is not None:
         p = jnp.where(mask, p, 0.0)
     return p, dcap
@@ -116,17 +119,25 @@ def _alibi_bias(i, j, block_q, block_k, slopes_ref):
 
 def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
                     window_right):
-    """Q blocks that see kv block j (transpose of _kv_block_bounds)."""
-    if window_right >= 0:
-        first = jnp.maximum(0, (j * block_k - window_right) // block_q)
-    else:
-        first = 0
+    """Q blocks that see kv block j (transpose of _kv_block_bounds).
+
+    first clamps to last: with seqlen_q < seqlen_k under causal/window,
+    kv blocks past the last q row have an empty raw range (first >
+    num_q_blocks - 1); unclamped, the cell table would enumerate
+    out-of-range q blocks and the store (i == last) would never fire,
+    leaving those dk/dv output blocks unwritten garbage. Clamped, one
+    in-range fully-masked cell runs and stores the correct zeros."""
     if window_left >= 0:
         last = jnp.minimum(
             num_q_blocks - 1, ((j + 1) * block_k - 1 + window_left) // block_q
         )
     else:
         last = num_q_blocks - 1
+    if window_right >= 0:
+        first = jnp.minimum(
+            jnp.maximum(0, (j * block_k - window_right) // block_q), last)
+    else:
+        first = 0
     return first, last
 
 
@@ -402,22 +413,25 @@ def flash_attention_bwd(
     dkv_cells = []  # (j, g, i), j-major, g mid, i inner
     dq_cells = []  # (i, j), i-major, j inner
     if banded:
+        # first clamps to last in both tables (mirrors _q_block_bounds /
+        # _kv_block_bounds): an empty raw band still enumerates one
+        # in-range masked cell so its output block is stored (as zeros)
         for bj in range(num_kv_blocks):
-            fi = (0 if window_right < 0
-                  else max(0, (bj * bk - window_right) // bq))
             li = (num_q_blocks - 1 if window_left < 0 else
                   min(num_q_blocks - 1,
                       ((bj + 1) * bk - 1 + window_left) // bq))
+            fi = (0 if window_right < 0
+                  else min(max(0, (bj * bk - window_right) // bq), li))
             for g_ in range(group):
-                for bi in range(fi, max(li, fi) + 1):
+                for bi in range(fi, li + 1):
                     dkv_cells.append((bj, g_, bi))
         for bi in range(num_q_blocks):
-            fj = (0 if window_left < 0
-                  else max(0, (bi * bq - window_left) // bk))
             lj = (num_kv_blocks - 1 if window_right < 0 else
                   min(num_kv_blocks - 1,
                       ((bi + 1) * bq - 1 + window_right) // bk))
-            for bj in range(fj, max(lj, fj) + 1):
+            fj = (0 if window_left < 0
+                  else min(max(0, (bi * bq - window_left) // bk), lj))
+            for bj in range(fj, lj + 1):
                 dq_cells.append((bi, bj))
     use_tri_dkv = banded and len(dkv_cells) < (num_kv_blocks * group
                                                * num_q_blocks)

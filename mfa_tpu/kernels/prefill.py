@@ -440,7 +440,13 @@ def _bound_body(
 
 
 def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_right):
-    """Range of KV blocks intersecting q block i's visible window."""
+    """Range of KV blocks intersecting q block i's visible window.
+
+    first is clamped to last: when the window lies entirely past a
+    SHORTER kv sequence the raw range would be empty (first > last) and,
+    worse, first could index past the kv array — clamping runs one
+    in-range, fully-masked block instead, whose rows the dead-row store
+    guard then zeroes."""
     if window_right >= 0:
         last = jnp.minimum(
             num_kv_blocks - 1, ((i + 1) * block_q - 1 + window_right) // block_k
@@ -448,7 +454,8 @@ def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_rig
     else:
         last = num_kv_blocks - 1
     if window_left >= 0:
-        first = jnp.maximum(0, (i * block_q - window_left) // block_k)
+        first = jnp.minimum(
+            jnp.maximum(0, (i * block_q - window_left) // block_k), last)
     else:
         first = 0
     return first, last
@@ -603,15 +610,19 @@ def prefill_attention(
     sink_blocks = cdiv(int(sink_tokens), bk) if sink_tokens else 0
     cells_i, cells_j = [], []
     for bi in range(num_q_blocks):
-        first = 0 if window_left < 0 else max(0, (bi * bq - window_left) // bk)
         last = (num_kv_blocks - 1 if window_right < 0 else
                 min(num_kv_blocks - 1,
                     ((bi + 1) * bq - 1 + window_right) // bk))
+        # first clamps to last (mirror of _kv_block_bounds): an empty raw
+        # band still enumerates one in-range masked block so the cell is
+        # visited and its dead rows store zeros
+        first = (0 if window_left < 0
+                 else min(max(0, (bi * bq - window_left) // bk), last))
         # attention-sink blocks stay visible ahead of the window band
         for bj in range(min(sink_blocks, first)):
             cells_i.append(bi)
             cells_j.append(bj)
-        for bj in range(first, max(last, first) + 1):
+        for bj in range(first, last + 1):
             cells_i.append(bi)
             cells_j.append(bj)
     use_tri = len(cells_i) < num_q_blocks * num_kv_blocks

@@ -31,6 +31,7 @@ class EngineStats:
     decode_tokens: int = 0
     steps: int = 0
     recoveries: int = 0
+    preemptions: int = 0
     wall_s: float = 0.0
     spec_proposed: int = 0
     spec_accepted: int = 0
@@ -49,7 +50,9 @@ def _bucket(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256)) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # beyond the table: next power of two (never round DOWN — a bucket
+    # smaller than n would make _pad_batch index out of bounds)
+    return 1 << (n - 1).bit_length()
 
 
 class Engine:
@@ -198,6 +201,14 @@ class Engine:
         self._all_reqs[req.uid] = req
         return req
 
+    def abandon(self, uids) -> None:
+        """Drop streaming bookkeeping for requests whose clients are gone
+        (server-side failure cleanup): without this, requests that never
+        reach `done` would sit in _all_reqs/_stream_pos forever."""
+        for uid in list(uids):
+            self._stream_pos.pop(uid, None)
+            self._all_reqs.pop(uid, None)
+
     def poll(self):
         """Streaming consumption: tokens generated since the last poll().
 
@@ -239,8 +250,9 @@ class Engine:
                 jnp.asarray([r.slot for r in reqs], jnp.int32)].set(False)
         self._pres_mark_context(reqs)  # prompts count for the penalty
         chunk_limit = self.prefill_chunk
+        toks_of = {r.uid: r.prompt + r.generated[:-1] for r in reqs}
         for r in reqs:
-            toks = r.prompt + r.generated[:-1]
+            toks = toks_of[r.uid]
             # chunked path for long prompts AND for prefix-cache hits
             # (their suffix prefill needs a page-aligned start offset);
             # image prompts always prefill whole — the bidirectional
@@ -261,7 +273,7 @@ class Engine:
         for group, vision in ((text_reqs, None), (img_reqs, self.vision)):
             if not group:
                 continue
-            token_lists = [r.prompt + r.generated[:-1] for r in group]
+            token_lists = [toks_of[r.uid] for r in group]
             self.cache, logits = llama.prefill_batch(
                 self.params, self.cfg, self.cache,
                 [r.slot for r in group], [r.pages for r in group],
@@ -300,11 +312,41 @@ class Engine:
         from mfa_tpu.cache.paged_cache import map_pages
 
         m_slots, m_idx, m_ids = [], [], []
-        for req in self._decode_ready():
-            for page_index, page_id in self.sched.ensure_decode_pages(req, n):
-                m_slots.append(req.slot)
-                m_idx.append(page_index)
-                m_ids.append(page_id)
+        preempted = set()
+        for req in list(self._decode_ready()):
+            while req.uid not in preempted:
+                try:
+                    pairs = self.sched.ensure_decode_pages(req, n)
+                except MemoryError:
+                    # Page pressure: evict the youngest active request
+                    # (pages freed, requeued at the queue front; resumes
+                    # via the recovery-resume re-prefill) and retry. Only
+                    # fully-prefilled requests are candidates — evicting a
+                    # mid-chunked-prefill request would corrupt its resume
+                    # offset bookkeeping.
+                    victims = [r for r in self.sched.active.values()
+                               if r.uid not in preempted
+                               and r.uid not in self._prefilling]
+                    if len(victims) <= 1:
+                        raise  # nothing left to steal from
+                    victim = max(victims, key=lambda r: r.uid)
+                    preempted.add(victim.uid)
+                    self.sched.preempt(victim)
+                    self.stats.preemptions += 1
+                    continue
+                for page_index, page_id in pairs:
+                    m_slots.append(req.slot)
+                    m_idx.append(page_index)
+                    m_ids.append(page_id)
+                break
+        if preempted:
+            # drop any mappings collected for now-preempted requests (their
+            # pages were freed with the slot)
+            keep = [i for i, s in enumerate(m_slots)
+                    if s in self.sched.active]
+            m_slots = [m_slots[i] for i in keep]
+            m_idx = [m_idx[i] for i in keep]
+            m_ids = [m_ids[i] for i in keep]
         if m_slots:
             self.cache = map_pages(self.cache, m_slots, m_idx, m_ids)
             if self.draft_cache is not None:
@@ -423,8 +465,11 @@ class Engine:
                 self.draft_params, self.draft_cfg, self.draft_cache, slots,
                 pages_l, chunk_toks, offs, totals, chunk,
             )
+        # logits carry the padded bucket rows; sample only the real items
+        # (presence/sampling vectors are sized to them)
         ids, lps = self._sample(
-            logits, self._pres_rows([it[0].slot for it in items]),
+            logits[: len(items)],
+            self._pres_rows([it[0].slot for it in items]),
             self._sampling_vecs([it[0] for it in items], len(items)))
         ids_np, lps_np = np.asarray(ids), np.asarray(lps)
         mark_slots, mark_toks = [], []
@@ -767,5 +812,8 @@ class Engine:
                     raise
                 retries += 1
                 self.recover()
-        self.stats.wall_s = time.time() - t0
+        # accumulate: token counters span every run() call of this engine,
+        # so the denominator must too (repeated drain cycles otherwise
+        # over-report tokens/s)
+        self.stats.wall_s += time.time() - t0
         return self.stats

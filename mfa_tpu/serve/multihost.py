@@ -50,8 +50,13 @@ def init_distributed(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Swallow ONLY the benign re-init case. A blanket pass here would
+        # eat real failures (wrong coordinator address, backend already
+        # touched) and silently degrade every host to its own
+        # single-process fleet.
+        if "already" not in str(e).lower():
+            raise
     return jax.process_index()
 
 

@@ -6,8 +6,13 @@ by hand in tests (SURVEY.md §2.1). This is the missing policy layer:
 
 - a FIFO admission queue with page-budget admission control (a request is
   admitted only when a sequence slot AND enough pages for its prompt plus
-  one decode page are free — no mid-flight OOM),
-- per-step page mapping for sequences crossing a page boundary,
+  one decode page are free),
+- per-step page mapping for sequences crossing a page boundary, with
+  PREEMPTION as the pressure valve: when every admitted sequence decodes
+  long enough that page demand outgrows the admission-time budget, the
+  youngest active request is evicted back to the queue front (its pages
+  freed) and resumes later via the recovery-resume re-prefill — decode
+  never crashes on page exhaustion,
 - slot/page recycling on completion.
 
 All decisions are host-side (they're control flow; TPU work is dispatched
@@ -249,33 +254,37 @@ class Scheduler:
             admitted.append(req)
         return admitted
 
-    def ensure_decode_page(self, req: Request) -> Optional[int]:
-        """Map a new page if the next decode token crosses a page boundary.
-        Returns the new physical page id (to be mapped into the block table)
-        or None."""
-        pos = req.total_len  # position the next token will occupy
-        page_index = pos // self.page_size
-        if page_index < len(req.pages):
-            return None
-        new_page = self.allocator.alloc(1)[0]
-        req.pages.append(new_page)
-        return new_page
-
     def ensure_decode_pages(self, req: Request, n: int):
         """Map enough pages for the next n decode positions (burst decode).
-        Returns [(page_index, page_id), ...] for newly mapped pages."""
+        Returns [(page_index, page_id), ...] for newly mapped pages.
+
+        Atomic: allocates every missing page in ONE all-or-nothing
+        allocator call, so a MemoryError leaves the request unchanged and
+        the engine can preempt a victim and retry (Engine._map_new_pages).
+        """
         last_pos = req.total_len + n - 1
         # Bursts may overrun a nearly-done request's budget (it finishes
         # mid-burst and is truncated); never map beyond the table width —
         # overrun appends clamp into the request's own last page, which is
         # released with the slot.
         need = min(last_pos // self.page_size + 1, self.pages_per_seq)
-        mapped = []
-        while len(req.pages) < need:
-            page = self.allocator.alloc(1)[0]
-            req.pages.append(page)
-            mapped.append((len(req.pages) - 1, page))
-        return mapped
+        missing = need - len(req.pages)
+        if missing <= 0:
+            return []
+        new_pages = self.allocator.alloc(missing)  # all-or-nothing
+        base = len(req.pages)
+        req.pages.extend(new_pages)
+        return [(base + i, p) for i, p in enumerate(new_pages)]
+
+    def preempt(self, req: Request) -> None:
+        """Evict an ACTIVE request under page pressure: free its pages and
+        slot and requeue it at the FRONT of the waiting queue. It resumes
+        through the recovery-resume path (re-prefill of prompt + all but
+        the newest generated token) once pages free up — admission-time
+        page budgeting keeps steady-state OOM-free, but decode growth can
+        exceed it when every admitted sequence runs long simultaneously."""
+        self.finish(req)
+        self.waiting.appendleft(req)
 
     def finish(self, req: Request) -> None:
         if self.prefix is not None:

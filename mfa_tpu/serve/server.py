@@ -72,33 +72,40 @@ class ServingLoop:
         self._stop.set()
         self._thread.join(timeout=30)
 
+    def _admit_one(self, item) -> bool:
+        prompt, mnt, eos, stop, sampling, out = item
+        try:
+            req = self.engine.submit(prompt, mnt, eos_token=eos,
+                                     stop=stop, sampling=sampling)
+        except Exception as e:  # reject THIS request, keep serving
+            out.put(_Err(str(e), code=400))
+            out.put(_DONE)
+            return False
+        with self._lock:
+            self._streams[req.uid] = out
+            self._reqs[req.uid] = req
+        return True
+
     def _admit(self):
         admitted = False
         while True:
             try:
-                (prompt, mnt, eos, stop, sampling,
-                 out) = self._submit_q.get_nowait()
+                item = self._submit_q.get_nowait()
             except queue.Empty:
                 return admitted
-            try:
-                req = self.engine.submit(prompt, mnt, eos_token=eos,
-                                         stop=stop, sampling=sampling)
-            except Exception as e:  # reject THIS request, keep serving
-                out.put(_Err(str(e), code=400))
-                out.put(_DONE)
-                continue
-            with self._lock:
-                self._streams[req.uid] = out
-                self._reqs[req.uid] = req
-            admitted = True
+            admitted |= self._admit_one(item)
 
     def _fail_all(self, msg: str):
         """Engine failure: error out every in-flight stream; the loop
         thread stays alive for future requests."""
         with self._lock:
             streams = list(self._streams.values())
+            uids = list(self._streams.keys())
             self._streams.clear()
             self._reqs.clear()
+        # evict the orphans from the engine's streaming bookkeeping too —
+        # they will never reach `done`, so poll() would never release them
+        self.engine.abandon(uids)
         for stream in streams:
             stream.put(_Err(msg))
             stream.put(_DONE)
@@ -107,12 +114,15 @@ class ServingLoop:
         while not self._stop.is_set():
             self._admit()
             if not self.engine.sched.has_work:
-                # idle: block briefly on the submit queue instead of spinning
+                # idle: block briefly on the submit queue instead of
+                # spinning — and admit the dequeued item DIRECTLY (a
+                # get-then-put requeue would move it behind requests that
+                # arrived meanwhile, breaking FIFO admission order)
                 try:
                     item = self._submit_q.get(timeout=0.05)
-                    self._submit_q.put(item)
                 except queue.Empty:
                     continue
+                self._admit_one(item)
                 continue
             try:
                 self.engine.step_burst(self.burst)

@@ -40,6 +40,29 @@ def test_backward_arbitrary_lengths():
         assert diff < 2e-3, f"{name} diff {diff}"
 
 
+def test_backward_causal_short_q_long_k():
+    """Regression: causal with seqlen_q < seqlen_k left the q-block bounds
+    for trailing kv blocks unclamped (first > num_q_blocks-1), so their
+    dk/dv output blocks were never visited or stored — garbage instead of
+    the correct zeros."""
+    got, want = _grads(jax.random.key(5), 1, 128, 512, 2, 2, 64, True)
+    for g, w, name in zip(got, want, ["dq", "dk", "dv"]):
+        diff = np.abs(np.asarray(g) - np.asarray(w)).max()
+        assert diff < 2e-3, f"{name} diff {diff}"
+
+
+def test_backward_window_past_short_kv():
+    """Window pushing past a shorter kv: dead forward rows (lse = -inf)
+    must contribute ZERO gradients (p = exp2(s*c + inf) would be inf)."""
+    got, want = _grads(jax.random.key(6), 1, 300, 8, 2, 2, 64, True,
+                       window=(4, -1))
+    for g, w, name in zip(got, want, ["dq", "dk", "dv"]):
+        g, w = np.asarray(g), np.asarray(w)
+        assert np.isfinite(g).all(), f"{name} non-finite"
+        diff = np.abs(g - w).max()
+        assert diff < 2e-3, f"{name} diff {diff}"
+
+
 def test_backward_window():
     got, want = _grads(jax.random.key(2), 1, 256, 256, 2, 2, 64, False,
                        window=(64, 0))

@@ -76,6 +76,32 @@ def test_engine_chunked_prefill_matches_unchunked():
     assert run(chunk=16) == run(chunk=None)
 
 
+def test_engine_chunked_prefill_with_sampling_penalty():
+    """Regression: chunked-prefill logits include padded bucket rows, but
+    presence/sampling vectors are sized to the real items — sampling used
+    to crash on the shape mismatch whenever a penalty/per-request sampling
+    config was active with a non-power-of-two chunked wave."""
+    from mfa_tpu.serve.engine import Engine
+    from mfa_tpu.serve.sampling import SamplingParams
+
+    params = _params()
+    prompts = [
+        list(np.random.RandomState(4).randint(0, CFG.vocab_size, 37)),
+        list(np.random.RandomState(5).randint(0, CFG.vocab_size, 33)),
+        list(np.random.RandomState(6).randint(0, CFG.vocab_size, 21)),
+    ]
+
+    def run(chunk):
+        eng = Engine(params, CFG, num_pages=64, page_size=8, max_seqs=4,
+                     pages_per_seq=8, prefill_chunk=chunk,
+                     sampling=SamplingParams(repetition_penalty=1.2))
+        reqs = [eng.submit(p, 5) for p in prompts]  # 3 items pad to 4
+        eng.run()
+        return [r.generated for r in reqs]
+
+    assert run(chunk=16) == run(chunk=None)
+
+
 def test_engine_chunked_prefill_quantized_burst():
     from mfa_tpu.serve.engine import Engine
 

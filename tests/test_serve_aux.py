@@ -18,6 +18,33 @@ def params():
     return llama.init_params(jax.random.key(0), CFG)
 
 
+def test_engine_preempts_on_page_exhaustion(params):
+    """When every admitted sequence decodes long enough that page demand
+    exceeds the pool, the engine must preempt (evict + requeue + resume)
+    rather than crash with MemoryError — and preemption must not change
+    any request's output."""
+    from mfa_tpu.serve.engine import Engine
+
+    rs = np.random.RandomState(11)
+    prompts = [list(rs.randint(0, CFG.vocab_size, 8)) for _ in range(2)]
+
+    # ground truth: a roomy engine
+    eng0 = Engine(params, CFG, num_pages=32, page_size=8, max_seqs=2,
+                  pages_per_seq=4)
+    want = [eng0.submit(p, 20) for p in prompts]
+    eng0.run()
+
+    # 7 usable pages; both requests eventually need 4 each (28 tokens)
+    eng = Engine(params, CFG, num_pages=8, page_size=8, max_seqs=2,
+                 pages_per_seq=4)
+    got = [eng.submit(p, 20) for p in prompts]
+    stats = eng.run()
+    assert stats.preemptions >= 1, "page pressure never triggered preemption"
+    for g, w in zip(got, want):
+        assert g.generated == w.generated, (g.generated, w.generated)
+    assert eng.sched.allocator.free_pages == 8 - 1  # all recycled
+
+
 def test_engine_recovery_preserves_output(params, monkeypatch):
     """A mid-flight device failure must not change what gets generated."""
     from mfa_tpu.serve.engine import Engine
