@@ -213,8 +213,15 @@ def decode_attention(
     if interpret is None:
         interpret = default_interpret()
 
-    block_k = min(block_k, round_up(max_s, 128))
-    s_p = round_up(max_s, block_k)
+    # Pick block_k as a DIVISOR of the 128-aligned length: jnp.pad below
+    # copies the ENTIRE cache (decode is HBM-bound — a per-step full-cache
+    # copy can cost more than the attention read), so only the ragged
+    # sub-128 tail may ever force it; 128-aligned caches never pad.
+    s_128 = round_up(max_s, 128)
+    block_k = max(128, min(block_k, s_128) // 128 * 128)
+    while s_128 % block_k:  # terminates: 128 always divides s_128
+        block_k -= 128
+    s_p = s_128
     if s_p != max_s:
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, s_p - max_s), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, s_p - max_s), (0, 0)))
@@ -355,6 +362,12 @@ def paged_decode_attention(
     q: [batch, num_heads, head_dim]
     k_pages/v_pages: [num_kv_heads, num_pages, page_size, head_dim]
     block_table: [batch, pages_per_seq] int32; cache_seqlens: [batch] int32.
+
+    num_splits is accepted for signature parity with the contiguous route
+    but is a HINT with no effect here: the paged kernel has no split-KV
+    grid dimension — its KV walk is a software-pipelined per-page DMA
+    stream and the grid already parallelizes over batch x kv-heads
+    (reference api.cpp:269-302 splits only the contiguous layout too).
     """
     from mfa_tpu.kernels.paged import paged_attention
 

@@ -72,6 +72,25 @@ def _unpack_int4(b):
     return jnp.concatenate([even, odd], axis=0)
 
 
+def gather_page_scales(scales, block_table, batch, num_kv_heads, max_blocks,
+                       bt, pack2):
+    """Gather per-row dequant scales by block table OUTSIDE the kernel
+    (tiny: 4 bytes/token vs ~head_dim payload bytes/token) into
+    [b, max_blocks, hkv, bt] — the (hkv, bt) trailing dims satisfy
+    Mosaic's (full, 128-multiple) block tiling rule. Shared by the paged
+    decode and paged prefill kernels."""
+    g = scales[:, block_table]  # [hkv, b, pages_per_seq, page]
+    g = jnp.transpose(g, (1, 0, 2, 3)).reshape(batch, num_kv_heads, -1)
+    pad = max_blocks * bt - g.shape[-1]
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
+    g = g.reshape(batch, num_kv_heads, max_blocks, bt)
+    if pack2:
+        # match the kernel's [evens, odds] token order per block
+        g = jnp.concatenate([g[..., 0::2], g[..., 1::2]], axis=-1)
+    return jnp.transpose(g, (0, 2, 1, 3))
+
+
 def _pair_permute_iota(rows_p, bt, base):
     """[rows_p, bt] int32 token positions matching _unpack_int4's
     [evens..., odds...] column order: column i is token base + 2i for
@@ -485,27 +504,16 @@ def paged_attention(
                                      lambda b, i, *refs: (0, 0, 0)))
         inputs.append(slopes_in)
     if quantized:
-        # Gather per-row scales by block table outside the kernel (tiny:
-        # 4 bytes/token vs ~head_dim payload bytes/token).
-        def gather_scales(scales):
-            g = scales[:, block_table]  # [hkv, b, pages_per_seq, page]
-            g = jnp.transpose(g, (1, 0, 2, 3)).reshape(batch, num_kv_heads, -1)
-            pad = max_blocks * bt - g.shape[-1]
-            if pad:
-                g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
-            g = g.reshape(batch, num_kv_heads, max_blocks, bt)
-            if pack2:
-                # match the kernel's [evens, odds] token order per block
-                g = jnp.concatenate([g[..., 0::2], g[..., 1::2]], axis=-1)
-            # [b, max_blocks, hkv, bt]: the (hkv, bt) trailing dims satisfy
-            # Mosaic's (full, 128-multiple) block tiling rule.
-            return jnp.transpose(g, (0, 2, 1, 3))
-
         scale_spec = pl.BlockSpec(
             (1, 1, num_kv_heads, bt), lambda b, i, *refs: (b, i, 0, 0)
         )
         in_specs += [scale_spec, scale_spec]
-        inputs += [gather_scales(k_scales), gather_scales(v_scales)]
+        inputs += [
+            gather_page_scales(k_scales, block_table, batch, num_kv_heads,
+                               max_blocks, bt, pack2),
+            gather_page_scales(v_scales, block_table, batch, num_kv_heads,
+                               max_blocks, bt, pack2),
+        ]
     in_specs += [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),

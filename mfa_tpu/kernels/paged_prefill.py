@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mfa_tpu.dispatch.config import cdiv, default_interpret, round_up, \
     softmax_scale_default
 from mfa_tpu.kernels.paged import (_page_copy, _pair_permute_iota,
-                                   _unpack_int4)
+                                   _unpack_int4, gather_page_scales)
 
 _LOG2E = math.log2(math.e)
 _MASK = -1e30
@@ -429,17 +429,11 @@ def paged_prefill_attention(
         inputs.append(sl)
     if quantized:
         def gather_scales(scales):
-            g = scales[:, block_table]  # [hkv, b, pps, page]
-            g = jnp.transpose(g, (1, 0, 2, 3)).reshape(batch, num_kv_heads, -1)
-            pad = max_blocks * bt - g.shape[-1]
-            if pad:
-                g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
-            g = g.reshape(batch, num_kv_heads, max_blocks, bt)
-            if pack2:  # match the kernel's [evens, odds] order per block
-                g = jnp.concatenate([g[..., 0::2], g[..., 1::2]], axis=-1)
-            return jnp.transpose(
-                g, (0, 2, 1, 3)
-            )[:, None].repeat(1, axis=1)  # [b, 1, max_blocks, hkv, bt]
+            # shared gather (kernels/paged.py) + a broadcast axis so the
+            # q-block grid dimension views the same block
+            return gather_page_scales(
+                scales, block_table, batch, num_kv_heads, max_blocks, bt,
+                pack2)[:, None]  # [b, 1, max_blocks, hkv, bt]
 
         # scales blocked on (b, j); the q-block axis views the same block
         scale_spec = pl.BlockSpec(

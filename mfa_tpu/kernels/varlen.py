@@ -255,6 +255,15 @@ def varlen_attention(
         flat = jnp.asarray(block_table, jnp.int32).reshape(-1)
         pool = jnp.transpose(k[flat], (2, 0, 1, 3))  # [hkv, b*pps, page, d]
         pool_v = jnp.transpose(v[flat], (2, 0, 1, 3))
+        from mfa_tpu.cache.paged_cache import stored_width
+
+        # page rows must be 128-lane padded for the kernel's per-page DMA
+        # (hard Mosaic constraint on real TPU; interpret mode is lenient)
+        w = stored_width(head_dim)
+        if w != pool.shape[-1]:
+            wpad = ((0, 0), (0, 0), (0, 0), (0, w - pool.shape[-1]))
+            pool = jnp.pad(pool, wpad)
+            pool_v = jnp.pad(pool_v, wpad)
         dense_table = jnp.arange(batch * pps, dtype=jnp.int32).reshape(
             batch, pps)
         out4 = paged_prefill_attention(

@@ -159,9 +159,11 @@ def config_from_hf(hf_config) -> LlamaConfig:
         sliding_window=sliding_window,
         head_dim_override=(hd if hd and hd != hf_config.hidden_size // heads
                            else None),
-        # Qwen2 hardcodes q/k/v bias in its attention module; other families
-        # expose it as `attention_bias`.
+        # Qwen2 hardcodes q/k/v bias in its attention module; Qwen2-MoE
+        # exposes it as `qkv_bias` (default True); other families as
+        # `attention_bias`.
         qkv_bias=(model_type == "qwen2"
+                  or bool(getattr(hf_config, "qkv_bias", False))
                   or bool(getattr(hf_config, "attention_bias", False))),
         hidden_act="gelu_tanh" if "gelu" in str(act) else "silu",
         norm_offset=is_gemma,

@@ -25,8 +25,15 @@ def _leaf_paths(params: Any) -> list[str]:
     ]
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' to extension-less paths; normalize so
+    save_params/load_params round-trip on any path the caller gives."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_params(path: str, params: Any) -> None:
     flat, _ = jax.tree.flatten(params)
+    path = _npz_path(path)
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     np.savez(
@@ -38,7 +45,7 @@ def save_params(path: str, params: Any) -> None:
 
 def load_params(path: str, like: Any) -> Any:
     """Load into the structure of `like` (an initialized params pytree)."""
-    data = np.load(path)
+    data = np.load(_npz_path(path))
     flat, treedef = jax.tree.flatten(like)
     saved_paths = json.loads(str(data["__paths__"]))
     if saved_paths != _leaf_paths(like):

@@ -126,6 +126,14 @@ cfg._attn_implementation = "eager"  # sdpa has no softcap path
 torch.manual_seed(0)
 model = cls(cfg)
 model.eval()
+# transformers' _init_weights zeroes Linear biases, which would make the
+# parity test BLIND to dropped-bias conversion bugs (a real Qwen2-MoE
+# checkpoint has nonzero q/k/v biases) — randomize them
+with torch.no_grad():
+    g = torch.Generator().manual_seed(1)
+    for name, p in model.named_parameters():
+        if name.endswith(".bias"):
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
 tokens = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 21))
 with torch.no_grad():
     logits = model(torch.tensor(tokens)).logits.float().numpy()

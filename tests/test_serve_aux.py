@@ -88,6 +88,18 @@ def test_engine_recovery_preserves_output(params, monkeypatch):
     assert eng1.sched.allocator.free_pages == 31
 
 
+def test_checkpoint_roundtrip_extensionless_path(params, tmp_path):
+    """Regression: np.savez appends '.npz' to extension-less paths, which
+    used to break the save/load round-trip for such paths."""
+    from mfa_tpu.utils.checkpoint import load_params, save_params
+
+    path = os.path.join(tmp_path, "model")  # no extension
+    save_params(path, params)
+    restored = load_params(path, llama.init_params(jax.random.key(1), CFG))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_roundtrip(params, tmp_path):
     from mfa_tpu.utils.checkpoint import load_params, save_params
 
