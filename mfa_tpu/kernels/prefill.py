@@ -328,7 +328,6 @@ def _bound_body(
     scale_log2e: float,
     block_q: int,
     block_k: int,
-    seqlen_q: int,
     seqlen_k: int,
     num_kv_blocks: int,
     window_left: int,
@@ -625,7 +624,13 @@ def prefill_attention(
         for bj in range(first, last + 1):
             cells_i.append(bi)
             cells_j.append(bj)
-    use_tri = len(cells_i) < num_q_blocks * num_kv_blocks
+    # Sinks REQUIRE the triangular grid: only its cell table enumerates
+    # the sink blocks sitting below the window band — the rectangular
+    # kernel's `run` gate and clamped kv index maps skip everything
+    # outside [first_j, last_j], silently dropping sink attention when
+    # the sink cells happen to fill the pruned gap exactly.
+    use_tri = (len(cells_i) < num_q_blocks * num_kv_blocks
+               or sink_blocks > 0)
 
     # Bound-softmax (max-free) fast path: exact whenever no row fully
     # underflows (see _bound_body); a per-block min-l flag output detects
@@ -720,7 +725,7 @@ def prefill_attention(
     if use_bound:
         bparams = dict(
             scale_log2e=kparams["scale_log2e"], block_q=bq, block_k=bk,
-            seqlen_q=sq, seqlen_k=sk, num_kv_blocks=num_kv_blocks,
+            seqlen_k=sk, num_kv_blocks=num_kv_blocks,
             window_left=window_left, window_right=window_right,
             with_lse=return_lse, sinks=int(sink_tokens),
         )

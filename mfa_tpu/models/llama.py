@@ -1438,7 +1438,14 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
 
     sampling = sampling or SamplingParams()
     if key is None:
-        key = jax.random.key(0)
+        # Greedy (and per-request vecs with all-greedy rows) never consumes
+        # randomness; for stochastic sampling a missing key would silently
+        # reuse one fixed stream every burst (correlated generations).
+        if not sampling.greedy or sampling_vecs is not None:
+            raise ValueError(
+                "decode_burst: stochastic sampling (or per-request "
+                "sampling_vecs) requires an explicit PRNG key")
+        key = jax.random.key(0)  # dead: greedy takes argmax
 
     def body(carry, i):
         cache, toks, pres = carry

@@ -171,10 +171,25 @@ def speculative_accept(key: jax.Array, draft_logits: jax.Array,
     are accepted draft tokens; tokens[:, m] (when m < k) is the residual
     resample to emit at the rejection position; columns past m are dead.
     On full acceptance (m == k) all k draft tokens stand.
+
+    Greedy params (temperature == 0, the SamplingParams default)
+    degenerate to exact-match acceptance: accept while the draft token
+    equals the target argmax, with the argmax as the residual —
+    filtered_logits would divide by zero (the engine's greedy verify
+    path, serve/engine.py, is this same rule fused on-device).
     """
+    d_toks = jnp.asarray(d_toks, jnp.int32)
+    if params.greedy:
+        tgt = jnp.argmax(target_logits.astype(jnp.float32),
+                         axis=-1).astype(jnp.int32)  # [n, k]
+        ok = d_toks == tgt
+        m = jnp.argmin(ok, axis=-1)  # first mismatch (0 if none)
+        k = d_toks.shape[-1]
+        m = jnp.where(ok.all(axis=-1), k, m).astype(jnp.int32)
+        return tgt, m
     ql = filtered_logits(draft_logits, params)
     pl_ = filtered_logits(target_logits, params)
-    return _accept_jit(key, ql, pl_, jnp.asarray(d_toks, jnp.int32))
+    return _accept_jit(key, ql, pl_, d_toks)
 
 
 def token_logprobs(logits: jax.Array, ids: jax.Array) -> jax.Array:

@@ -38,6 +38,23 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+def cross_chip_lse_combine(o, lse, axis: str):
+    """Max-normalized cross-chip merge of per-shard partial attention
+    (o fp32 [..., d], lse fp32 [...]) over mesh axis `axis` — the split-KV
+    combine algebra (reference decode.cuh:718-747) lifted across ICI.
+    Guards: all-(-inf) rows (no shard saw a visible column) produce zeros;
+    a shard's empty partials get weight 0, not NaN. The single definition
+    shared by the CP decode paths (ring.py's _merge is the two-operand
+    pairwise form of the same algebra for rotating schedules)."""
+    m = jax.lax.pmax(lse, axis)
+    m = jnp.where(jnp.isinf(m) & (m < 0), 0.0, m)
+    w = jnp.exp(lse - m)
+    w = jnp.where(jnp.isnan(w), 0.0, w)
+    denom = jax.lax.psum(w, axis)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    return jax.lax.psum(o * w[..., None], axis) / denom[..., None]
+
+
 def sharded_flash_attn(
     mesh: Mesh,
     causal: bool = False,
@@ -48,8 +65,9 @@ def sharded_flash_attn(
 ):
     """Head+batch-sharded prefill. Returns f(q, k, v) on the reference
     [batch, seq, heads, head_dim] layout with heads sharded on model_axis
-    and batch on data_axis (kv heads must divide the model axis size, or
-    replicate KV by passing kv_spec_heads=None)."""
+    and batch on data_axis. The MODEL AXIS SIZE MUST DIVIDE n_kv_heads
+    (each shard keeps whole GQA groups co-located; shard_map rejects a
+    non-divisible KV head axis)."""
     from mfa_tpu.interface import flash_attn_func
 
     qkv_spec = P(data_axis, None, model_axis, None)
@@ -165,15 +183,7 @@ def context_parallel_decode(
             q, k_shard, v_shard, local_len,
             softmax_scale=softmax_scale, num_splits=num_splits, return_lse=True,
         )
-        o = o.astype(jnp.float32)
-        # Max-normalized cross-chip combine (decode.cuh:718-747 across ICI).
-        m = jax.lax.pmax(lse, ctx_axis)
-        m = jnp.where(jnp.isinf(m) & (m < 0), 0.0, m)
-        w = jnp.exp(lse - m)
-        w = jnp.where(jnp.isnan(w), 0.0, w)
-        denom = jax.lax.psum(w, ctx_axis)
-        denom = jnp.where(denom == 0.0, 1.0, denom)
-        out = jax.lax.psum(o * w[..., None], ctx_axis) / denom[..., None]
+        out = cross_chip_lse_combine(o.astype(jnp.float32), lse, ctx_axis)
         return out.astype(q.dtype)
 
     return jax.jit(_fn)
@@ -204,7 +214,6 @@ def context_parallel_paged_decode(
       local_tables: [ctx, batch, pages_per_seq_shard] int32, P(ctx, ...)
     Returns [batch, heads, d] (combined over shards).
     """
-    from mfa_tpu.kernels.decode import combine_splits
     from mfa_tpu.kernels.paged import paged_attention
 
     in_specs = [
@@ -225,15 +234,7 @@ def context_parallel_paged_decode(
             q, kp, vp, lens[0], tables[0], softmax_scale=softmax_scale,
             return_lse=True, quant_dtype=qd, **kw,
         )
-        o = o.astype(jnp.float32)
-        # cross-chip max-normalized LSE combine (decode.cuh:718-747 over ICI)
-        m = jax.lax.pmax(lse, ctx_axis)
-        m = jnp.where(jnp.isinf(m) & (m < 0), 0.0, m)
-        w = jnp.exp(lse - m)
-        w = jnp.where(jnp.isnan(w), 0.0, w)
-        denom = jax.lax.psum(w, ctx_axis)
-        denom = jnp.where(denom == 0.0, 1.0, denom)
-        out = jax.lax.psum(o * w[..., None], ctx_axis) / denom[..., None]
+        out = cross_chip_lse_combine(o.astype(jnp.float32), lse, ctx_axis)
         return out.astype(q.dtype)
 
     wrapped = shard_map(

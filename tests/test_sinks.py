@@ -23,6 +23,30 @@ def _prefill_oracle(q, k, v, wl, sinks):
     return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1), v)
 
 
+def test_prefill_sinks_noncausal_gap_filled():
+    """Regression: NON-causal window+sinks where the sink cells exactly
+    fill the window-pruned gap made the cell count equal the full grid,
+    selecting the rectangular kernel — whose run-gate and clamped kv index
+    maps silently skip the sink blocks. Sinks must always take the
+    triangular grid."""
+    from mfa_tpu.kernels.prefill import prefill_attention
+
+    b, h, s, d = 1, 2, 256, 64
+    q = jax.random.normal(jax.random.key(3), (b, h, s, d))
+    k = jax.random.normal(jax.random.key(4), (b, h, s, d))
+    v = jax.random.normal(jax.random.key(5), (b, h, s, d))
+    out = prefill_attention(q, k, v, causal=False, window_size=(0, -1),
+                            sink_tokens=128, block_q=128, block_k=128)
+    # oracle: row sees [row-0 .. end]? no — left window 0, no right bound
+    row = jnp.arange(s)[:, None]
+    col = jnp.arange(s)[None, :]
+    vis = (col >= row) | (col < 128)  # wl=0: col >= row; plus sinks
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q, k) * d ** -0.5
+    sc = jnp.where(vis, sc, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1), v)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
 @pytest.mark.parametrize("wl,sinks,s", [(63, 10, 400), (31, 4, 130),
                                         (100, 140, 260)])
 def test_prefill_sinks_match_oracle(wl, sinks, s):

@@ -174,6 +174,28 @@ def test_all_features_combined_match_plain_greedy():
     assert run(True) == run(False)
 
 
+def test_speculative_accept_greedy_params():
+    """Regression: greedy params (temperature=0, the default) used to hit
+    filtered_logits' division by zero, NaN-ing the acceptance rule so even
+    a PERFECT draft was fully rejected. Greedy degenerates to exact-match
+    acceptance with the target argmax as residual."""
+    from mfa_tpu.serve.sampling import SamplingParams, speculative_accept
+
+    V, k, n = 16, 3, 2
+    rng = np.random.RandomState(1)
+    target_logits = jnp.asarray(rng.randn(n, k, V), jnp.float32)
+    tgt = np.asarray(jnp.argmax(target_logits, axis=-1))
+    # row 0: perfect draft; row 1: mismatch at position 1
+    d_toks = tgt.copy()
+    d_toks[1, 1] = (tgt[1, 1] + 1) % V
+    toks, m = speculative_accept(jax.random.key(0), target_logits * 0.9,
+                                 target_logits, jnp.asarray(d_toks),
+                                 SamplingParams())
+    toks, m = np.asarray(toks), np.asarray(m)
+    assert m[0] == k and list(toks[0]) == list(tgt[0])
+    assert m[1] == 1 and toks[1, 1] == tgt[1, 1]  # residual = target argmax
+
+
 def test_speculative_accept_preserves_target_distribution():
     """Rejection-sampling acceptance: the marginal of the first emitted
     token must equal the (filtered) target distribution regardless of the
