@@ -47,21 +47,24 @@ _MASK = -1e30
 
 
 def _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k, window_left,
-               window_right):
+               window_right, kv_off=0):
     # Skinny [bq,1]/[1,bk] iotas broadcast inside the compares — no full
     # [bq, bk] index planes (the backward inner loop is VPU-bound too).
+    # kv_off: q rows sit kv_off positions ahead of the kv columns (ring
+    # attention pairs) — shifts the window/causal compares, NOT the
+    # seqlen_q row bound (that is the physical array length).
     row = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + i * block_q
     col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + j * block_k
     mask = jnp.logical_and(row < seqlen_q, col < seqlen_k)
     if window_right >= 0:
-        mask = jnp.logical_and(mask, col <= row + window_right)
+        mask = jnp.logical_and(mask, col <= row + kv_off + window_right)
     if window_left >= 0:
-        mask = jnp.logical_and(mask, col >= row - window_left)
+        mask = jnp.logical_and(mask, col >= row + kv_off - window_left)
     return mask
 
 
 def _tile_needs_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
-                     window_left, window_right):
+                     window_left, window_right, kv_off=0):
     """True iff tile (i, j) touches a sequence tail or the window edge —
     interior tiles skip the mask entirely (reference prefill.cuh:774-778;
     here it also skips the row-bound check the forward doesn't need)."""
@@ -69,10 +72,12 @@ def _tile_needs_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
                            (j + 1) * block_k > seqlen_k)
     if window_right >= 0:
         needs = jnp.logical_or(
-            needs, (j + 1) * block_k - 1 > i * block_q + window_right)
+            needs,
+            (j + 1) * block_k - 1 > i * block_q + kv_off + window_right)
     if window_left >= 0:
         needs = jnp.logical_or(
-            needs, j * block_k < (i + 1) * block_q - 1 - window_left)
+            needs,
+            j * block_k < (i + 1) * block_q + kv_off - 1 - window_left)
     return needs
 
 
@@ -118,8 +123,10 @@ def _alibi_bias(i, j, block_q, block_k, slopes_ref):
 
 
 def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
-                    window_right):
+                    window_right, kv_off=0):
     """Q blocks that see kv block j (transpose of _kv_block_bounds).
+    kv_off: q absolute positions lead the kv columns by kv_off (ring
+    pairs) — visible rows sit kv_off EARLIER, shifting both bounds.
 
     first clamps to last: with seqlen_q < seqlen_k under causal/window,
     kv blocks past the last q row have an empty raw range (first >
@@ -128,14 +135,15 @@ def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
     leaving those dk/dv output blocks unwritten garbage. Clamped, one
     in-range fully-masked cell runs and stores the correct zeros."""
     if window_left >= 0:
-        last = jnp.minimum(
-            num_q_blocks - 1, ((j + 1) * block_k - 1 + window_left) // block_q
-        )
+        last = jnp.maximum(0, jnp.minimum(
+            num_q_blocks - 1,
+            ((j + 1) * block_k - 1 - kv_off + window_left) // block_q))
     else:
         last = num_q_blocks - 1
     if window_right >= 0:
         first = jnp.minimum(
-            jnp.maximum(0, (j * block_k - window_right) // block_q), last)
+            jnp.maximum(0, (j * block_k - kv_off - window_right) // block_q),
+            last)
     else:
         first = 0
     return first, last
@@ -156,6 +164,7 @@ def _dkv_body(
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
     alibi: bool = False,
+    kv_off: int = 0,
 ):
     if alibi:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, slopes_ref,
@@ -170,7 +179,8 @@ def _dkv_body(
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     needs_mask = _tile_needs_mask(i, j, block_q, block_k, seqlen_q,
-                                  seqlen_k, window_left, window_right)
+                                  seqlen_k, window_left, window_right,
+                                  kv_off)
 
     def _step(masked: bool):
         q = q_ref[0, 0]
@@ -180,7 +190,8 @@ def _dkv_body(
         lse = lse_ref[0, 0]  # [bq, 1]
         delta = delta_ref[0, 0]  # [bq, 1]
         mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
-                           window_left, window_right) if masked else None)
+                           window_left, window_right, kv_off)
+                if masked else None)
         bias = (_alibi_bias(i, j, block_q, block_k, slopes_ref)
                 if alibi else None)
         p, dcap = _recompute_p(q, k, lse, mask, scale * _LOG2E,
@@ -227,6 +238,7 @@ def _dkv_kernel(*refs, **params):
     first_i, last_i = _q_block_bounds(
         j, params["block_q"], params["block_k"], params["num_q_blocks"],
         params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
     )
     run = jnp.logical_and(i >= first_i, i <= last_i)
     _dkv_body(j, g, i, run, first_i, last_i, *refs, **params)
@@ -243,6 +255,7 @@ def _dkv_tri_kernel(jmap_ref, gmap_ref, imap_ref, *refs, **params):
     first_i, last_i = _q_block_bounds(
         j, params["block_q"], params["block_k"], params["num_q_blocks"],
         params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
     )
     _dkv_body(j, g, i, None, first_i, last_i, *refs, **params)
 
@@ -261,6 +274,7 @@ def _dq_body(
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
     alibi: bool = False,
+    kv_off: int = 0,
 ):
     if alibi:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, slopes_ref,
@@ -274,7 +288,8 @@ def _dq_body(
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     needs_mask = _tile_needs_mask(i, j, block_q, block_k, seqlen_q,
-                                  seqlen_k, window_left, window_right)
+                                  seqlen_k, window_left, window_right,
+                                  kv_off)
 
     def _step(masked: bool):
         q = q_ref[0, 0]
@@ -284,7 +299,8 @@ def _dq_body(
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
         mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
-                           window_left, window_right) if masked else None)
+                           window_left, window_right, kv_off)
+                if masked else None)
         bias = (_alibi_bias(i, j, block_q, block_k, slopes_ref)
                 if alibi else None)
         p, dcap = _recompute_p(q, k, lse, mask, scale * _LOG2E,
@@ -320,6 +336,7 @@ def _dq_kernel(*refs, **params):
     first_j, last_j = _kv_block_bounds(
         i, params["block_q"], params["block_k"], params["num_kv_blocks"],
         params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
     )
     run = jnp.logical_and(j >= first_j, j <= last_j)
     _dq_body(i, j, run, first_j, last_j, *refs, **params)
@@ -332,6 +349,7 @@ def _dq_tri_kernel(imap_ref, jmap_ref, *refs, **params):
     first_j, last_j = _kv_block_bounds(
         i, params["block_q"], params["block_k"], params["num_kv_blocks"],
         params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
     )
     _dq_body(i, j, None, first_j, last_j, *refs, **params)
 
@@ -339,7 +357,8 @@ def _dq_tri_kernel(imap_ref, jmap_ref, *refs, **params):
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "softmax_scale", "window_size", "block_q",
-                     "block_k", "interpret", "logit_softcap"),
+                     "block_k", "interpret", "logit_softcap",
+                     "kv_position_offset"),
 )
 def flash_attention_bwd(
     q: jax.Array,  # [b, hq, sq, d]
@@ -357,8 +376,13 @@ def flash_attention_bwd(
     interpret: Optional[bool] = None,
     logit_softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
+    kv_position_offset: int = 0,
 ):
-    """-> (dq, dk, dv) on the [b, h, s, d] layout."""
+    """-> (dq, dk, dv) on the [b, h, s, d] layout.
+
+    kv_position_offset (static, >= 0): q row r sits at absolute position
+    r + offset relative to the kv columns — the backward of the ring
+    attention pair (see prefill_attention's kv_position_offset)."""
     batch, num_heads, sq, head_dim = q.shape
     _, num_kv_heads, sk, _ = k.shape
     group = num_heads // num_kv_heads
@@ -369,6 +393,9 @@ def flash_attention_bwd(
     window_left, window_right = window_size
     if causal:
         window_right = 0
+    kv_off = int(kv_position_offset)
+    if kv_off < 0:
+        raise ValueError("kv_position_offset must be >= 0 (q leads kv)")
 
     alibi = alibi_slopes is not None
     if alibi:
@@ -418,19 +445,23 @@ def flash_attention_bwd(
         # in-range masked cell so its output block is stored (as zeros)
         for bj in range(num_kv_blocks):
             li = (num_q_blocks - 1 if window_left < 0 else
-                  min(num_q_blocks - 1,
-                      ((bj + 1) * bk - 1 + window_left) // bq))
+                  max(0, min(num_q_blocks - 1,
+                             ((bj + 1) * bk - 1 - kv_off + window_left)
+                             // bq)))
             fi = (0 if window_right < 0
-                  else min(max(0, (bj * bk - window_right) // bq), li))
+                  else min(max(0, (bj * bk - kv_off - window_right) // bq),
+                           li))
             for g_ in range(group):
                 for bi in range(fi, li + 1):
                     dkv_cells.append((bj, g_, bi))
         for bi in range(num_q_blocks):
             lj = (num_kv_blocks - 1 if window_right < 0 else
-                  min(num_kv_blocks - 1,
-                      ((bi + 1) * bq - 1 + window_right) // bk))
+                  max(0, min(num_kv_blocks - 1,
+                             ((bi + 1) * bq + kv_off - 1 + window_right)
+                             // bk)))
             fj = (0 if window_left < 0
-                  else min(max(0, (bi * bq - window_left) // bk), lj))
+                  else min(max(0, (bi * bq + kv_off - window_left) // bk),
+                           lj))
             for bj in range(fj, lj + 1):
                 dq_cells.append((bi, bj))
     use_tri_dkv = banded and len(dkv_cells) < (num_kv_blocks * group
@@ -448,6 +479,7 @@ def flash_attention_bwd(
         group=group,
         window_left=window_left, window_right=window_right,
         alibi=alibi,
+        kv_off=kv_off,
     )
     dkv_out_shape = [
         jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim), k.dtype),
@@ -508,7 +540,7 @@ def flash_attention_bwd(
     else:
         def q_idx_dkv(b, h, j, g, i):
             first, last = _q_block_bounds(j, bq, bk, num_q_blocks,
-                                          window_left, window_right)
+                                          window_left, window_right, kv_off)
             return (b, h * group + g, jnp.clip(i, first, last), 0)
 
         rect_in_specs = [
@@ -558,6 +590,7 @@ def flash_attention_bwd(
         num_kv_blocks=num_kv_blocks,
         window_left=window_left, window_right=window_right,
         alibi=alibi,
+        kv_off=kv_off,
     )
     dq_out_shape = jax.ShapeDtypeStruct(
         (batch, num_heads, sq_p, head_dim), q.dtype
@@ -606,7 +639,8 @@ def flash_attention_bwd(
     else:
         def kv_idx_dq(b, h, i, j):
             first, last = _kv_block_bounds(i, bq, bk, num_kv_blocks,
-                                           window_left, window_right)
+                                           window_left, window_right,
+                                           kv_off)
             return (b, h // group, jnp.clip(j, first, last), 0)
 
         rect2_in_specs = [
@@ -707,6 +741,7 @@ def _vl_dkv_kernel(
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
     alibi: bool = False,
+    kv_off: int = 0,
 ):
     j = pl.program_id(1)
     g = pl.program_id(2)
@@ -787,6 +822,7 @@ def _vl_dq_kernel(
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
     alibi: bool = False,
+    kv_off: int = 0,
 ):
     i = pl.program_id(1)
     j = pl.program_id(2)

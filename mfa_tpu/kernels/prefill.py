@@ -61,6 +61,7 @@ def _prefill_kernel(*refs, **params):
     first_j, last_j = _kv_block_bounds(
         i, params["block_q"], params["block_k"], params["num_kv_blocks"],
         params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
     )
     run = jnp.logical_and(j >= first_j, j <= last_j)
     _prefill_body(i, j, run, first_j, last_j, *refs, **params)
@@ -80,6 +81,7 @@ def _prefill_tri_kernel(imap_ref, jmap_ref, *refs, **params):
     first_j, last_j = _kv_block_bounds(
         i, params["block_q"], params["block_k"], params["num_kv_blocks"],
         params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
     )
     _prefill_body(i, j, None, first_j, last_j, *refs, **params)
 
@@ -104,6 +106,7 @@ def _prefill_body(
     sinks: int = 0,
     alibi: bool = False,
     diag_sub: int = 0,
+    kv_off: int = 0,
 ):
     if alibi:  # per-head ALiBi slope rides as an extra input block
         (q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref,
@@ -127,13 +130,18 @@ def _prefill_body(
     # select chain is a large share of the per-block vector work. A block
     # is mask-free iff it is fully inside the sequence AND fully inside
     # the visibility window of every row it covers.
+    # kv_off shifts every q row's ABSOLUTE position by +kv_off relative to
+    # the kv columns (ring attention pairs: q chunk leads the visiting kv
+    # chunk by a static step*chunk offset) — fold it into the row base.
     needs_tail = (j + 1) * block_k > seqlen_k
     needs_diag = jnp.bool_(False)
     if window_right >= 0:
-        needs_diag = (j + 1) * block_k - 1 > i * block_q + window_right
+        needs_diag = ((j + 1) * block_k - 1
+                      > i * block_q + kv_off + window_right)
     if window_left >= 0:
         needs_diag = jnp.logical_or(
-            needs_diag, j * block_k < (i + 1) * block_q - 1 - window_left
+            needs_diag,
+            j * block_k < (i + 1) * block_q + kv_off - 1 - window_left
         )
     needs_mask = jnp.logical_or(needs_tail, needs_diag)
 
@@ -190,7 +198,8 @@ def _prefill_body(
     def _step(masked: bool):
         q = q_ref[0, 0]  # [block_q, d]
         k = k_ref[0, 0]  # [block_k, d]
-        s = _scores(q, k, i * block_q, j * block_k, block_q, block_k)
+        s = _scores(q, k, i * block_q + kv_off, j * block_k,
+                    block_q, block_k)
 
         if masked:
             # Skinny iotas: [bq, 1] rows and [1, bk] cols broadcast inside
@@ -201,7 +210,7 @@ def _prefill_body(
             mask = col < seqlen_k
             if window_right >= 0 or window_left >= 0:
                 row = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, 1), 0) + i * block_q
+                    jnp.int32, (block_q, 1), 0) + i * block_q + kv_off
                 if window_right >= 0:
                     mask = jnp.logical_and(mask, col <= row + window_right)
                 if window_left >= 0:
@@ -291,6 +300,7 @@ def _bound_kernel(*refs, **params):
     first_j, last_j = _kv_block_bounds(
         i, params["block_q"], params["block_k"], params["num_kv_blocks"],
         params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
     )
     run = jnp.logical_and(j >= first_j, j <= last_j)
     _bound_body(i, j, run, first_j, last_j, *refs, **params)
@@ -304,6 +314,7 @@ def _bound_tri_kernel(imap_ref, jmap_ref, *refs, **params):
     first_j, last_j = _kv_block_bounds(
         i, params["block_q"], params["block_k"], params["num_kv_blocks"],
         params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
     )
     _bound_body(i, j, None, first_j, last_j, *refs, **params)
 
@@ -334,6 +345,7 @@ def _bound_body(
     window_right: int,
     with_lse: bool,
     sinks: int = 0,
+    kv_off: int = 0,
 ):
     """Max-free ("bound softmax") flash tile: the per-row running max is
     replaced by a FIXED upper bound b_i = |q_i|_2 * max_j |k_j|_2
@@ -367,10 +379,12 @@ def _bound_body(
     needs_tail = (j + 1) * block_k > seqlen_k
     needs_diag = jnp.bool_(False)
     if window_right >= 0:
-        needs_diag = (j + 1) * block_k - 1 > i * block_q + window_right
+        needs_diag = ((j + 1) * block_k - 1
+                      > i * block_q + kv_off + window_right)
     if window_left >= 0:
         needs_diag = jnp.logical_or(
-            needs_diag, j * block_k < (i + 1) * block_q - 1 - window_left
+            needs_diag,
+            j * block_k < (i + 1) * block_q + kv_off - 1 - window_left
         )
     needs_mask = jnp.logical_or(needs_tail, needs_diag)
 
@@ -386,7 +400,7 @@ def _bound_body(
             mask = col < seqlen_k
             if window_right >= 0 or window_left >= 0:
                 row = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, 1), 0) + i * block_q
+                    jnp.int32, (block_q, 1), 0) + i * block_q + kv_off
                 if window_right >= 0:
                     mask = jnp.logical_and(mask, col <= row + window_right)
                 if window_left >= 0:
@@ -429,7 +443,7 @@ def _bound_body(
         # kv sequence) are excluded; q-padding rows always see columns
         # (top-left causal) so they never false-positive.
         row = jax.lax.broadcasted_iota(
-            jnp.int32, (l.shape[0], 1), 0) + i * block_q
+            jnp.int32, (l.shape[0], 1), 0) + i * block_q + kv_off
         valid = jnp.ones_like(l, jnp.bool_)
         if window_left >= 0 and sinks == 0:
             valid = row - window_left < seqlen_k
@@ -438,8 +452,11 @@ def _bound_body(
             jnp.min(lv, axis=0, keepdims=True), flag_ref.shape[2:])
 
 
-def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_right):
+def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left,
+                     window_right, kv_off=0):
     """Range of KV blocks intersecting q block i's visible window.
+    kv_off: static amount by which q ABSOLUTE positions lead the kv
+    columns (ring-attention pairs) — shifts the row base.
 
     first is clamped to last: when the window lies entirely past a
     SHORTER kv sequence the raw range would be empty (first > last) and,
@@ -448,13 +465,16 @@ def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_rig
     guard then zeroes."""
     if window_right >= 0:
         last = jnp.minimum(
-            num_kv_blocks - 1, ((i + 1) * block_q - 1 + window_right) // block_k
+            num_kv_blocks - 1,
+            ((i + 1) * block_q + kv_off - 1 + window_right) // block_k
         )
+        last = jnp.maximum(last, 0)
     else:
         last = num_kv_blocks - 1
     if window_left >= 0:
         first = jnp.minimum(
-            jnp.maximum(0, (i * block_q - window_left) // block_k), last)
+            jnp.maximum(0, (i * block_q + kv_off - window_left) // block_k),
+            last)
     else:
         first = 0
     return first, last
@@ -474,6 +494,7 @@ def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left, window_rig
         "sink_tokens",
         "diag_block",
         "bound_softmax",
+        "kv_position_offset",
     ),
 )
 def prefill_attention(
@@ -493,6 +514,7 @@ def prefill_attention(
     alibi_slopes: Optional[jax.Array] = None,
     diag_block: Optional[int] = None,
     bound_softmax: Optional[bool] = None,
+    kv_position_offset: int = 0,
 ):
     """Flash-attention forward on [batch, heads, seq, head_dim] layout.
 
@@ -501,6 +523,14 @@ def prefill_attention(
 
     Causal is top-left aligned (col > row masked), matching the reference
     (csrc/mfa/prefill.cuh:393-421); causal == window (-1, 0).
+
+    kv_position_offset (static, >= 0): q row r sits at ABSOLUTE position
+    r + kv_position_offset relative to the kv columns — causal/window
+    masks and block pruning shift accordingly. This is how ring attention
+    expresses a sliding window across chips: the pair (q chunk, visiting
+    kv chunk from `step` hops back) is exactly this kernel with
+    offset = step * chunk (shard/ring.py). ALiBi biases also use the
+    shifted absolute distance.
     """
     batch, num_heads, sq, head_dim = q.shape
     _, num_kv_heads, sk, _ = k.shape
@@ -514,6 +544,13 @@ def prefill_attention(
         window_right = 0
     if sink_tokens and window_left < 0:
         sink_tokens = 0  # without a left window, sinks are a no-op
+    kv_off = int(kv_position_offset)
+    if kv_off < 0:
+        raise ValueError("kv_position_offset must be >= 0 (q leads kv)")
+    if kv_off and sink_tokens:
+        raise NotImplementedError(
+            "kv_position_offset with attention sinks is not supported "
+            "(the ring path handles sink blocks on the owning shard)")
 
     cfg = choose_prefill_config(sq, sk, head_dim, q.dtype.itemsize)
     bq = block_q or cfg.block_q
@@ -526,6 +563,7 @@ def prefill_attention(
     # masked-monolith path.
     dsub = cfg.diag_block if diag_block is None else diag_block
     if not (window_left < 0 and window_right == 0 and sink_tokens == 0
+            and kv_off == 0
             and bq == bk and dsub and bq > dsub and bq % dsub == 0):
         dsub = 0
 
@@ -541,7 +579,8 @@ def prefill_attention(
     num_kv_blocks = sk_p // bk
 
     def kv_index_map(b, h, i, j):
-        first, last = _kv_block_bounds(i, bq, bk, num_kv_blocks, window_left, window_right)
+        first, last = _kv_block_bounds(i, bq, bk, num_kv_blocks,
+                                       window_left, window_right, kv_off)
         return (b, h // group, jnp.clip(j, first, last), 0)
 
     kparams = dict(
@@ -562,6 +601,7 @@ def prefill_attention(
         sinks=int(sink_tokens),
         alibi=alibi_slopes is not None,
         diag_sub=int(dsub),
+        kv_off=kv_off,
     )
     if alibi_slopes is not None:
         if logit_softcap:
@@ -610,13 +650,15 @@ def prefill_attention(
     cells_i, cells_j = [], []
     for bi in range(num_q_blocks):
         last = (num_kv_blocks - 1 if window_right < 0 else
-                min(num_kv_blocks - 1,
-                    ((bi + 1) * bq - 1 + window_right) // bk))
+                max(0, min(num_kv_blocks - 1,
+                           ((bi + 1) * bq + kv_off - 1 + window_right)
+                           // bk)))
         # first clamps to last (mirror of _kv_block_bounds): an empty raw
         # band still enumerates one in-range masked block so the cell is
         # visited and its dead rows store zeros
         first = (0 if window_left < 0
-                 else min(max(0, (bi * bq - window_left) // bk), last))
+                 else min(max(0, (bi * bq + kv_off - window_left) // bk),
+                          last))
         # attention-sink blocks stay visible ahead of the window band
         for bj in range(min(sink_blocks, first)):
             cells_i.append(bi)
@@ -727,7 +769,7 @@ def prefill_attention(
             scale_log2e=kparams["scale_log2e"], block_q=bq, block_k=bk,
             seqlen_k=sk, num_kv_blocks=num_kv_blocks,
             window_left=window_left, window_right=window_right,
-            with_lse=return_lse, sinks=int(sink_tokens),
+            with_lse=return_lse, sinks=int(sink_tokens), kv_off=kv_off,
         )
         kf32 = k.astype(jnp.float32)
         maxk = jnp.max(jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1)),

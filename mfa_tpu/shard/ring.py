@@ -50,30 +50,52 @@ def _merge(o1, lse1, o2, lse2):
     return o, lse
 
 
+def _ring_live_steps(n_ring: int, chunk: int, window_left: int) -> int:
+    """Number of ring steps (incl. the diagonal step 0) whose KV pair can
+    contain ANY visible column under a causal left window: pair t is live
+    iff t*chunk <= window_left + chunk - 1. Unbounded window -> n_ring."""
+    if window_left < 0:
+        return n_ring
+    return min(n_ring, (window_left + chunk - 1) // chunk + 1)
+
+
 def _ring_forward(q, k, v, n_ring: int, ctx_axis: str, causal: bool,
-                  softmax_scale: Optional[float]):
+                  softmax_scale: Optional[float], window_left: int = -1):
     """Rotating-KV forward on LOCAL [b, h, s/n, d] blocks (must run inside
     a shard_map over `ctx_axis`): each chip folds every visiting KV shard
     into its running (O fp32, global LSE) pair. Shared by the inference
     wrapper (ring_attention_prefill) and the custom-VJP training path
     (_ring_grad_local). The permute for step t+1 has no data dependency on
-    step t's compute, so XLA overlaps it with the attention kernel."""
+    step t's compute, so XLA overlaps it with the attention kernel.
+
+    window_left >= 0 (causal only) slides a window across the chips: step
+    t's pair is the plain kernel with kv_position_offset = t*chunk (the q
+    chunk leads the visiting kv chunk by t hops), and the rotation STOPS
+    after the last step whose pair can still contain a visible column —
+    a window spanning w chunks costs w rotations, not n_ring."""
+    if window_left >= 0 and not causal:
+        raise NotImplementedError("windowed ring attention is causal-only")
     my = jax.lax.axis_index(ctx_axis)
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+    chunk = q.shape[2]
 
-    def partial_attn(kv_pair, src):
+    def partial_attn(kv_pair, src, step):
         k_blk, v_blk = kv_pair
 
-        def full(_):
+        def pair(_):
+            # step 0 == the causal diagonal (offset 0); steps >= 1 attend
+            # a visiting chunk `step` hops back (static offset)
             o, lse = prefill_attention(
-                q, k_blk, v_blk, causal=False,
+                q, k_blk, v_blk, causal=True,
+                window_size=(window_left, -1),
+                kv_position_offset=step * chunk,
                 softmax_scale=softmax_scale, return_lse=True,
             )
             return o.astype(jnp.float32), lse
 
-        def diag(_):
+        def full(_):
             o, lse = prefill_attention(
-                q, k_blk, v_blk, causal=True,
+                q, k_blk, v_blk, causal=False,
                 softmax_scale=softmax_scale, return_lse=True,
             )
             return o.astype(jnp.float32), lse
@@ -86,16 +108,18 @@ def _ring_forward(q, k, v, n_ring: int, ctx_axis: str, causal: bool,
 
         if not causal:
             return full(None)
-        case = jnp.where(src < my, 0, jnp.where(src == my, 1, 2))
-        return jax.lax.switch(case, [full, diag, masked], None)
+        if step == 0:
+            return pair(None)
+        # wrapped sources (src > my) are entirely in the future -> masked
+        return jax.lax.cond(src < my, pair, masked, None)
 
     kv = (k, v)
-    o_acc, lse_acc = partial_attn(kv, my)
-    for step in range(1, n_ring):
+    o_acc, lse_acc = partial_attn(kv, my, 0)
+    for step in range(1, _ring_live_steps(n_ring, chunk, window_left)):
         kv = jax.tree.map(
             lambda x: jax.lax.ppermute(x, ctx_axis, perm), kv)
         src = (my - step) % n_ring
-        o_i, lse_i = partial_attn(kv, src)
+        o_i, lse_i = partial_attn(kv, src, step)
         o_acc, lse_acc = _merge(o_acc, lse_acc, o_i, lse_i)
     return o_acc.astype(q.dtype), lse_acc
 
@@ -105,9 +129,12 @@ def ring_attention_prefill(
     causal: bool = True,
     softmax_scale: Optional[float] = None,
     ctx_axis: str = CTX_AXIS,
+    window_left: int = -1,
 ):
     """Build f(q, k, v) on [batch, heads, seq, head_dim] with `seq` sharded
-    on `ctx_axis` for q, k and v. Returns the same sharding."""
+    on `ctx_axis` for q, k and v. Returns the same sharding. window_left
+    (causal only) slides a window across the ring — rotation stops after
+    the window's last reachable chunk (see _ring_forward)."""
     n_ring = mesh.shape[ctx_axis]
     spec = P(None, None, ctx_axis, None)
 
@@ -117,14 +144,14 @@ def ring_attention_prefill(
     )
     def _fn(q, k, v):
         return _ring_forward(q, k, v, n_ring, ctx_axis, causal,
-                             softmax_scale)[0]
+                             softmax_scale, window_left)[0]
 
     return jax.jit(_fn)
 
 
 @functools.lru_cache(maxsize=None)
 def _ring_grad_local(n_ring: int, ctx_axis: str, causal: bool,
-                     softmax_scale: Optional[float]):
+                     softmax_scale: Optional[float], window_left: int = -1):
     """Per-shard differentiable ring attention on LOCAL [b, h, s/n, d]
     blocks (must be called inside a shard_map over `ctx_axis`).
 
@@ -148,7 +175,7 @@ def _ring_grad_local(n_ring: int, ctx_axis: str, causal: bool,
 
     def _fwd_lse(q, k, v):
         return _ring_forward(q, k, v, n_ring, ctx_axis, causal,
-                             softmax_scale)
+                             softmax_scale, window_left)
 
     @jax.custom_vjp
     def f(q, k, v):
@@ -162,16 +189,19 @@ def _ring_grad_local(n_ring: int, ctx_axis: str, causal: bool,
         q, k, v, out, lse = res
         my = jax.lax.axis_index(ctx_axis)
         lse_safe = jnp.where(jnp.isfinite(lse), lse, 0.0)
+        chunk = q.shape[2]
 
-        def partial_bwd(k_blk, v_blk, src):
+        def partial_bwd(k_blk, v_blk, src, step):
+            def pair(_):
+                return flash_attention_bwd(
+                    q, k_blk, v_blk, out, lse_safe, do, causal=True,
+                    window_size=(window_left, -1),
+                    kv_position_offset=step * chunk,
+                    softmax_scale=softmax_scale)
+
             def full(_):
                 return flash_attention_bwd(
                     q, k_blk, v_blk, out, lse_safe, do, causal=False,
-                    softmax_scale=softmax_scale)
-
-            def diag(_):
-                return flash_attention_bwd(
-                    q, k_blk, v_blk, out, lse_safe, do, causal=True,
                     softmax_scale=softmax_scale)
 
             def masked(_):
@@ -180,27 +210,33 @@ def _ring_grad_local(n_ring: int, ctx_axis: str, causal: bool,
 
             if not causal:
                 return full(None)
-            case = jnp.where(src < my, 0, jnp.where(src == my, 1, 2))
-            return jax.lax.switch(case, [full, diag, masked], None)
+            if step == 0:
+                return pair(None)
+            return jax.lax.cond(src < my, pair, masked, None)
 
         # dK/dV accumulate in fp32 while riding the ring (bf16 += would
         # lose low bits across n_ring partial sums)
         state = (k, v, jnp.zeros(k.shape, jnp.float32),
                  jnp.zeros(v.shape, jnp.float32))
         dq_acc = jnp.zeros(q.shape, jnp.float32)
-        for step in range(n_ring):
+        live = _ring_live_steps(n_ring, chunk, window_left)
+        for step in range(live):
             if step:
                 state = jax.tree.map(
                     lambda x: jax.lax.ppermute(x, ctx_axis, perm), state)
             k_blk, v_blk, dk_t, dv_t = state
             src = (my - step) % n_ring
-            dq_i, dk_i, dv_i = partial_bwd(k_blk, v_blk, src)
+            dq_i, dk_i, dv_i = partial_bwd(k_blk, v_blk, src, step)
             dq_acc = dq_acc + dq_i.astype(jnp.float32)
             state = (k_blk, v_blk, dk_t + dk_i.astype(jnp.float32),
                      dv_t + dv_i.astype(jnp.float32))
-        # one last hop brings every accumulator back to its owner
+        # bring every accumulator home: after live-1 rotations shard `my`
+        # holds the accumulator for shard my-(live-1); ONE permute by the
+        # remaining live-1 hops (windowed early stop) — for a full
+        # revolution this is the usual single closing hop.
+        home = [(i, (i - (live - 1)) % n_ring) for i in range(n_ring)]
         state = jax.tree.map(
-            lambda x: jax.lax.ppermute(x, ctx_axis, perm), state)
+            lambda x: jax.lax.ppermute(x, ctx_axis, home), state)
         return (dq_acc.astype(q.dtype), state[2].astype(k.dtype),
                 state[3].astype(v.dtype))
 
@@ -213,12 +249,15 @@ def ring_attention_grad(
     causal: bool = True,
     softmax_scale: Optional[float] = None,
     ctx_axis: str = CTX_AXIS,
+    window_left: int = -1,
 ):
     """Differentiable ring attention on [batch, heads, seq, head_dim] with
     `seq` sharded on `ctx_axis` (context/sequence-parallel TRAINING) —
-    the standalone shard_map wrapper over _ring_grad_local."""
+    the standalone shard_map wrapper over _ring_grad_local. window_left
+    (causal only): sliding window across the ring, with rotation stopping
+    at the window edge in BOTH passes."""
     inner = _ring_grad_local(mesh.shape[ctx_axis], ctx_axis, causal,
-                             softmax_scale)
+                             softmax_scale, window_left)
     spec = P(None, None, ctx_axis, None)
     return jax.jit(shard_map(
         inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
@@ -253,17 +292,17 @@ def sequence_parallel_loss_fn(params, tokens, cfg, mesh: Mesh,
     if cfg.layer_pattern is not None or cfg.moe_hetero:
         raise ValueError("sequence-parallel training needs a uniform "
                          "layer stack")
-    if cfg.sliding_window is not None or cfg.attn_softcap or cfg.attn_sinks:
-        # the rotating-KV schedule computes pure causal attention; a
-        # sliding window would need cross-shard position offsets the
-        # prefill kernel's (left, right) window cannot express, and
-        # softcap/sinks are not wired through the ring VJP either
-        raise ValueError("sequence-parallel training supports pure causal "
-                         "attention only (no sliding window / softcap / "
-                         "sinks)")
+    if cfg.attn_softcap or cfg.attn_sinks:
+        # softcap/sinks are not wired through the ring VJP (sliding
+        # windows ARE: each ring pair runs the kernel with a static
+        # kv_position_offset, and rotation stops at the window edge)
+        raise ValueError("sequence-parallel training supports causal "
+                         "attention with an optional sliding window only "
+                         "(no softcap / sinks)")
     chunk = (seq - 1) // n_ctx
     rope = (cfg.rope_theta, cfg.rope_scale, cfg.rope_scaling)
-    ring = _ring_grad_local(n_ctx, ctx_axis, True, cfg.attn_scale)
+    ring = _ring_grad_local(n_ctx, ctx_axis, True, cfg.attn_scale,
+                            cfg.window_left)
 
     def run(params, tokens):
         my = jax.lax.axis_index(ctx_axis)

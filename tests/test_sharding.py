@@ -245,8 +245,8 @@ def test_sequence_parallel_loss_and_grads():
 
 
 def test_sequence_parallel_rejects_unsupported_attention():
-    """The ring schedule is pure causal: sliding-window / softcap configs
-    must be refused loudly, not silently trained full-causal."""
+    """Softcap/sink configs must be refused loudly, not silently trained
+    without them (sliding windows ARE supported — see the windowed tests)."""
     import pytest
 
     from mfa_tpu.models import llama
@@ -254,10 +254,76 @@ def test_sequence_parallel_rejects_unsupported_attention():
 
     mesh = make_mesh({"ctx": 4})
     tokens = jnp.zeros((1, 33), jnp.int32)
-    for kw in ({"sliding_window": 8}, {"attn_softcap": 30.0}):
+    for kw in ({"attn_softcap": 30.0}, {"attn_sinks": 4}):
         cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
                                      kv_heads=2, ffn=128,
                                      dtype=jnp.float32, **kw)
         params = llama.init_params(jax.random.key(0), cfg)
         with pytest.raises(ValueError, match="causal"):
             sequence_parallel_loss_fn(params, tokens, cfg, mesh)
+
+
+@pytest.mark.parametrize("wl", [10, 40, 100])
+def test_ring_prefill_sliding_window(wl):
+    """Windowed ring attention: each pair runs the kernel with a static
+    kv_position_offset and rotation stops at the window edge — must equal
+    dense windowed causal attention."""
+    from mfa_tpu.kernels.autodiff import flash_attention_grad
+    from mfa_tpu.shard.ring import ring_attention_prefill
+
+    mesh = make_mesh({"ctx": 4})
+    b, h, s, d = 1, 2, 128, 64  # chunk 32
+    q = jax.random.normal(jax.random.key(0), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (b, h, s, d), jnp.float32)
+    got = ring_attention_prefill(mesh, causal=True, window_left=wl)(q, k, v)
+    want = flash_attention_grad(q, k, v, True, window_size=(wl, -1))
+    diff = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert diff < 2e-5, f"wl={wl}: {diff}"
+
+
+def test_ring_grad_sliding_window():
+    """Windowed ring VJP (early-stopped rotation + direct homing permute)
+    == dense flash VJP grads."""
+    from mfa_tpu.kernels.autodiff import flash_attention_grad
+    from mfa_tpu.shard.ring import ring_attention_grad
+
+    mesh = make_mesh({"ctx": 4})
+    b, h, s, d, wl = 1, 2, 128, 64, 40
+    q = jax.random.normal(jax.random.key(3), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(4), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(5), (b, h, s, d), jnp.float32)
+    w = jax.random.normal(jax.random.key(6), (b, h, s, d), jnp.float32)
+    ring = ring_attention_grad(mesh, causal=True, window_left=wl)
+    g_ring = jax.grad(lambda q, k, v: (ring(q, k, v) * w).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: (flash_attention_grad(
+            q, k, v, True, window_size=(wl, -1)) * w).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, r, name in zip(g_ring, g_ref, ["dq", "dk", "dv"]):
+        diff = np.abs(np.asarray(a) - np.asarray(r)).max()
+        assert diff < 2e-3, f"{name} diff {diff}"
+
+
+def test_sequence_parallel_sliding_window_model():
+    """SP training of a Mistral-style sliding-window model == unsharded
+    loss_fn, value and grads."""
+    from mfa_tpu.models import llama
+    from mfa_tpu.shard.ring import sequence_parallel_loss_fn
+
+    cfg = llama.LlamaConfig.tiny(vocab=64, dim=64, layers=2, heads=4,
+                                 kv_heads=2, ffn=128, dtype=jnp.float32,
+                                 sliding_window=12)
+    params = llama.init_params(jax.random.key(7), cfg)
+    tokens = jax.random.randint(jax.random.key(8), (2, 33), 0,
+                                cfg.vocab_size)
+    mesh = make_mesh({"ctx": 4})
+    want = llama.loss_fn(params, tokens, cfg)
+    got = sequence_parallel_loss_fn(params, tokens, cfg, mesh)
+    assert abs(float(got) - float(want)) < 1e-5, (got, want)
+    g_want = jax.grad(llama.loss_fn)(params, tokens, cfg)
+    g_got = jax.grad(sequence_parallel_loss_fn)(params, tokens, cfg, mesh)
+    for a, b in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_want)):
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert diff < 5e-5, diff
