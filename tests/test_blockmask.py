@@ -112,6 +112,30 @@ def test_model_blockmask_matches_dense_path():
     assert diff < 2e-5, diff
 
 
+def test_model_blockmask_tp_sharded_matches_unsharded():
+    """The TP branch (shard_map over heads, replicated ids) must equal the
+    single-device path."""
+    from mfa_tpu.models import llama
+    from mfa_tpu.shard.mesh import make_mesh
+
+    cfg = llama.LlamaConfig.tiny(dim=256, heads=4, kv_heads=2)
+    b, s, d = 2, 40, 64
+    toks = np.full((b, s), 3, np.int32)
+    toks[0, 5:13] = 7
+    toks[1, 20:28] = 7
+    from mfa_tpu.models.vision import image_block_ids_from_tokens
+
+    bids = image_block_ids_from_tokens(jnp.asarray(toks), 7)
+    q = jax.random.normal(jax.random.key(0), (b, s, 4, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (b, s, 2, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (b, s, 2, d), jnp.float32)
+    mesh = make_mesh({"model": 2})
+    got = llama._attention_blockmask(q, k, v, cfg, -1, bids, mesh)
+    want = llama._attention_blockmask(q, k, v, cfg, -1, bids)
+    diff = float(jnp.max(jnp.abs(got - want)))
+    assert diff < 2e-5, diff
+
+
 def test_image_block_prefill_prunes_above_run():
     """KV blocks above every row's run_end must never be touched: poison
     the upper-triangle far region with NaN K/V and check the output is
