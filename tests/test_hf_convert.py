@@ -331,6 +331,36 @@ def test_gemma3_multimodal_generate(mm_artifacts):
     assert got == hf_gen, (got, hf_gen)
 
 
+def test_gemma3_multimodal_prefix_cache_isolation(mm_artifacts):
+    """With prefix_cache=True, an image request must neither REGISTER its
+    pages (identical token ids do NOT imply identical KV — the
+    placeholders' KV depends on the pixels) nor MATCH cached text pages.
+    A text request with the same token ids after an image request must
+    produce exactly its text-only output."""
+    from mfa_tpu.models.convert import gemma3_multimodal_from_hf
+    from mfa_tpu.serve.engine import Engine
+
+    sd, hf_config, ids, pixels, _, _ = mm_artifacts
+    params, cfg, vparams, vcfg, image_tok = gemma3_multimodal_from_hf(
+        sd, hf_config, dtype=jnp.float32)
+    prompt = [int(t) for t in ids[0]]
+
+    eng0 = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=2,
+                  pages_per_seq=8)
+    t0 = eng0.submit(prompt, 5)  # text-only ground truth (same token ids)
+    eng0.run()
+
+    eng = Engine(params, cfg, num_pages=32, page_size=8, max_seqs=2,
+                 pages_per_seq=8, vision=(vparams, vcfg, image_tok),
+                 prefix_cache=True)
+    rimg = eng.submit(prompt, 5, images=pixels[:1])
+    eng.run()
+    rtxt = eng.submit(prompt, 5)  # identical ids, no image
+    eng.run()
+    assert rtxt.generated == t0.generated, (rtxt.generated, t0.generated)
+    assert rimg.generated != t0.generated  # sanity: the image mattered
+
+
 def test_gemma3_multimodal_serves(mm_artifacts):
     """Image prompts through the paged serving engine: multimodal prefill
     (dense image-block mask) + ordinary causal paged decode must equal
