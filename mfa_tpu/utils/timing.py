@@ -11,7 +11,6 @@ cancels the sync cost exactly and leaves per-iteration device time.
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
