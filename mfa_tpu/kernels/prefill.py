@@ -346,6 +346,7 @@ def _bound_body(
     with_lse: bool,
     sinks: int = 0,
     kv_off: int = 0,
+    diag_sub: int = 0,
 ):
     """Max-free ("bound softmax") flash tile: the per-row running max is
     replaced by a FIXED upper bound b_i = |q_i|_2 * max_j |k_j|_2
@@ -420,11 +421,61 @@ def _bound_body(
         )
         acc_scr[...] = acc_scr[...] + pv
 
-    do_masked = needs_mask
+    def _step_diag():
+        """Causal diagonal cell (i == j, block_q == block_k, no tail),
+        COLUMN-subtiled into tall slabs. Because the bound-softmax update
+        is purely additive (no running max, no alpha rescale), the dead
+        upper triangle can be dropped at trace time by pairing kv column
+        slab [c0, c0+diag_sub) with only the q rows that can see it
+        (rows >= c0): each sub-dot is a tall [bq - c0, diag_sub] MXU call
+        and executed FLOPs drop from bq^2 to ~bq^2 * (1 + 1/n)/2 at
+        n = bq/diag_sub slabs. The classic path can't do this cheaply —
+        its per-slab m/l/acc online chain over overlapping row ranges
+        costs more VPU time than the dead triangle costs MXU time
+        (measured: diag_block=256 classic 61.7 vs 71.3 TFLOP/s monolith)."""
+        nsub = block_k // diag_sub
+        for c in range(nsub):
+            c0 = c * diag_sub
+            qsl = slice(c0, block_q)
+            q = q_ref[0, 0, qsl]                       # [bq - c0, d]
+            kk = k_ref[0, 0, c0:c0 + diag_sub]         # [dsub, d]
+            s = jax.lax.dot_general(
+                q, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # relative mask: slab row r_rel is absolute tile row r_rel+c0,
+            # slab col c_rel is absolute tile col c_rel+c0 -> live iff
+            # c_rel <= r_rel. Only the first diag_sub rows have any dead
+            # entries, but one skinny-iota select over the slab is cheap.
+            rowa = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q - c0, 1), 0)
+            cola = jax.lax.broadcasted_iota(
+                jnp.int32, (1, diag_sub), 1)
+            s = jnp.where(cola <= rowa, s, _MASK)
+            p = jnp.exp2(s * scale_log2e - m_scr[qsl, :1] * scale_log2e)
+            l_scr[qsl, :] = l_scr[qsl, :] + jnp.sum(p, axis=1, keepdims=True)
+            vv = v_ref[0, 0, c0:c0 + diag_sub]
+            pv = jax.lax.dot_general(
+                p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[qsl, :] = acc_scr[qsl, :] + pv
+
+    # diag_sub > 0 is only set for pure top-left causal with bq == bk
+    # (see prefill_attention): the masked live cells are exactly i == j
+    # plus the sequence-tail column, and tail cells keep the generic path.
+    if diag_sub:
+        fast = jnp.logical_and(i == j, jnp.logical_not(needs_tail))
+    else:
+        fast = jnp.bool_(False)
+    do_masked = jnp.logical_and(needs_mask, jnp.logical_not(fast))
     do_plain = jnp.logical_not(needs_mask)
     if run is not None:
+        fast = jnp.logical_and(run, fast)
         do_masked = jnp.logical_and(run, do_masked)
         do_plain = jnp.logical_and(run, do_plain)
+    if diag_sub:
+        pl.when(fast)(_step_diag)
     pl.when(do_masked)(lambda: _step(True))
     pl.when(do_plain)(lambda: _step(False))
 
@@ -561,11 +612,42 @@ def prefill_attention(
     # Diagonal sub-tiling applies on the pure top-left-causal path with
     # square tiles; everything else (windows, sinks) keeps the generic
     # masked-monolith path.
+    diag_ok = (window_left < 0 and window_right == 0 and sink_tokens == 0
+               and kv_off == 0 and bq == bk)
     dsub = cfg.diag_block if diag_block is None else diag_block
-    if not (window_left < 0 and window_right == 0 and sink_tokens == 0
-            and kv_off == 0
-            and bq == bk and dsub and bq > dsub and bq % dsub == 0):
+    if not (diag_ok and dsub and bq > dsub and bq % dsub == 0):
         dsub = 0
+
+    # Bound-softmax (max-free) fast path: exact whenever no row fully
+    # underflows (see _bound_body); a per-block min-l flag output detects
+    # the (adversarial-only) failure case and falls back to the classic
+    # max-tracking kernel under lax.cond. Softcap changes the score
+    # domain and ALiBi widens the underflow margin unboundedly — both
+    # keep the classic path.
+    if bound_softmax is None:
+        bound_softmax = True
+    use_bound = (bound_softmax and not logit_softcap
+                 and alibi_slopes is None)
+    if use_bound:
+        # Column-subtiled diagonal (see _bound_body._step_diag); explicit
+        # diag_block overrides. Measured on v5e (scripts/ab_bound.py,
+        # b*s=32k tokens, h=24, d=128): at s=2048 (2 q blocks, diag cells
+        # are 2/3 of the grid) 512-slabs win — 76.4 vs 64.8 (256) vs 67.2
+        # (monolith) TFLOP/s; at s=8192 256/512 are within noise of each
+        # other (126.8/121.0) and both beat the monolith (124.9). Finer
+        # slabs lose everywhere (128: 56.6 at s=2048) — per-slab VPU
+        # passes outgrow the skipped-triangle MXU savings. The classic
+        # fallback inside the lax.cond stays monolithic (its online
+        # chain makes subtiling a loss: 61.7 vs 71.3).
+        if diag_block is not None:
+            bsub = diag_block
+        else:
+            bsub = 512 if cdiv(sq, bq) <= 2 else 256
+        if not (diag_ok and bsub and bq > bsub and bq % bsub == 0):
+            bsub = 0
+        dsub = 0
+    else:
+        bsub = 0
 
     sq_p = round_up(sq, bq)
     sk_p = round_up(sk, bk)
@@ -674,17 +756,6 @@ def prefill_attention(
     use_tri = (len(cells_i) < num_q_blocks * num_kv_blocks
                or sink_blocks > 0)
 
-    # Bound-softmax (max-free) fast path: exact whenever no row fully
-    # underflows (see _bound_body); a per-block min-l flag output detects
-    # the (adversarial-only) failure case and falls back to the classic
-    # max-tracking kernel under lax.cond. Softcap changes the score
-    # domain and ALiBi widens the underflow margin unboundedly — both
-    # keep the classic path.
-    if bound_softmax is None:
-        bound_softmax = True
-    use_bound = (bound_softmax and not logit_softcap
-                 and alibi_slopes is None and not dsub)
-
     def _call(variant_kernel, tri_variant_kernel, extra_inputs=(),
               extra_in_specs=(), extra_out_shapes=(), extra_out_specs=(),
               n_scratch=3):
@@ -770,6 +841,7 @@ def prefill_attention(
             seqlen_k=sk, num_kv_blocks=num_kv_blocks,
             window_left=window_left, window_right=window_right,
             with_lse=return_lse, sinks=int(sink_tokens), kv_off=kv_off,
+            diag_sub=int(bsub),
         )
         kf32 = k.astype(jnp.float32)
         maxk = jnp.max(jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1)),
@@ -783,11 +855,13 @@ def prefill_attention(
                 (lambda b, h, t, im, jm: (b, h // group, 0, 0)) if tri
                 else (lambda b, h, i, j: (b, h // group, 0, 0))),
         )
+        # Mosaic requires the block's second-minor dim be a multiple of 8
+        # (sublanes), so the per-q-block flag occupies an 8-row stripe.
         extra_out_shapes = (jax.ShapeDtypeStruct(
-            (batch, num_heads, num_q_blocks, LANES), jnp.float32),)
+            (batch, num_heads, num_q_blocks * 8, LANES), jnp.float32),)
         extra_out_specs = (
             lambda tri: pl.BlockSpec(
-                (1, 1, 1, LANES),
+                (1, 1, 8, LANES),
                 (lambda b, h, t, im, jm: (b, h, im[t], 0)) if tri
                 else (lambda b, h, i, j: (b, h, i, 0))),
         )
