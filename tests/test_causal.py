@@ -93,3 +93,27 @@ def test_prefill_lse():
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(64.0)
     ref_lse = jax.nn.logsumexp(scores, axis=-1)
     assert_close(lse, ref_lse, tol=1e-4, msg="prefill lse")
+
+
+@pytest.mark.parametrize("sq,sk,dsub", [(512, 512, 128), (700, 700, 128),
+                                        (512, 300, 64), (512, 512, 256)])
+def test_bound_diag_subtiled(sq, sk, dsub):
+    """Column-subtiled diagonal on the bound-softmax path (the default on
+    pure causal): diag cells decompose into tall [bq-c0, dsub] slabs whose
+    dead upper triangle is skipped at trace time. Must match the oracle
+    for multi-block grids, non-tile-multiple tails (the tail diag cell
+    keeps the generic path), and uneven q/k lengths — and the LSE must
+    stay exact for the CP combine path."""
+    q, k, v = make_qkv(jax.random.key(11), 1, sq, sk, 4, 2, 64)
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    out, lse = prefill_attention(qt, kt, vt, causal=True, block_q=256,
+                                 block_k=256, diag_block=dsub,
+                                 return_lse=True)
+    ref = jnp.swapaxes(attention_ref(q, k, v, causal=True), 1, 2)
+    assert_close(out, ref, msg=f"bound diag sq={sq} sk={sk} dsub={dsub}")
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q,
+                        jnp.repeat(k, 2, axis=2)) / jnp.sqrt(64.0)
+    mask = (jnp.arange(sk)[None, :] <= jnp.arange(sq)[:, None])
+    scores = jnp.where(mask, scores, -jnp.inf)
+    ref_lse = jax.nn.logsumexp(scores, axis=-1)
+    assert_close(lse, ref_lse, tol=1e-4, msg="bound diag lse")
