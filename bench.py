@@ -117,7 +117,35 @@ def bench_prefill(rtt, batch=8, seq=2048, heads=24, d=128):
     return dt, flops / dt / 1e12
 
 
-def bench_backward(rtt, batch=4, seq=2048, heads=24, d=128):
+def bench_multimodal(rtt, batch=4, seq=1024, heads=8, kv_heads=4, d=128,
+                     image_tokens=256):
+    """Image-block flash kernel (Gemma3 bidirectional image runs) on chip:
+    the BlockSpec class that produced round 2's TPU-only crash now gets
+    captured hardware evidence every round (VERDICT r2 weak #6)."""
+    import numpy as np
+
+    from mfa_tpu.kernels.blockmask import image_block_prefill
+
+    q0 = jax.random.normal(jax.random.key(0), (batch, heads, seq, d),
+                           jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(1), (batch, kv_heads, seq, d),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (batch, kv_heads, seq, d),
+                          jnp.bfloat16)
+    bids = np.full((batch, seq), -1, np.int32)
+    bids[:, seq // 4: seq // 4 + image_tokens] = 0
+    bids = jnp.asarray(bids)
+
+    def step(q, k, v, bids):
+        return _chain(q, image_block_prefill(q, k, v, bids))
+
+    dt = scan_timeit(step, q0, args=(k, v, bids), rtt=rtt)
+    flops = 4 * batch * heads * d * (seq * seq * 0.5
+                                     + image_tokens ** 2 * 0.5)
+    return dt, flops / dt / 1e12
+
+
+def bench_backward(rtt, batch=8, seq=2048, heads=24, d=128):
     from mfa_tpu.kernels.autodiff import flash_attention_grad
 
     q0 = jax.random.normal(jax.random.key(0), (batch, heads, seq, d), jnp.bfloat16)
@@ -157,13 +185,21 @@ def main():
     # the driver tail); failures must not kill the headline metric, which
     # is printed LAST so the driver parses it.
     try:
+        dt8, gbps8, pct8 = bench_decode_int8(rtt, quant="fp8")
+        print(
+            f"[bench] fp8 paged decode kv=8192 (same shapes): {dt8*1e3:.3f} ms, "
+            f"{gbps8:.0f} GB/s, {pct8:.1f}% of HBM roofline "
+            f"(BASELINE.md north-star FP8-KV config)",
+            file=sys.stderr,
+        )
+        _emit("decode_fp8_roofline_pct", pct8, "%", 85.0)
         dt4, _, _ = bench_decode_int8(rtt, quant="int4")
         print(
             f"[bench] int4 paged decode kv=8192 (same shapes): {dt4*1e3:.3f} ms "
             f"({dt/dt4:.2f}x vs int8, 2x KV density)",
             file=sys.stderr,
         )
-        _emit("decode_int4_vs_int8_speedup", dt / dt4, "x", 1.0)
+        _emit("decode_int4_vs_int8_speedup", dt / dt4, "x", 1.14)
         dtb, gbpsb, pctb = bench_decode_bf16(rtt)
         print(
             f"[bench] bf16 decode kv=8192 (b24 h24 MHA): {dtb*1e3:.3f} ms, "
@@ -179,24 +215,36 @@ def main():
             f"{tflops:.1f} TFLOP/s",
             file=sys.stderr,
         )
-        _emit("prefill_tflops_s2048", tflops, "TFLOP/s", 71.2)
+        _emit("prefill_tflops_s2048", tflops, "TFLOP/s", 66.1)
         dtp8, tflops8 = bench_prefill(rtt, batch=2, seq=8192)
         print(
             f"[bench] bf16 causal prefill b2 s8192 h24 d128: {dtp8*1e3:.3f} ms, "
             f"{tflops8:.1f} TFLOP/s",
             file=sys.stderr,
         )
-        _emit("prefill_tflops_s8192", tflops8, "TFLOP/s", 117.0)
+        _emit("prefill_tflops_s8192", tflops8, "TFLOP/s", 124.0)
     except Exception as e:
         print(f"[bench] prefill bench failed: {e}", file=sys.stderr)
     try:
+        dtm, tflopsm = bench_multimodal(rtt)
+        print(
+            f"[bench] image-block prefill b4 s1024 8q/4kv d128 run256: "
+            f"{dtm*1e3:.3f} ms, {tflopsm:.1f} TFLOP/s",
+            file=sys.stderr,
+        )
+        _emit("multimodal_prefill_tflops", tflopsm, "TFLOP/s", 30.0)
+    except Exception as e:
+        print(f"[bench] multimodal bench failed: {e}", file=sys.stderr)
+    try:
         dtw, tflopsw = bench_backward(rtt)
         print(
-            f"[bench] bf16 causal fwd+bwd b4 s2048 h24 d128: {dtw*1e3:.3f} ms, "
+            f"[bench] bf16 causal fwd+bwd b8 s2048 h24 d128: {dtw*1e3:.3f} ms, "
             f"{tflopsw:.1f} TFLOP/s",
             file=sys.stderr,
         )
-        _emit("backward_tflops_s2048", tflopsw, "TFLOP/s", 135.0)
+        # baseline = last captured value (BENCH_r02, then b=4/two-kernel);
+        # README/CLAUDE claims are reconciled to captures (VERDICT r2 #2)
+        _emit("backward_tflops_s2048", tflopsw, "TFLOP/s", 68.7)
     except Exception as e:
         print(f"[bench] backward bench failed: {e}", file=sys.stderr)
     try:
@@ -211,10 +259,28 @@ def main():
             f"per-layer step {res['per_layer_ms']:.3f} ms",
             file=sys.stderr,
         )
-        _emit("serve_prefill_tok_s", res["prefill_tps"], "tok/s", 16000.0)
-        _emit("serve_decode_tok_s", res["decode_tps"], "tok/s", 1600.0)
+        _emit("serve_prefill_tok_s", res["prefill_tps"], "tok/s", 20600.0)
+        _emit("serve_decode_tok_s", res["decode_tps"], "tok/s", 1700.0)
     except Exception as e:
         print(f"[bench] serve bench failed: {e}", file=sys.stderr)
+    try:
+        # FULL-MODEL serving: Llama-3.2-1B-shaped stack (16 layers,
+        # dim 2048, 32q/8kv, head_dim 64, ffn 8192, vocab 128256) — the
+        # tok/s number at a real model shape, not only the 4-layer slice
+        # (VERDICT r2 missing #2).
+        res1 = run_serve(layers=16, dim=2048, heads=32, kv_heads=8,
+                         ffn=8192, vocab=128256, batch=16, prompt_len=256,
+                         gen=48, quant="int8", burst=16)
+        print(
+            f"[bench] serve Llama-3.2-1B-shaped (16L int8 KV) b16 "
+            f"prompt256 gen48: prefill {res1['prefill_tps']:.0f} tok/s, "
+            f"decode {res1['decode_tps']:.0f} tok/s, per-layer step "
+            f"{res1['per_layer_ms']:.3f} ms",
+            file=sys.stderr,
+        )
+        _emit("serve_1b_decode_tok_s", res1["decode_tps"], "tok/s", 900.0)
+    except Exception as e:
+        print(f"[bench] 1B serve bench failed: {e}", file=sys.stderr)
 
     _emit("decode_hbm_roofline_pct", pct, "%", 85.0)
 

@@ -22,7 +22,19 @@ TPU-native scaling layer for the expert bank. Design:
 
 Activations enter replicated (in_specs P()); under a data-parallel
 training mesh XLA inserts the gather, which is correct but leaves DP
-overlap on the table — EP is aimed at the serving path.
+overlap on the table — `expert_parallel_moe` is aimed at the serving
+path, where the MoE layer is weight-bandwidth-bound.
+
+For TRAINING-scale token counts, `expert_parallel_moe_a2a` implements
+the standard dispatch/combine design instead: tokens are sharded on the
+expert axis, each shard routes its local tokens, ships them to the
+owning expert shard with `lax.all_to_all` (capacity-bounded buffers, the
+TPU-native fixed-shape form of the a2a — XLA lowers it to ICI
+all-to-all), grouped-matmuls locally, and a second all_to_all returns
+results for the local weighted combine. Activation traffic is
+O(T*k/ep * d) per hop instead of the serving path's O(T * d) psum, and
+every op in the pipeline (sort/gather/scatter-add/ragged_dot/all_to_all)
+is differentiable, so this is the path a training step takes.
 """
 
 from __future__ import annotations
@@ -96,4 +108,86 @@ def expert_parallel_moe(mesh: Mesh, cfg):
         fn, mesh=mesh,
         in_specs=(P(), P(), wspec_gu, wspec_gu, wspec_d),
         out_specs=P(),
+    )
+
+
+def expert_parallel_moe_a2a(mesh: Mesh, cfg, capacity_factor: float = 2.0):
+    """Training-shaped EP: all_to_all dispatch/combine over the expert
+    axis (see module docstring).
+
+    Returns f(t, w_router, we_gate, we_up, we_down) -> [T, d] with t
+    SHARDED on the expert axis (T must divide by ep). Each shard holds
+    Tl = T/ep tokens and cap = ceil(Tl*k/ep * capacity_factor) slots per
+    peer; assignments beyond a peer's capacity are dropped (standard
+    capacity-factor semantics — the default 2.0 makes drops rare for
+    near-uniform routing; the dropless serving path is
+    expert_parallel_moe)."""
+    has_tp = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+    tp = MODEL_AXIS if has_tp else None
+    wspec_gu = P(EXPERT_AXIS, None, tp)
+    wspec_d = P(EXPERT_AXIS, tp, None)
+    k = cfg.n_active_experts
+    ep = mesh.shape[EXPERT_AXIS]
+
+    def fn(t, w_router, weg, weu, wed):
+        from mfa_tpu.models.llama import _act, _moe_route
+
+        import math
+
+        Tl, d = t.shape
+        e_local = weg.shape[0]
+        A = Tl * k
+        cap = max(1, int(math.ceil(A / ep * capacity_factor)))
+        w_top, idx = _moe_route(t, w_router, k, cfg.norm_topk)
+
+        flat_e = idx.reshape(-1)          # [A] global expert ids
+        dest = flat_e // e_local          # owning shard
+        le = flat_e % e_local             # local expert on that shard
+        tok = jnp.arange(A, dtype=jnp.int32) // k
+        order = jnp.argsort(dest)         # stable: dest-major send layout
+        dest_s = dest[order]
+        le_s = le[order]
+        tok_s = tok[order]
+        # slot within destination = rank - first rank of that dest
+        first = jnp.searchsorted(dest_s, jnp.arange(ep, dtype=dest_s.dtype))
+        slot = jnp.arange(A, dtype=jnp.int32) - first[dest_s]
+        keep = slot < cap
+        tgt = jnp.where(keep, dest_s * cap + slot, ep * cap)  # drop row
+
+        send_x = jnp.zeros((ep * cap + 1, d), t.dtype).at[tgt].set(
+            t[tok_s], mode="drop")[:-1].reshape(ep, cap, d)
+        send_le = jnp.full((ep * cap + 1,), e_local, jnp.int32).at[tgt].set(
+            le_s, mode="drop")[:-1].reshape(ep, cap)
+
+        rx = jax.lax.all_to_all(send_x, EXPERT_AXIS, 0, 0)
+        rle = jax.lax.all_to_all(send_le, EXPERT_AXIS, 0, 0)
+
+        xa = rx.reshape(ep * cap, d)
+        lea = rle.reshape(-1)
+        valid = lea < e_local            # unfilled capacity slots excluded
+        order2 = jnp.argsort(jnp.where(valid, lea, e_local))
+        xs = xa[order2]
+        gs = jnp.zeros((e_local,), jnp.int32).at[
+            jnp.where(valid, lea, 0)].add(valid.astype(jnp.int32))
+        gate = _act(jax.lax.ragged_dot(xs, weg, gs), cfg.hidden_act)
+        up = jax.lax.ragged_dot(xs, weu, gs)
+        down = jax.lax.ragged_dot(gate * up, wed, gs)
+        if has_tp:  # ffn dim is TP-sharded: partial sums over the f axis
+            down = jax.lax.psum(down, MODEL_AXIS)
+        ya = jnp.zeros((ep * cap, d), down.dtype).at[order2].set(down)
+
+        back = jax.lax.all_to_all(
+            ya.reshape(ep, cap, d), EXPERT_AXIS, 0, 0).reshape(ep * cap, d)
+        # every kept assignment's result sits at its send slot; dropped
+        # assignments contribute zero
+        contrib = back[jnp.clip(tgt, 0, ep * cap - 1)]
+        contrib = jnp.where(keep[:, None], contrib, 0.0)
+        w_s = w_top.reshape(-1)[order].astype(contrib.dtype)
+        return jnp.zeros((Tl, d), contrib.dtype).at[tok_s].add(
+            contrib * w_s[:, None])
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(EXPERT_AXIS), P(), wspec_gu, wspec_gu, wspec_d),
+        out_specs=P(EXPERT_AXIS),
     )

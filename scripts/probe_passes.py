@@ -150,9 +150,25 @@ def run(variant, seq=4096, bq=1024, bk=1024, b=2, h=24, d=128):
           flush=True)
 
 
+def run_shapes():
+    """Bench-shape sweep: same minimal kernels at b8/s2048 vs b2/s4096 —
+    isolates per-(b,h)-boundary cost from kernel machinery."""
+    for b, seq in ((8, 2048), (2, 4096), (2, 8192)):
+        for variant in ("dots", "v2", "v0"):
+            print(f"b={b} s={seq} ", end="", flush=True)
+            try:
+                run(variant, seq=seq, b=b)
+            except Exception as e:
+                print(f"{variant}: FAILED {e}", flush=True)
+
+
+
 if __name__ == "__main__":
     RTT = measure_rtt()
     print(f"rtt {RTT*1e3:.1f} ms", file=sys.stderr)
+    if len(sys.argv) > 1 and sys.argv[1] == "shapes":
+        run_shapes()
+        sys.exit(0)
     for variant in ("dots", "v0", "v1", "v2", "v3", "v4", "v5"):
         try:
             run(variant)

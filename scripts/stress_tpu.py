@@ -209,4 +209,54 @@ for trial in range(3):
     print(f"narrow-d trial {trial} (d={d}): {'OK' if ok else f'FAIL {dmax:.5f}'}",
           flush=True)
 
+
+# ---- image-block (multimodal) flash kernel stress ----
+# Fresh BlockSpec class (per-(b, i) scalar-prefetched run bounds + a
+# (1, 1, bk) bid_k block) -- exactly the class that produced round 2's
+# TPU-only flag crash; smoke it on hardware with adversarial run
+# placements (VERDICT r2 weak #6). Oracle: dense masked softmax.
+from mfa_tpu.kernels.blockmask import image_block_prefill
+
+def oracle_blockmask(q, k, v, bids):
+    b, h, s, d = q.shape
+    hkv = k.shape[1]
+    kf = jnp.repeat(k, h // hkv, axis=1).astype(jnp.float32)
+    vf = jnp.repeat(v, h // hkv, axis=1).astype(jnp.float32)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kf) * d ** -0.5
+    col = jnp.arange(s)
+    vis = col[None, :] <= jnp.arange(s)[:, None]
+    same = (bids[:, :, None] == bids[:, None, :]) & (bids[:, :, None] >= 0)
+    vis = vis[None] | same
+    sc = jnp.where(vis[:, None], sc, -jnp.inf)
+    p = jax.nn.softmax(sc, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+
+for trial in range(4):
+    b = int(rng.choice([1, 2, 3]))
+    hkv = int(rng.choice([1, 2]))
+    group = int(rng.choice([1, 2]))
+    s = int(rng.choice([512, 768, 1024]))
+    run_len = int(rng.choice([128, 256]))
+    h = hkv * group
+    d = 128
+    bids_np = np.full((b, s), -1, np.int32)
+    for i in range(b):
+        nruns = int(rng.randint(0, 3))
+        for r in range(nruns):
+            # disjoint halves: image runs are contiguous by construction
+            lo, hi = r * (s // 2), r * (s // 2) + s // 2 - run_len
+            start = int(rng.randint(lo, max(lo + 1, hi)))
+            bids_np[i, start:start + run_len] = r
+    q = jax.random.normal(jax.random.key(trial + 1200), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(trial + 1300), (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(trial + 1400), (b, hkv, s, d), jnp.float32)
+    bids = jnp.asarray(bids_np)
+    out = image_block_prefill(q, k, v, bids)
+    ref = oracle_blockmask(q, k, v, bids)
+    dmax = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+    ok = dmax < 1e-2
+    fails += 0 if ok else 1
+    print(f"blockmask trial {trial} (b={b} h={h} s={s} run={run_len}): "
+          f"{'OK' if ok else f'FAIL {dmax:.5f}'}", flush=True)
+
 print(f"STRESS {'PASS' if fails == 0 else f'FAIL ({fails})'}")
