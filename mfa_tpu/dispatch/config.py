@@ -191,6 +191,7 @@ def recommend_kv_quant(
     *,
     memory_bound: bool = False,
     quality_floor: bool = False,
+    outlier_tolerant: bool = False,
 ) -> str:
     """Pick the KV-cache storage dtype for a serving config.
 
@@ -199,13 +200,23 @@ def recommend_kv_quant(
     capacity per sequence (pages_per_seq * page_size) and get the dtype
     that maximizes decode throughput at that length. `memory_bound=True`
     forces int4 (capacity over latency); `quality_floor=True` refuses
-    int4 (quality-sensitive serving) and returns int8.
+    int4 (quality-sensitive serving).
+
+    int8 vs fp8 (same bytes, same roofline; BENCH captures both at
+    kv=8192): per-row absmax-scaled int8 has ~4x finer worst-case steps
+    near the row scale, so it is the 8-bit default; fp8 (e4m3) keeps
+    ~2^-4 RELATIVE precision per element regardless of the row's absmax,
+    which wins when rows carry outlier channels that would crush the
+    int8 scale (models without qk-norm, long-trained KV with rogue
+    heads). `outlier_tolerant=True` (the caller knows the model has
+    outlier-heavy KV rows) selects fp8 at 8-bit operating points.
     """
+    eight_bit = "fp8" if outlier_tolerant else "int8"
     if quality_floor:
-        return "int8"
+        return eight_bit
     if memory_bound or expected_kv_len >= INT4_KV_CROSSOVER_TOKENS:
         return "int4"
-    return "int8"
+    return eight_bit
 
 
 def validate_attention_inputs(q, k, v, *, api_name: str) -> None:

@@ -149,6 +149,165 @@ def _q_block_bounds(j, block_q, block_k, num_q_blocks, window_left,
     return first, last
 
 
+def _fused_bwd_kernel(
+    gmap_ref, imap_ref, jmap_ref,
+    *refs,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    num_kv_blocks: int,
+    ncells: int,
+    group: int,
+    window_left: int,
+    window_right: int,
+    softcap: float = 0.0,
+    softcap_mul: float = 0.0,
+    alibi: bool = False,
+    kv_off: int = 0,
+    diag_sub: int = 0,
+):
+    """Single-pass backward: dQ, dK and dV in ONE kernel.
+
+    The classic two-kernel split (dKV iterating q blocks per kv block, dQ
+    iterating kv blocks per q block — the public-JAX/FA2 shape) exists
+    because GPU thread-blocks cannot share accumulators. On a TPU the grid
+    is one sequential pipeline, so dK/dV can live as FULL-SEQUENCE fp32
+    VMEM accumulators (sk_p x d fits VMEM for any serving-relevant length)
+    while dQ accumulates per q block — one sweep over the (g, i, j) band
+    computes all three gradients. This drops 2 of the 9 two-kernel matmuls
+    (the second S recompute and the second dO V^T) and streams q/k/v/do
+    once instead of twice.
+
+    Grid: one flat 'arbitrary' dimension over batch x kv_heads x cells,
+    cells ordered g-major / i / j-inner (tables gmap/imap/jmap). dk/dv
+    outputs are (1, 1, sk_p, d) blocks whose index depends only on
+    (b, kv_head): Pallas keeps them VMEM-resident across all cells of a
+    (b, kv_head) and flushes once at the boundary; the kernel writes them
+    on the last cell.
+
+    Causal diagonal cells (i == j, square tiles, no tail) are
+    column-subtiled like the forward's bound path (_step_diag there):
+    every update here is additive (P comes from the saved LSE — no online
+    max), so kv column slab [c0, c0+diag_sub) pairs with just the rows
+    >= c0 that can see it and the dead upper triangle is never computed.
+    """
+    t = pl.program_id(0)
+    c = t % ncells
+    g = gmap_ref[c]
+    i = imap_ref[c]
+    j = jmap_ref[c]
+    if alibi:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, slopes_ref,
+         dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc) = refs
+        slopes_ref = None
+    first_j, last_j = _kv_block_bounds(
+        i, block_q, block_k, num_kv_blocks, window_left, window_right,
+        kv_off)
+    # lse/delta are (1, 1, bq, 1) fp32 blocks, fetched once per q ROW (the
+    # index map depends on (g, i) only, so the j-inner sweep reuses the
+    # resident block). A lane-packed [8, 256] stripe would be a denser
+    # DMA, but Mosaic cannot lower the (S, 128) -> (bq, 1) shape cast
+    # ("infer-vector-layout: unsupported shape cast" on v5e).
+    lse_all = lse_ref[0, 0]
+    delta_all = delta_ref[0, 0]
+
+    @pl.when(c == 0)
+    def _init_kv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(j == first_j)
+    def _init_q():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    needs_tail = (j + 1) * block_k > seqlen_k
+    needs_mask = _tile_needs_mask(i, j, block_q, block_k, seqlen_q,
+                                  seqlen_k, window_left, window_right,
+                                  kv_off)
+
+    def _accum(p, dcap, qs, dos, vs, ksl_lo, qsl, k_or_slab, delta):
+        """Shared additive update: dv/dk rows [ksl_lo, ksl_lo+w) and dq
+        rows qsl, from probability slab p."""
+        w = p.shape[1]
+        dv_acc[pl.ds(ksl_lo, w)] += jax.lax.dot_general(
+            p.astype(dos.dtype), dos, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            dos.astype(vs.dtype), vs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        if dcap is not None:
+            ds = ds * dcap
+        ds = ds.astype(qs.dtype)
+        dk_acc[pl.ds(ksl_lo, w)] += jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_acc[qsl] += jax.lax.dot_general(
+            ds, k_or_slab, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _step(masked: bool):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
+                           window_left, window_right, kv_off)
+                if masked else None)
+        bias = (_alibi_bias(i, j, block_q, block_k, slopes_ref)
+                if alibi else None)
+        p, dcap = _recompute_p(q, k, lse_all, mask, scale * _LOG2E,
+                               softcap, softcap_mul, bias)
+        _accum(p, dcap, q, do, v, j * block_k, slice(None), k, delta_all)
+
+    def _step_diag():
+        for cs in range(block_k // diag_sub):
+            c0 = cs * diag_sub
+            qsl = slice(c0, block_q)
+            q = q_ref[0, 0, qsl]
+            kk = k_ref[0, 0, c0:c0 + diag_sub]
+            vv = v_ref[0, 0, c0:c0 + diag_sub]
+            do = do_ref[0, 0, qsl].astype(jnp.float32)
+            rowa = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q - c0, 1), 0)
+            cola = jax.lax.broadcasted_iota(
+                jnp.int32, (1, diag_sub), 1)
+            p, dcap = _recompute_p(q, kk, lse_all[qsl],
+                                   cola <= rowa, scale * _LOG2E,
+                                   softcap, softcap_mul, None)
+            _accum(p, dcap, q, do, vv, j * block_k + c0, qsl, kk,
+                   delta_all[qsl])
+
+    if diag_sub:
+        fast = jnp.logical_and(i == j, jnp.logical_not(needs_tail))
+    else:
+        fast = jnp.bool_(False)
+    do_masked = jnp.logical_and(needs_mask, jnp.logical_not(fast))
+    do_plain = jnp.logical_not(needs_mask)
+    if diag_sub:
+        pl.when(fast)(_step_diag)
+    pl.when(do_masked)(lambda: _step(True))
+    pl.when(do_plain)(lambda: _step(False))
+
+    @pl.when(j == last_j)
+    def _store_dq():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+    @pl.when(c == ncells - 1)
+    def _store_dkv():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
 def _dkv_body(
     j, g, i, run, first_i, last_i,
     *refs,
@@ -358,7 +517,7 @@ def _dq_tri_kernel(imap_ref, jmap_ref, *refs, **params):
     jax.jit,
     static_argnames=("causal", "softmax_scale", "window_size", "block_q",
                      "block_k", "interpret", "logit_softcap",
-                     "kv_position_offset"),
+                     "kv_position_offset", "fused"),
 )
 def flash_attention_bwd(
     q: jax.Array,  # [b, hq, sq, d]
@@ -377,12 +536,18 @@ def flash_attention_bwd(
     logit_softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
     kv_position_offset: int = 0,
+    fused: Optional[bool] = None,
 ):
     """-> (dq, dk, dv) on the [b, h, s, d] layout.
 
     kv_position_offset (static, >= 0): q row r sits at absolute position
     r + offset relative to the kv columns — the backward of the ring
-    attention pair (see prefill_attention's kv_position_offset)."""
+    attention pair (see prefill_attention's kv_position_offset).
+
+    fused: None = auto — use the single-pass kernel (_fused_bwd_kernel)
+    whenever the full-length dK/dV fp32 accumulators fit VMEM; True/False
+    force the choice (False keeps the classic two-kernel split, retained
+    for very long sequences and as an A/B reference)."""
     batch, num_heads, sq, head_dim = q.shape
     _, num_kv_heads, sk, _ = k.shape
     group = num_heads // num_kv_heads
@@ -432,6 +597,119 @@ def flash_attention_bwd(
 
     num_q_blocks = sq_p // bq
     num_kv_blocks = sk_p // bk
+
+    # ---------------- fused single-pass kernel ----------------
+    # Auto-select whenever the two full-length fp32 dK/dV accumulators fit
+    # comfortably in VMEM (16MB leaves room for the [bq, bk] fp32
+    # intermediates and double-buffered tiles at 1024x1024).
+    use_fused = (fused if fused is not None
+                 else sk_p * head_dim * 8 <= 16 * 1024 * 1024)
+    if use_fused:
+        # cell table, g-major / i / j-inner (python mirror of
+        # _kv_block_bounds, first clamped to last so every q block runs at
+        # least one in-range cell and stores its dq — zeros when dead)
+        f_g, f_i, f_j = [], [], []
+        for g_ in range(group):
+            for bi in range(num_q_blocks):
+                lj = (num_kv_blocks - 1 if window_right < 0 else
+                      max(0, min(num_kv_blocks - 1,
+                                 ((bi + 1) * bq + kv_off - 1 + window_right)
+                                 // bk)))
+                fj = (0 if window_left < 0
+                      else min(max(0, (bi * bq + kv_off - window_left) // bk),
+                               lj))
+                for bj in range(fj, lj + 1):
+                    f_g.append(g_)
+                    f_i.append(bi)
+                    f_j.append(bj)
+        ncells = len(f_i)
+        HKV = num_kv_heads
+        # Diagonal column-subtiling (additive updates make it free — see
+        # _fused_bwd_kernel): pure top-left causal with square tiles only.
+        dsub = (bq // 2 if (window_left < 0 and window_right == 0
+                            and kv_off == 0 and bq == bk and not alibi
+                            and bq // 2 >= 128)
+                else 0)
+
+        def qh_map(t, gm, im, jm):
+            return (t // (HKV * ncells),
+                    ((t // ncells) % HKV) * group + gm[t % ncells],
+                    im[t % ncells], 0)
+
+        def kv_map(t, gm, im, jm):
+            return (t // (HKV * ncells), (t // ncells) % HKV,
+                    jm[t % ncells], 0)
+
+        def dkv_map(t, gm, im, jm):
+            return (t // (HKV * ncells), (t // ncells) % HKV, 0, 0)
+
+        in_specs = [
+            pl.BlockSpec((1, 1, bq, head_dim), qh_map),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+            pl.BlockSpec((1, 1, bq, head_dim), qh_map),
+            pl.BlockSpec((1, 1, bq, 1), qh_map),
+            pl.BlockSpec((1, 1, bq, 1), qh_map),
+        ]
+        inputs = [qp, kp, vp, dop, lsep, deltap]
+        if alibi:
+            in_specs.append(pl.BlockSpec(
+                (1, 8, 128),
+                lambda t, gm, im, jm:
+                (((t // ncells) % HKV) * group + gm[t % ncells], 0, 0)))
+            inputs.append(slopes_in)
+        fparams = dict(
+            scale=float(softmax_scale),
+            softcap=float(logit_softcap),
+            softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                         if logit_softcap else 0.0),
+            block_q=bq, block_k=bk,
+            seqlen_q=sq, seqlen_k=sk,
+            num_kv_blocks=num_kv_blocks,
+            ncells=ncells,
+            group=group,
+            window_left=window_left, window_right=window_right,
+            alibi=alibi,
+            kv_off=kv_off,
+            diag_sub=dsub,
+        )
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_fused_bwd_kernel, **fparams),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(batch * HKV * ncells,),
+                in_specs=in_specs,
+                out_specs=[
+                    pl.BlockSpec((1, 1, bq, head_dim), qh_map),
+                    pl.BlockSpec((1, 1, sk_p, head_dim), dkv_map),
+                    pl.BlockSpec((1, 1, sk_p, head_dim), dkv_map),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((bq, head_dim), jnp.float32),
+                    pltpu.VMEM((sk_p, head_dim), jnp.float32),
+                    pltpu.VMEM((sk_p, head_dim), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((batch, num_heads, sq_p, head_dim),
+                                     q.dtype),
+                jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim),
+                                     k.dtype),
+                jax.ShapeDtypeStruct((batch, num_kv_heads, sk_p, head_dim),
+                                     v.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray(f_g, jnp.int32),
+            jnp.asarray(f_i, jnp.int32),
+            jnp.asarray(f_j, jnp.int32),
+            *inputs,
+        )
+        return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
 
     # Live band cells (python mirrors of _q_block_bounds/_kv_block_bounds);
     # when the window prunes anything, both kernels run on a flattened

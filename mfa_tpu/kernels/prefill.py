@@ -4,14 +4,17 @@ TPU-native re-design of the reference CUDA prefill kernel
 (csrc/mfa/prefill.cuh:711-803). Capabilities reproduced:
 
 - Tiled Q-block x KV-block online-softmax loop (reference hot loop
-  prefill.cuh:760-791) — here the KV loop is the innermost ("arbitrary")
-  grid dimension with fp32 m/l/acc scratch carried across iterations.
+  prefill.cuh:760-791) — here the whole (batch, head, q_block, kv_block)
+  iteration space is FLATTENED to one "arbitrary" grid dimension whose
+  live cells are enumerated by scalar-prefetched tables, so the Mosaic
+  pipeline never drains at batch/head boundaries (measured: the
+  (b, h, cell) grid stalled ~2us per (b, h) transition, which at
+  b8/s2048 — 3 cells per (b, h) — was ~25% of the whole kernel).
 - exp2-based softmax with the scale pre-multiplied by log2(e)
   (reference: csrc/mfa/api.cpp:99-100).
 - Causal masking with whole-block skipping (reference n_block_max pruning,
-  prefill.cuh:749-752). On TPU the grid is static, so skipping is done with
-  `pl.when` on the compute plus *clamped KV index maps* so that skipped
-  iterations re-address the previous block and trigger no new DMA.
+  prefill.cuh:749-752). On TPU the grid is static, so dead (q, kv) cells
+  are simply never enumerated in the cell table.
 - GQA/MQA head folding kv_head = q_head // group (prefill.cuh:49) done in
   the K/V BlockSpec index maps — no KV duplication in HBM.
 - Arbitrary (non-tile-multiple) sequence lengths via in-kernel column
@@ -24,6 +27,21 @@ TPU-native re-design of the reference CUDA prefill kernel
 The MMA/ldmatrix/swizzle machinery of the reference (prefill.cuh:317-364,
 traits.h:39-47) has no hand-written analog here: tiles are fed to the MXU
 with `jax.lax.dot_general` and Mosaic owns layout.
+
+Two kernel variants share the wrapper:
+
+- classic: online-softmax with per-row running max (the reference's state
+  machine, prefill.cuh:452-483).
+- max-free ("bound"): the online-softmax shift is fixed at ZERO — one
+  exp2 pass per tile, no rowmax reduce, no alpha rescale (on TPU the VPU,
+  not the MXU, is the per-tile bottleneck at d=128). Softmax is
+  shift-invariant, so this is exact for every block whose score range
+  provably stays inside fp32 exp2 range (|q|max*|k|max*scale*log2e <=
+  100, checked per q block in a fused prepass, Cauchy-Schwarz); the rare
+  risky block runs the classic body EMBEDDED in the same kernel behind
+  `pl.when`. Measured on v5e: a whole-array `lax.cond` between two
+  kernels round-trips the operands (~0.5 ms at b8/s2048); the in-kernel
+  branch costs ~2 TFLOP/s and nothing touches O twice.
 """
 
 from __future__ import annotations
@@ -50,46 +68,95 @@ _LOG2E = math.log2(math.e)
 _LN2 = math.log(2.0)
 # Large negative, safe in fp32 exp2 (exp2(x - m) flushes to 0, never NaN).
 _MASK = -1e30
+# Max-free safety horizon: with the softmax shift m fixed at ZERO,
+# p = exp2(s * scale_log2e) is exact as long as every |score| * scale
+# stays within fp32 exp2 range — winning entries must not flush to 0
+# (arg > -126) and p/l/acc must not overflow (arg + log2(block) < 128).
+# |s| <= |q||k|, so blocks with |q|_max |k|_max * scale_log2e <= SAFE
+# are provably exact; others take the embedded classic body. 100 leaves
+# >= 26 doublings of headroom on both sides. See _bound_risky.
+_BOUND_SAFE_LOG2 = 100.0
 
 
-def _prefill_kernel(*refs, **params):
-    """Rectangular-grid variant: (batch, heads, q_blocks, kv_blocks); kv
-    blocks outside the visible band idle behind `run` (used when there is
-    no band to prune)."""
-    i = pl.program_id(2)  # q block index
-    j = pl.program_id(3)  # kv block index
-    first_j, last_j = _kv_block_bounds(
-        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
-        params["window_left"], params["window_right"],
-        params.get("kv_off", 0),
-    )
-    run = jnp.logical_and(j >= first_j, j <= last_j)
-    _prefill_body(i, j, run, first_j, last_j, *refs, **params)
+def _lane_partial_sum(p):
+    """[rows, w] -> [rows, LANES] partial row sums (w a multiple of LANES).
+
+    Defers the cross-lane reduction to the q-block epilogue: the hot loop
+    does only full-vreg adds (no lane shuffles), and the single
+    [rows, LANES] -> [rows, 1] reduce runs once per q block. Widths not a
+    multiple of LANES (sub-128 diag slabs) fall back to a keepdims sum,
+    which broadcasts against the [rows, LANES] accumulator."""
+    w = p.shape[1]
+    if w % LANES:
+        return jnp.sum(p, axis=1, keepdims=True)
+    acc = p[:, :LANES]
+    for c0 in range(LANES, w, LANES):
+        acc = acc + p[:, c0:c0 + LANES]
+    return acc
 
 
-def _prefill_tri_kernel(imap_ref, jmap_ref, *refs, **params):
-    """Triangular-grid variant: the (q_block, kv_block) plane is flattened
-    to only the LIVE cells of the causal/window band, enumerated by the
-    scalar-prefetched (imap, jmap) tables. This is the exact TPU analog of
-    the reference's n_block_max grid pruning (prefill.cuh:749-752): where
-    CUDA sizes the grid per-CTA and exits early, a TPU grid is static — so
-    the dead cells are never enumerated at all. At seqlen 8k with 1024
-    tiles, 44% of the rectangular grid is dead; here it costs nothing."""
-    t = pl.program_id(2)
-    i = imap_ref[t]
-    j = jmap_ref[t]
-    first_j, last_j = _kv_block_bounds(
-        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
-        params["window_left"], params["window_right"],
-        params.get("kv_off", 0),
-    )
-    _prefill_body(i, j, None, first_j, last_j, *refs, **params)
+def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left,
+                     window_right, kv_off=0):
+    """Range of KV blocks intersecting q block i's visible window.
+    kv_off: static amount by which q ABSOLUTE positions lead the kv
+    columns (ring-attention pairs) — shifts the row base.
+
+    first is clamped to last: when the window lies entirely past a
+    SHORTER kv sequence the raw range would be empty (first > last) and,
+    worse, first could index past the kv array — clamping runs one
+    in-range, fully-masked block instead, whose rows the dead-row store
+    guard then zeroes."""
+    if window_right >= 0:
+        last = jnp.minimum(
+            num_kv_blocks - 1,
+            ((i + 1) * block_q + kv_off - 1 + window_right) // block_k
+        )
+        last = jnp.maximum(last, 0)
+    else:
+        last = num_kv_blocks - 1
+    if window_left >= 0:
+        first = jnp.minimum(
+            jnp.maximum(0, (i * block_q + kv_off - window_left) // block_k),
+            last)
+    else:
+        first = 0
+    return first, last
+
+
+def _band_mask(s, i, j, block_q, block_k, seqlen_k, window_left,
+               window_right, sinks, kv_off, col0=0, ncols=None):
+    """Apply the sequence-tail / causal / window mask to a score slab
+    whose columns are [j*block_k + col0, ... + ncols). Skinny [bq,1]/[1,w]
+    iotas broadcast inside the compares — no full index planes (the
+    flash inner loop is VPU-bound, reference analog prefill.cuh:393-421)."""
+    nrows = s.shape[0]
+    ncols = s.shape[1] if ncols is None else ncols
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) \
+        + j * block_k + col0
+    mask = col < seqlen_k
+    if window_right >= 0 or window_left >= 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0) \
+            + i * block_q + kv_off
+        if window_right >= 0:
+            mask = jnp.logical_and(mask, col <= row + window_right)
+        if window_left >= 0:
+            in_window = col >= row - window_left
+            if sinks > 0:
+                # StreamingLLM attention sinks: the first `sinks` tokens
+                # stay visible through the window
+                in_window = jnp.logical_or(in_window, col < sinks)
+            mask = jnp.logical_and(mask, in_window)
+    return jnp.where(mask, s, _MASK)
+
+
+# --------------------------------------------------------------------------
+# classic (online max-tracking) kernel
+# --------------------------------------------------------------------------
 
 
 def _prefill_body(
     i,
     j,
-    run,
     first_j,
     last_j,
     *refs,
@@ -116,7 +183,7 @@ def _prefill_body(
         slopes_ref = None
 
     # with sinks, a q block's first enumerated cell is sink block 0
-    # (the triangular table lists sink blocks ahead of the window band)
+    # (the cell table lists sink blocks ahead of the window band)
     init_j = 0 if sinks > 0 else first_j
 
     @pl.when(j == init_j)
@@ -157,10 +224,7 @@ def _prefill_body(
             # the FINAL logit and the caller sets scale_log2e = log2(e).
             s = jnp.tanh(s * softcap_mul) * softcap
         # s stays in the RAW score domain; the softmax scale is folded into
-        # the exp2 argument below (s*c - m*c is one FMA pass over the tile,
-        # where a separate `s *= c` pass would cost an extra full [bq, bk]
-        # traversal — the inner loop is VPU-bound, reference analog
-        # api.cpp:99-100 pre-multiplies for the same reason).
+        # the exp2 argument below.
         if alibi:
             # slopes arrive pre-divided by the softmax scale so the bias
             # lands in the raw score domain; top-left-aligned |i - j|
@@ -200,28 +264,9 @@ def _prefill_body(
         k = k_ref[0, 0]  # [block_k, d]
         s = _scores(q, k, i * block_q + kv_off, j * block_k,
                     block_q, block_k)
-
         if masked:
-            # Skinny iotas: [bq, 1] rows and [1, bk] cols broadcast inside
-            # the compare, instead of materializing two full [bq, bk]
-            # index planes (2 fewer full-tile passes on masked blocks).
-            col = jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_k), 1) + j * block_k
-            mask = col < seqlen_k
-            if window_right >= 0 or window_left >= 0:
-                row = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, 1), 0) + i * block_q + kv_off
-                if window_right >= 0:
-                    mask = jnp.logical_and(mask, col <= row + window_right)
-                if window_left >= 0:
-                    in_window = col >= row - window_left
-                    if sinks > 0:
-                        # StreamingLLM attention sinks: the first `sinks`
-                        # tokens stay visible through the window
-                        in_window = jnp.logical_or(in_window, col < sinks)
-                    mask = jnp.logical_and(mask, in_window)
-            s = jnp.where(mask, s, _MASK)
-
+            s = _band_mask(s, i, j, block_q, block_k, seqlen_k,
+                           window_left, window_right, sinks, kv_off)
         _online_update(s, slice(None), v_ref[0, 0])
 
     def _step_diag():
@@ -263,10 +308,6 @@ def _prefill_body(
         fast = jnp.bool_(False)
     do_masked = jnp.logical_and(needs_mask, jnp.logical_not(fast))
     do_plain = jnp.logical_not(needs_mask)
-    if run is not None:
-        fast = jnp.logical_and(run, fast)
-        do_masked = jnp.logical_and(run, do_masked)
-        do_plain = jnp.logical_and(run, do_plain)
     if diag_sub:
         pl.when(fast)(_step_diag)
     pl.when(do_masked)(lambda: _step(True))
@@ -293,45 +334,50 @@ def _prefill_body(
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
-def _bound_kernel(*refs, **params):
-    """Rectangular-grid bound-softmax variant (see _bound_body)."""
-    i = pl.program_id(2)
-    j = pl.program_id(3)
+def _prefill_flat_kernel(imap_ref, jmap_ref, *refs, ncells, **params):
+    """Classic kernel on the flat grid: one 'arbitrary' dimension running
+    batch-major / head / cell-inner; the (q_block, kv_block) cell is read
+    from the scalar-prefetched tables."""
+    c = pl.program_id(0) % ncells
+    i = imap_ref[c]
+    j = jmap_ref[c]
     first_j, last_j = _kv_block_bounds(
         i, params["block_q"], params["block_k"], params["num_kv_blocks"],
         params["window_left"], params["window_right"],
         params.get("kv_off", 0),
     )
-    run = jnp.logical_and(j >= first_j, j <= last_j)
-    _bound_body(i, j, run, first_j, last_j, *refs, **params)
+    _prefill_body(i, j, first_j, last_j, *refs, **params)
 
 
-def _bound_tri_kernel(imap_ref, jmap_ref, *refs, **params):
-    """Triangular-grid bound-softmax variant (see _bound_body)."""
-    t = pl.program_id(2)
-    i = imap_ref[t]
-    j = jmap_ref[t]
+def _prefill_bht_kernel(imap_ref, jmap_ref, *refs, ncells, **params):
+    """Classic kernel on the (batch, head, cell) grid."""
+    c = pl.program_id(2)
+    i = imap_ref[c]
+    j = jmap_ref[c]
     first_j, last_j = _kv_block_bounds(
         i, params["block_q"], params["block_k"], params["num_kv_blocks"],
         params["window_left"], params["window_right"],
         params.get("kv_off", 0),
     )
-    _bound_body(i, j, None, first_j, last_j, *refs, **params)
+    _prefill_body(i, j, first_j, last_j, *refs, **params)
+
+
+# --------------------------------------------------------------------------
+# bound-softmax (max-free) kernel
+# --------------------------------------------------------------------------
 
 
 def _bound_body(
     i,
     j,
-    run,
+    risky,
     first_j,
     last_j,
     q_ref,
     k_ref,
     v_ref,
-    maxk_ref,
     o_ref,
     lse_ref,
-    flag_ref,
     m_scr,
     l_scr,
     acc_scr,
@@ -347,33 +393,40 @@ def _bound_body(
     sinks: int = 0,
     kv_off: int = 0,
     diag_sub: int = 0,
+    kv_slab: int = 0,
+    with_classic: bool = True,
 ):
-    """Max-free ("bound softmax") flash tile: the per-row running max is
-    replaced by a FIXED upper bound b_i = |q_i|_2 * max_j |k_j|_2
-    (Cauchy-Schwarz), computed once per q block at init. Softmax is
-    shift-invariant, so the result is exact as long as the winning entry
-    of each row does not underflow exp2 (arg > ~-126); `flag` records
-    min_row(l) per q block so the caller can detect total-underflow rows
-    (l == 0) and rerun the classic max-tracking kernel — which on real
-    data never triggers (RMS-normed activations give |q||k| ~ 1e2, four
-    orders below the ~1e3 raw-score underflow horizon at d=128).
+    """Max-free flash tile with an EMBEDDED per-block classic fallback.
 
-    Why: the online rowmax reduce + alpha-rescale chain is pure VPU time
-    ON TOP of the exp2/sum passes, measured at ~15% of the whole kernel
-    (probe: 137.4 -> 158.6 raw TFLOP/s with max tracking stripped, vs a
-    159.5 dots-only ceiling). The reference CUDA kernel tracks the max for
-    free alongside tensor-core MMAs (prefill.cuh:452-483); on TPU the VPU
-    is the bottleneck, so the TPU-native design removes the reduce from
-    the hot loop entirely instead of overlapping it.
+    Fast path: the online-softmax shift is fixed at ZERO — p is simply
+    exp2(s * scale_log2e), no running max, no rescale, no bound input at
+    all. Softmax is shift-invariant, so this is exact whenever every
+    score the block can produce keeps exp2 within fp32 range; the caller
+    proves |q|_max |k|_max * scale_log2e <= _BOUND_SAFE_LOG2 per q block
+    in a fused prepass and ships one RISKY BIT per (b, h, q_block) via
+    scalar prefetch. Rare risky blocks (adversarially scaled inputs)
+    run the classic max-tracking body INSIDE this kernel behind pl.when —
+    measured on v5e, the per-cell branch costs ~2 TFLOP/s where a
+    whole-array lax.cond between two kernels cost ~15 (the cond
+    round-trips the operands; b8/s2048 went 72 -> 87 TFLOP/s when it was
+    removed). The reference CUDA kernel tracks the max for free alongside
+    tensor-core MMAs (prefill.cuh:452-483); on TPU the VPU is the
+    bottleneck, so the TPU-native design removes the reduce from the hot
+    loop entirely instead of overlapping it.
+
+    l_scr holds [bq, LANES] PARTIAL row sums (cross-lane reduce deferred
+    to the store); kv_slab > 0 splits non-diagonal tiles into column
+    slabs so Mosaic can overlap slab c+1's MXU dots with slab c's VPU
+    exp2 pass. m_scr carries the classic running max for risky blocks
+    and sits at exactly 0 for safe ones, which makes the store formulas
+    (normalize + LSE + dead-row guard) shared by both paths.
     """
     init_j = 0 if sinks > 0 else first_j
 
     @pl.when(j == init_j)
     def _init():
-        qf = q_ref[0, 0].astype(jnp.float32)
-        qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))  # [bq, 1]
-        m_scr[...] = jnp.broadcast_to(
-            qn * maxk_ref[0, 0, :1, :1], m_scr.shape)
+        m_scr[...] = jnp.full_like(
+            m_scr, jnp.where(risky, jnp.float32(_MASK), 0.0))
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -389,50 +442,51 @@ def _bound_body(
         )
     needs_mask = jnp.logical_or(needs_tail, needs_diag)
 
-    def _step(masked: bool):
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if masked:
-            col = jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_k), 1) + j * block_k
-            mask = col < seqlen_k
-            if window_right >= 0 or window_left >= 0:
-                row = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, 1), 0) + i * block_q + kv_off
-                if window_right >= 0:
-                    mask = jnp.logical_and(mask, col <= row + window_right)
-                if window_left >= 0:
-                    in_window = col >= row - window_left
-                    if sinks > 0:
-                        in_window = jnp.logical_or(in_window, col < sinks)
-                    mask = jnp.logical_and(mask, in_window)
-            s = jnp.where(mask, s, _MASK)
-        # The fixed bound makes this the WHOLE per-tile vector chain:
-        # one fused FMA+exp2 pass and one rowsum pass.
-        p = jnp.exp2(s * scale_log2e - m_scr[:, :1] * scale_log2e)
-        l_scr[...] = l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0]
+    def _slab_update(s, qsl, v):
+        """Purely additive max-free update (shift fixed at 0): one exp2
+        pass, partial-lane l sums, PV accumulate for the rows in qsl.
+        Masked entries are s = -1e30 -> exp2(-huge) = 0 exactly."""
+        p = jnp.exp2(s * scale_log2e)
+        ps = _lane_partial_sum(p)
+        if ps.shape[1] == 1:
+            # sub-LANES slab: a full [rows, 1] sum — land it in lane 0
+            # only (the store cross-lane-sums l_scr, so a broadcast add
+            # would count it LANES times)
+            l_scr[qsl, :1] = l_scr[qsl, :1] + ps
+        else:
+            l_scr[qsl, :] = l_scr[qsl, :] + ps
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_scr[...] = acc_scr[...] + pv
+        acc_scr[qsl, :] = acc_scr[qsl, :] + pv
+
+    def _step(masked: bool):
+        q = q_ref[0, 0]
+        width = kv_slab if kv_slab else block_k
+        for c in range(block_k // width):
+            ksl = slice(c * width, (c + 1) * width)
+            s = jax.lax.dot_general(
+                q, k_ref[0, 0, ksl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if masked:
+                s = _band_mask(s, i, j, block_q, block_k, seqlen_k,
+                               window_left, window_right, sinks, kv_off,
+                               col0=c * width)
+            _slab_update(s, slice(None), v_ref[0, 0, ksl])
 
     def _step_diag():
         """Causal diagonal cell (i == j, block_q == block_k, no tail),
-        COLUMN-subtiled into tall slabs. Because the bound-softmax update
-        is purely additive (no running max, no alpha rescale), the dead
-        upper triangle can be dropped at trace time by pairing kv column
-        slab [c0, c0+diag_sub) with only the q rows that can see it
-        (rows >= c0): each sub-dot is a tall [bq - c0, diag_sub] MXU call
-        and executed FLOPs drop from bq^2 to ~bq^2 * (1 + 1/n)/2 at
-        n = bq/diag_sub slabs. The classic path can't do this cheaply —
-        its per-slab m/l/acc online chain over overlapping row ranges
-        costs more VPU time than the dead triangle costs MXU time
-        (measured: diag_block=256 classic 61.7 vs 71.3 TFLOP/s monolith)."""
+        COLUMN-subtiled into tall slabs: kv column slab [c0, c0+diag_sub)
+        is paired with only the q rows that can see it (rows >= c0), so
+        the dead upper triangle is dropped at trace time — each sub-dot
+        is a tall [bq - c0, diag_sub] MXU call and executed FLOPs drop
+        from bq^2 to ~bq^2 * (1 + 1/n)/2 at n = bq/diag_sub slabs. Only
+        additive updates make this cheap; the classic kernel's online
+        chain over overlapping row ranges costs more VPU time than the
+        dead triangle costs MXU time (measured: diag 256 classic 61.7 vs
+        71.3 TFLOP/s monolith)."""
         nsub = block_k // diag_sub
         for c in range(nsub):
             c0 = c * diag_sub
@@ -452,83 +506,122 @@ def _bound_body(
             cola = jax.lax.broadcasted_iota(
                 jnp.int32, (1, diag_sub), 1)
             s = jnp.where(cola <= rowa, s, _MASK)
-            p = jnp.exp2(s * scale_log2e - m_scr[qsl, :1] * scale_log2e)
-            l_scr[qsl, :] = l_scr[qsl, :] + jnp.sum(p, axis=1, keepdims=True)
-            vv = v_ref[0, 0, c0:c0 + diag_sub]
-            pv = jax.lax.dot_general(
-                p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_scr[qsl, :] = acc_scr[qsl, :] + pv
+            _slab_update(s, qsl, v_ref[0, 0, c0:c0 + diag_sub])
+
+    def _step_classic():
+        """Embedded classic max-tracking body for RISKY blocks (scores
+        can leave fp32 exp2 range with the zero shift). Always masked —
+        this path is exactness-critical and rare, never hot."""
+        q = q_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = _band_mask(s, i, j, block_q, block_k, seqlen_k,
+                       window_left, window_right, sinks, kv_off)
+        m_prev = m_scr[...]  # [bq, LANES], raw domain
+        m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp2((m_prev - m_next) * scale_log2e)
+        # subtract-FIRST (see _prefill_body._online_update): the fused
+        # s*c - m*c FMA leaves a +-1e22 residual when s == m == -1e30
+        p = jnp.exp2((s - m_next[:, :1]) * scale_log2e)
+        l_scr[...] = alpha * l_scr[...] + _lane_partial_sum(p)
+        m_scr[...] = m_next
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     # diag_sub > 0 is only set for pure top-left causal with bq == bk
     # (see prefill_attention): the masked live cells are exactly i == j
     # plus the sequence-tail column, and tail cells keep the generic path.
+    safe = jnp.logical_not(risky) if with_classic else jnp.bool_(True)
     if diag_sub:
         fast = jnp.logical_and(i == j, jnp.logical_not(needs_tail))
     else:
         fast = jnp.bool_(False)
     do_masked = jnp.logical_and(needs_mask, jnp.logical_not(fast))
     do_plain = jnp.logical_not(needs_mask)
-    if run is not None:
-        fast = jnp.logical_and(run, fast)
-        do_masked = jnp.logical_and(run, do_masked)
-        do_plain = jnp.logical_and(run, do_plain)
     if diag_sub:
-        pl.when(fast)(_step_diag)
-    pl.when(do_masked)(lambda: _step(True))
-    pl.when(do_plain)(lambda: _step(False))
+        pl.when(jnp.logical_and(safe, fast))(_step_diag)
+    pl.when(jnp.logical_and(safe, do_masked))(lambda: _step(True))
+    pl.when(jnp.logical_and(safe, do_plain))(lambda: _step(False))
+    if with_classic:
+        pl.when(risky)(_step_classic)
 
     @pl.when(j == last_j)
     def _store():
-        l = l_scr[:, :1]
-        l_safe = jnp.where(jnp.logical_or(l == 0.0, jnp.isnan(l)), 1.0, l)
-        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        l = jnp.sum(l_scr[...], axis=1, keepdims=True)
+        # Dead rows (no visible column): on the safe path masked scores
+        # contribute exp2(-huge) = 0 so l == 0 detects them; on the
+        # classic path m stays at its _MASK init while p = 1 pollutes l,
+        # so m detects them (m is exactly 0 for safe blocks — never near
+        # _MASK).
+        dead = m_scr[:, :1] <= _MASK * 0.5
+        bad = jnp.logical_or(dead, jnp.logical_or(l == 0.0, jnp.isnan(l)))
+        l_safe = jnp.where(bad, 1.0, l)
+        o = acc_scr[...] / l_safe
+        o_ref[0, 0] = jnp.where(dead, 0.0, o).astype(o_ref.dtype)
         if with_lse:
+            # shared formula: m = 0 on the safe path, the raw running max
+            # on the classic path
             lse = m_scr[:, :1] * (scale_log2e * _LN2) + jnp.log(l_safe)
-            lse = jnp.where(l == 0.0, -jnp.inf, lse)
+            lse = jnp.where(jnp.logical_or(l == 0.0, dead), -jnp.inf, lse)
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
-        # Underflow flag: min l over rows that can legitimately see at
-        # least one kv column. Rows with an EMPTY visible set (only
-        # possible when a left window pushes past the end of a shorter
-        # kv sequence) are excluded; q-padding rows always see columns
-        # (top-left causal) so they never false-positive.
-        row = jax.lax.broadcasted_iota(
-            jnp.int32, (l.shape[0], 1), 0) + i * block_q + kv_off
-        valid = jnp.ones_like(l, jnp.bool_)
-        if window_left >= 0 and sinks == 0:
-            valid = row - window_left < seqlen_k
-        lv = jnp.where(valid, l, 1.0)
-        flag_ref[0, 0] = jnp.broadcast_to(
-            jnp.min(lv, axis=0, keepdims=True), flag_ref.shape[2:])
 
 
-def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left,
-                     window_right, kv_off=0):
-    """Range of KV blocks intersecting q block i's visible window.
-    kv_off: static amount by which q ABSOLUTE positions lead the kv
-    columns (ring-attention pairs) — shifts the row base.
+def _bound_flat_kernel(imap_ref, jmap_ref, bits_ref, *refs, ncells,
+                       num_q_blocks_pad, **params):
+    """Max-free kernel on the flat grid (see _prefill_flat_kernel).
+    bits_ref: scalar-prefetched per-(b, h, q_block) RISKY bit — blocks
+    whose score range cannot be proven inside fp32 exp2 range take the
+    embedded classic body (see _bound_body)."""
+    t = pl.program_id(0)
+    c = t % ncells
+    i = imap_ref[c]
+    j = jmap_ref[c]
+    risky = bits_ref[(t // ncells) * num_q_blocks_pad + i] != 0
+    first_j, last_j = _kv_block_bounds(
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
+    )
+    _bound_body(i, j, risky, first_j, last_j, *refs, **params)
 
-    first is clamped to last: when the window lies entirely past a
-    SHORTER kv sequence the raw range would be empty (first > last) and,
-    worse, first could index past the kv array — clamping runs one
-    in-range, fully-masked block instead, whose rows the dead-row store
-    guard then zeroes."""
-    if window_right >= 0:
-        last = jnp.minimum(
-            num_kv_blocks - 1,
-            ((i + 1) * block_q + kv_off - 1 + window_right) // block_k
-        )
-        last = jnp.maximum(last, 0)
-    else:
-        last = num_kv_blocks - 1
-    if window_left >= 0:
-        first = jnp.minimum(
-            jnp.maximum(0, (i * block_q + kv_off - window_left) // block_k),
-            last)
-    else:
-        first = 0
-    return first, last
+
+def _bound_bht_kernel(imap_ref, jmap_ref, bits_ref, *refs, ncells,
+                      num_q_blocks_pad, num_heads, **params):
+    """Max-free kernel on the (batch, head, cell) grid."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    c = pl.program_id(2)
+    i = imap_ref[c]
+    j = jmap_ref[c]
+    risky = bits_ref[(b * num_heads + h) * num_q_blocks_pad + i] != 0
+    first_j, last_j = _kv_block_bounds(
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
+    )
+    _bound_body(i, j, risky, first_j, last_j, *refs, **params)
+
+
+def _bound_risky(maxq, maxk, scale_log2e):
+    """True when the zero-shift softmax cannot be PROVEN exact for a
+    block whose |q| / |k| row-norm maxima are maxq / maxk.
+
+    Every score satisfies |s| <= maxq*maxk (Cauchy-Schwarz), so
+    maxq*maxk*scale_log2e <= _BOUND_SAFE_LOG2 keeps every exp2 argument
+    within +-100: no winning entry flushes to zero (fp32 flushes below
+    2^-126) and no p/l/acc overflows (fp32 tops out at 2^128; l sums at
+    most block_k <= 2^11 terms and acc folds |v| <= 2^15, both inside
+    the >= 26-doubling headroom). Entries >= ~2^-26 below a row's winner
+    survive; smaller ones flush to zero exactly as they vanish under the
+    classic kernel's rounding. Real RMS-normed activations sit ~4 orders
+    below the threshold; adversarially scaled inputs trip it and take
+    the embedded classic body instead."""
+    return maxq * maxk * abs(scale_log2e) > _BOUND_SAFE_LOG2
 
 
 @functools.partial(
@@ -545,6 +638,8 @@ def _kv_block_bounds(i, block_q, block_k, num_kv_blocks, window_left,
         "sink_tokens",
         "diag_block",
         "bound_softmax",
+        "kv_slab",
+        "flat_grid",
         "kv_position_offset",
     ),
 )
@@ -565,6 +660,8 @@ def prefill_attention(
     alibi_slopes: Optional[jax.Array] = None,
     diag_block: Optional[int] = None,
     bound_softmax: Optional[bool] = None,
+    kv_slab: Optional[int] = None,
+    flat_grid: Optional[bool] = None,
     kv_position_offset: int = 0,
 ):
     """Flash-attention forward on [batch, heads, seq, head_dim] layout.
@@ -574,6 +671,23 @@ def prefill_attention(
 
     Causal is top-left aligned (col > row masked), matching the reference
     (csrc/mfa/prefill.cuh:393-421); causal == window (-1, 0).
+
+    diag_block selects the causal-diagonal sub-tile size. It is overloaded
+    by design: on the bound-softmax path it is the COLUMN slab width of
+    _bound_body._step_diag; on the classic path it is the square sub-tile
+    of _prefill_body._step_diag. None = auto (tuned default); 0 = force
+    the monolithic diagonal; an explicit positive value that cannot apply
+    (window/sinks active, bq mismatch, non-divisor) raises ValueError
+    rather than being silently dropped.
+
+    kv_slab (bound path only): column slab width for NON-diagonal tiles
+    (None = auto, 0 = monolithic tiles).
+
+    flat_grid: None = auto. True flattens (batch, head, cell) into ONE
+    'arbitrary' grid dimension — keeps the Mosaic pipeline running across
+    (b, h) boundaries, which wins when cells-per-(b, h) is small; False
+    keeps the (b, h, cell) grid with parallel semantics, which pipelines
+    better at long sequences (measured on v5e, scripts/probe_r3.py).
 
     kv_position_offset (static, >= 0): q row r sits at ABSOLUTE position
     r + kv_position_offset relative to the kv columns — causal/window
@@ -614,40 +728,65 @@ def prefill_attention(
     # masked-monolith path.
     diag_ok = (window_left < 0 and window_right == 0 and sink_tokens == 0
                and kv_off == 0 and bq == bk)
-    dsub = cfg.diag_block if diag_block is None else diag_block
-    if not (diag_ok and dsub and bq > dsub and bq % dsub == 0):
-        dsub = 0
 
-    # Bound-softmax (max-free) fast path: exact whenever no row fully
-    # underflows (see _bound_body); a per-block min-l flag output detects
-    # the (adversarial-only) failure case and falls back to the classic
-    # max-tracking kernel under lax.cond. Softcap changes the score
-    # domain and ALiBi widens the underflow margin unboundedly — both
-    # keep the classic path.
+    def _resolve_sub(auto: int) -> int:
+        """diag_block -> effective sub-tile (0 = monolith). Explicit
+        positive values must actually apply (ADVICE r2: no silent drop)."""
+        if diag_block is None:
+            d = auto
+            if not (diag_ok and d and bq > d and bq % d == 0 and d >= 128):
+                return 0
+            return d
+        if diag_block == 0:
+            return 0
+        if not diag_ok:
+            raise ValueError(
+                "diag_block requires the pure causal path (no window/"
+                "sinks/kv_position_offset) with square tiles")
+        if diag_block >= bq:
+            return 0  # a slab covering the whole tile IS the monolith
+        if not (bq % diag_block == 0 and diag_block % 8 == 0):
+            raise ValueError(
+                f"diag_block={diag_block} must be a multiple of 8 "
+                f"dividing block_q={bq}")
+        return diag_block
+
+    # Max-free (zero-shift) fast path: exact for every block whose score
+    # range provably stays inside fp32 exp2 range (_bound_risky, checked
+    # per q block in a fused prepass); other blocks run the classic
+    # max-tracking body embedded in the same kernel. Softcap changes the
+    # score domain and ALiBi shifts scores unboundedly — both keep the
+    # standalone classic kernel unconditionally.
     if bound_softmax is None:
         bound_softmax = True
     use_bound = (bound_softmax and not logit_softcap
                  and alibi_slopes is None)
     if use_bound:
-        # Column-subtiled diagonal (see _bound_body._step_diag); explicit
-        # diag_block overrides. Measured on v5e (scripts/ab_bound.py,
-        # b*s=32k tokens, h=24, d=128): at s=2048 (2 q blocks, diag cells
-        # are 2/3 of the grid) 512-slabs win — 76.4 vs 64.8 (256) vs 67.2
-        # (monolith) TFLOP/s; at s=8192 256/512 are within noise of each
-        # other (126.8/121.0) and both beat the monolith (124.9). Finer
-        # slabs lose everywhere (128: 56.6 at s=2048) — per-slab VPU
-        # passes outgrow the skipped-triangle MXU savings. The classic
-        # fallback inside the lax.cond stays monolithic (its online
-        # chain makes subtiling a loss: 61.7 vs 71.3).
-        if diag_block is not None:
-            bsub = diag_block
+        # Tuned on v5e at the BENCH shapes with iters>=48
+        # (scripts/probe_r3.py): short sequences (<= 2 q blocks, where
+        # diagonal cells are most of the grid) measured best with
+        # 256-wide diag + kv column slabs (87.4 vs 85.0 TFLOP/s at
+        # b8/s2048); longer ones with bq/2 diag slabs and monolithic
+        # full tiles (139.4 vs 132.9 at b2/s8192).
+        short = cdiv(sq, bq) <= 2
+        dsub = _resolve_sub(256 if (short and bq % 256 == 0 and bq > 256)
+                            else bq // 2)
+        if kv_slab is None:
+            slab = 256 if (short and bk % 256 == 0 and bk > 256) else 0
         else:
-            bsub = 512 if cdiv(sq, bq) <= 2 else 256
-        if not (diag_ok and bsub and bq > bsub and bq % bsub == 0):
-            bsub = 0
-        dsub = 0
+            slab = kv_slab
+        if slab and not (bk % slab == 0 and slab % 128 == 0 and slab < bk):
+            raise ValueError(
+                f"kv_slab={slab} must be a multiple of 128 dividing "
+                f"block_k={bk}")
     else:
-        bsub = 0
+        # The classic fallback keeps the monolithic diagonal: its online
+        # m/l/acc chain over overlapping row ranges makes subtiling a
+        # loss (measured 61.7 vs 71.3 TFLOP/s).
+        dsub = _resolve_sub(cfg.diag_block)
+        slab = 0
+        if kv_slab:
+            raise ValueError("kv_slab applies to the bound-softmax path")
 
     sq_p = round_up(sq, bq)
     sk_p = round_up(sk, bk)
@@ -659,11 +798,6 @@ def prefill_attention(
 
     num_q_blocks = sq_p // bq
     num_kv_blocks = sk_p // bk
-
-    def kv_index_map(b, h, i, j):
-        first, last = _kv_block_bounds(i, bq, bk, num_kv_blocks,
-                                       window_left, window_right, kv_off)
-        return (b, h // group, jnp.clip(j, first, last), 0)
 
     kparams = dict(
         # with softcap, the scale is applied inside the tanh argument and
@@ -677,36 +811,16 @@ def prefill_attention(
         window_left=window_left,
         window_right=window_right,
         with_lse=return_lse,
-        softcap=float(logit_softcap),
-        softcap_mul=(float(softmax_scale) / float(logit_softcap)
-                     if logit_softcap else 0.0),
-        sinks=int(sink_tokens),
-        alibi=alibi_slopes is not None,
-        diag_sub=int(dsub),
         kv_off=kv_off,
+        sinks=int(sink_tokens),
     )
-    if alibi_slopes is not None:
-        if logit_softcap:
-            raise ValueError("alibi_slopes and logit_softcap are exclusive")
-        # pre-divide by the scale: the kernel's scores are raw (unscaled)
-        slopes_in = jnp.broadcast_to(
-            (jnp.asarray(alibi_slopes, jnp.float32)
-             / float(softmax_scale))[:, None, None],
-            (num_heads, 8, LANES),  # 8 sublanes: Mosaic block tiling
-        )
-    kernel = functools.partial(_prefill_kernel, **kparams)
 
     out_shapes = [
         jax.ShapeDtypeStruct((batch, num_heads, sq_p, head_dim), q.dtype),
         jax.ShapeDtypeStruct((batch, num_heads, sq_p, LANES), jnp.float32),
     ]
-    out_specs = [
-        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, i, j: (b, h, i, 0)),
-    ]
     if not return_lse:
         out_shapes = out_shapes[:1]
-        out_specs = out_specs[:1]
 
     flops_mult = 0.5 if window_right == 0 and sq == sk else 1.0
     scratch_shapes = [
@@ -724,10 +838,10 @@ def prefill_attention(
     )
 
     # Live (q_block, kv_block) cells of the visibility band (python mirror
-    # of _kv_block_bounds). When the band prunes anything, flatten the two
-    # block axes to just these cells (triangular grid) so dead cells are
-    # never enumerated — the reference's n_block_max pruning, inverted for
-    # TPU's static grids.
+    # of _kv_block_bounds). Dead cells are never enumerated — the
+    # reference's n_block_max pruning (prefill.cuh:749-752), inverted for
+    # TPU's static grids. Attention-sink blocks are listed ahead of the
+    # window band (they are invisible to the rectangular bounds).
     sink_blocks = cdiv(int(sink_tokens), bk) if sink_tokens else 0
     cells_i, cells_j = [], []
     for bi in range(num_q_blocks):
@@ -741,140 +855,145 @@ def prefill_attention(
         first = (0 if window_left < 0
                  else min(max(0, (bi * bq + kv_off - window_left) // bk),
                           last))
-        # attention-sink blocks stay visible ahead of the window band
         for bj in range(min(sink_blocks, first)):
             cells_i.append(bi)
             cells_j.append(bj)
         for bj in range(first, last + 1):
             cells_i.append(bi)
             cells_j.append(bj)
-    # Sinks REQUIRE the triangular grid: only its cell table enumerates
-    # the sink blocks sitting below the window band — the rectangular
-    # kernel's `run` gate and clamped kv index maps skip everything
-    # outside [first_j, last_j], silently dropping sink attention when
-    # the sink cells happen to fill the pruned gap exactly.
-    use_tri = (len(cells_i) < num_q_blocks * num_kv_blocks
-               or sink_blocks > 0)
+    ncells = len(cells_i)
+    H, C = num_heads, ncells
+    # Grid layout (measured, scripts/probe_r3.py on v5e): flattening
+    # (b, h, cell) into ONE 'arbitrary' dimension keeps the pipeline
+    # running across (b, h) boundaries and wins when each (b, h) has only
+    # a handful of cells; the (b, h, cell) grid with parallel semantics
+    # pipelines better once the per-(b, h) cell run is long.
+    use_flat = flat_grid if flat_grid is not None else C <= 8
 
-    def _call(variant_kernel, tri_variant_kernel, extra_inputs=(),
-              extra_in_specs=(), extra_out_shapes=(), extra_out_specs=(),
-              n_scratch=3):
-        v_out_shapes = out_shapes + list(extra_out_shapes)
-        if use_tri:
-            qo_map = lambda b, h, t, im, jm: (b, h, im[t], 0)  # noqa: E731
-            kv_map = lambda b, h, t, im, jm: (b, h // group, jm[t], 0)  # noqa: E731
-            tri_in_specs = [
-                pl.BlockSpec((1, 1, bq, head_dim), qo_map),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_map),
-                pl.BlockSpec((1, 1, bk, head_dim), kv_map),
-            ] + [s(True) for s in extra_in_specs]
-            v_out_specs = [
-                pl.BlockSpec(spec.block_shape, qo_map) for spec in out_specs
-            ] + [s(True) for s in extra_out_specs]
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(batch, num_heads, len(cells_i)),
-                in_specs=tri_in_specs,
-                out_specs=v_out_specs,
-                scratch_shapes=scratch_shapes,
-            )
-            kern = (tri_variant_kernel if return_lse
-                    else _drop_lse_arg(tri_variant_kernel, n_scratch))
-            return pl.pallas_call(
-                kern,
-                grid_spec=grid_spec,
-                out_shape=v_out_shapes,
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("parallel", "parallel", "arbitrary"),
-                    vmem_limit_bytes=100 * 1024 * 1024,
-                ),
-                cost_estimate=cost,
-                interpret=interpret,
-            )(
-                jnp.asarray(cells_i, jnp.int32),
-                jnp.asarray(cells_j, jnp.int32),
-                q, k, v, *extra_inputs,
-            )
-        rect_in_specs = [
-            pl.BlockSpec((1, 1, bq, head_dim),
-                         lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
-            pl.BlockSpec((1, 1, bk, head_dim), kv_index_map),
-        ] + [s(False) for s in extra_in_specs]
-        v_out_specs = out_specs + [s(False) for s in extra_out_specs]
-        kern = (variant_kernel if return_lse
-                else _drop_lse_arg(variant_kernel, n_scratch))
+    def _call(bht_kernel, flat_kernel, extra_inputs=(), extra_in_specs=(),
+              extra_prefetch=()):
+        """One pallas_call on the selected grid. extra_in_specs entries
+        are callables (flat: bool) -> BlockSpec; extra_prefetch arrays
+        ride as additional scalar-prefetch args (int32)."""
+        if use_flat:
+            qo_map = lambda t, *_: \
+                (t // (H * C), (t // C) % H, _[0][t % C], 0)  # noqa: E731
+            kv_map = lambda t, *_: \
+                (t // (H * C), ((t // C) % H) // group,
+                 _[1][t % C], 0)  # noqa: E731
+            grid = (batch * H * C,)
+            semantics = ("arbitrary",)
+            kernel = flat_kernel
+        else:
+            qo_map = lambda b, h, t, *_: (b, h, _[0][t], 0)  # noqa: E731
+            kv_map = lambda b, h, t, *_: \
+                (b, h // group, _[1][t], 0)  # noqa: E731
+            grid = (batch, H, C)
+            semantics = ("parallel", "parallel", "arbitrary")
+            kernel = bht_kernel
+        in_specs = [
+            pl.BlockSpec((1, 1, bq, head_dim), qo_map),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+            pl.BlockSpec((1, 1, bk, head_dim), kv_map),
+        ] + [s(use_flat) for s in extra_in_specs]
+        out_specs = [
+            pl.BlockSpec((1, 1, bq, head_dim), qo_map),
+            pl.BlockSpec((1, 1, bq, LANES), qo_map),
+        ][: len(out_shapes)]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 + len(extra_prefetch),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        kern = kernel if return_lse else _drop_lse_arg(kernel)
         return pl.pallas_call(
             kern,
-            grid=(batch, num_heads, num_q_blocks, num_kv_blocks),
-            in_specs=rect_in_specs,
-            out_specs=v_out_specs,
-            out_shape=v_out_shapes,
-            scratch_shapes=scratch_shapes,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "parallel",
-                                     "arbitrary"),
+                dimension_semantics=semantics,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             cost_estimate=cost,
             interpret=interpret,
-        )(q, k, v, *extra_inputs)
+        )(
+            jnp.asarray(cells_i, jnp.int32),
+            jnp.asarray(cells_j, jnp.int32),
+            *extra_prefetch,
+            q, k, v, *extra_inputs,
+        )
 
     def call_classic():
+        cparams = dict(
+            kparams,
+            softcap=float(logit_softcap),
+            softcap_mul=(float(softmax_scale) / float(logit_softcap)
+                         if logit_softcap else 0.0),
+            alibi=alibi_slopes is not None,
+            diag_sub=int(dsub if not use_bound else 0),
+        )
         extra_inputs, extra_in_specs = (), ()
         if alibi_slopes is not None:
-            extra_inputs = (slopes_in,)
-            extra_in_specs = (
-                lambda tri: pl.BlockSpec(
-                    (1, 8, LANES),
-                    (lambda b, h, t, im, jm: (h, 0, 0)) if tri
-                    else (lambda b, h, i, j: (h, 0, 0))),
+            if logit_softcap:
+                raise ValueError(
+                    "alibi_slopes and logit_softcap are exclusive")
+            # pre-divide by the scale: the kernel's scores are raw; the 8
+            # sublanes exist only for Mosaic's block tiling
+            slopes_in = jnp.broadcast_to(
+                (jnp.asarray(alibi_slopes, jnp.float32)
+                 / float(softmax_scale))[:, None, None],
+                (num_heads, 8, LANES),
             )
-        outs = _call(kernel, functools.partial(_prefill_tri_kernel,
-                                               **kparams),
-                     extra_inputs, extra_in_specs)
+            extra_inputs = (slopes_in,)
+            extra_in_specs = (lambda flat: pl.BlockSpec(
+                (1, 8, LANES),
+                (lambda t, *_: ((t // C) % H, 0, 0)) if flat
+                else (lambda b, h, t, *_: (h, 0, 0))),)
+        outs = _call(
+            functools.partial(_prefill_bht_kernel, ncells=C, **cparams),
+            functools.partial(_prefill_flat_kernel, ncells=C, **cparams),
+            extra_inputs, extra_in_specs)
         return tuple(outs) if isinstance(outs, (list, tuple)) else (outs,)
 
     if use_bound:
-        bparams = dict(
-            scale_log2e=kparams["scale_log2e"], block_q=bq, block_k=bk,
-            seqlen_k=sk, num_kv_blocks=num_kv_blocks,
-            window_left=window_left, window_right=window_right,
-            with_lse=return_lse, sinks=int(sink_tokens), kv_off=kv_off,
-            diag_sub=int(bsub),
-        )
+        # bound_softmax="unchecked": the caller statically asserts its
+        # activations keep |q||k|*scale*log2e under _BOUND_SAFE_LOG2
+        # (e.g. RMS-normed q/k), so the classic fallback body is not
+        # compiled in at all. Results for inputs violating the assertion
+        # are numerically wrong — the default keeps the embedded guard.
+        bparams = dict(kparams, diag_sub=int(dsub), kv_slab=int(slab),
+                       with_classic=bound_softmax != "unchecked")
+        # ONE fused reduce over each of Q and K yields the per-q-block
+        # RISKY bits (can this block's scores leave fp32 exp2 range under
+        # the zero shift? — see _bound_risky); the bits ride as scalar
+        # prefetch, and risky blocks take the classic body EMBEDDED in
+        # the same kernel. No lax.cond: a whole-array cond between two
+        # kernels measured ~0.5 ms of operand round-tripping at b8/s2048
+        # (72 -> 87 TFLOP/s without it), while the in-kernel branch costs
+        # ~2 TFLOP/s and the prepass ~1.
         kf32 = k.astype(jnp.float32)
         maxk = jnp.max(jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1)),
                        axis=-1)  # [b, hkv]
-        maxk_in = jnp.broadcast_to(maxk[:, :, None, None],
-                                   (batch, num_kv_heads, 8, LANES))
-        extra_inputs = (maxk_in,)
-        extra_in_specs = (
-            lambda tri: pl.BlockSpec(
-                (1, 1, 8, LANES),
-                (lambda b, h, t, im, jm: (b, h // group, 0, 0)) if tri
-                else (lambda b, h, i, j: (b, h // group, 0, 0))),
+        qf32 = q.astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(qf32 * qf32, axis=-1))  # [b, hq, sq_p]
+        qn_blk = jnp.max(
+            qn.reshape(batch, num_heads, num_q_blocks, bq), axis=-1)
+        risky_bits = _bound_risky(
+            qn_blk, jnp.repeat(maxk, group, axis=1)[:, :, None],
+            kparams["scale_log2e"],
+        ).reshape(-1).astype(jnp.int32)
+
+        outs = _call(
+            functools.partial(_bound_bht_kernel, ncells=C,
+                              num_q_blocks_pad=num_q_blocks,
+                              num_heads=H, **bparams),
+            functools.partial(_bound_flat_kernel, ncells=C,
+                              num_q_blocks_pad=num_q_blocks, **bparams),
+            extra_prefetch=(risky_bits,),
         )
-        # Mosaic requires the block's second-minor dim be a multiple of 8
-        # (sublanes), so the per-q-block flag occupies an 8-row stripe.
-        extra_out_shapes = (jax.ShapeDtypeStruct(
-            (batch, num_heads, num_q_blocks * 8, LANES), jnp.float32),)
-        extra_out_specs = (
-            lambda tri: pl.BlockSpec(
-                (1, 1, 8, LANES),
-                (lambda b, h, t, im, jm: (b, h, im[t], 0)) if tri
-                else (lambda b, h, i, j: (b, h, i, 0))),
-        )
-        outs_b = _call(
-            functools.partial(_bound_kernel, **bparams),
-            functools.partial(_bound_tri_kernel, **bparams),
-            extra_inputs, extra_in_specs, extra_out_shapes, extra_out_specs,
-            n_scratch=4,
-        )
-        flag = outs_b[-1]
-        risky = jnp.any(flag == 0.0)
-        outs = jax.lax.cond(risky, call_classic,
-                            lambda: tuple(outs_b[:-1]))
+        outs = tuple(outs) if isinstance(outs, (list, tuple)) else (outs,)
     else:
         outs = call_classic()
 
@@ -887,8 +1006,7 @@ def prefill_attention(
 
 def _drop_lse_arg(kernel, n_tail=3):
     """Adapt the kernel signature when no LSE output exists: the lse ref
-    sits immediately before the last `n_tail` refs (3 scratch refs; the
-    bound variant adds its flag output ref ahead of them)."""
+    sits immediately before the last `n_tail` refs (the 3 scratch refs)."""
 
     def wrapped(*refs):
         return kernel(*refs[:-n_tail], None, *refs[-n_tail:])

@@ -28,12 +28,12 @@ def main():
         v = jax.random.normal(jax.random.key(2), (b, h, s, d), jnp.bfloat16)
         flops = 4 * b * h * s * s * d * 0.5
         variants = [
-            ("bht d512", dict(flat_grid=False)),
-            ("bht d512 s512", dict(flat_grid=False, kv_slab=512)),
-            ("flat d512 s512", dict(flat_grid=True, kv_slab=512)),
-            ("flat d256 s256", dict(flat_grid=True, diag_block=256,
-                                    kv_slab=256)),
-            ("classic bht", dict(flat_grid=False, bound_softmax=False)),
+            ("default (merged)", dict()),
+            ("unchecked", dict(bound_softmax="unchecked")),
+            ("unchecked d256 s256", dict(bound_softmax="unchecked",
+                                         diag_block=256, kv_slab=256)),
+            ("unchecked d512 s0", dict(bound_softmax="unchecked",
+                                       diag_block=512, kv_slab=0)),
         ]
         for name, kw in variants:
             def step(qc, k, v, _kw=kw):

@@ -186,6 +186,12 @@ def test_recommend_kv_quant_crossover():
     assert recommend_kv_quant(16384) == "int4"
     assert recommend_kv_quant(512, memory_bound=True) == "int4"
     assert recommend_kv_quant(16384, quality_floor=True) == "int8"
+    # fp8 placement: outlier-heavy KV picks the exponent format at every
+    # 8-bit operating point (same bytes/roofline as int8)
+    assert recommend_kv_quant(512, outlier_tolerant=True) == "fp8"
+    assert recommend_kv_quant(
+        16384, quality_floor=True, outlier_tolerant=True) == "fp8"
+    assert recommend_kv_quant(16384, outlier_tolerant=True) == "int4"
 
 
 def test_engine_auto_quant():
