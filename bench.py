@@ -281,6 +281,20 @@ def main():
         _emit("serve_1b_decode_tok_s", res1["decode_tps"], "tok/s", 900.0)
     except Exception as e:
         print(f"[bench] 1B serve bench failed: {e}", file=sys.stderr)
+    try:
+        from benchmark.train import run_train_bench
+
+        rest = run_train_bench()
+        print(
+            f"[bench] train step (8L 1B-shaped slice, "
+            f"{rest['n_params']/1e9:.2f}B params, b4 s2048, remat, AdamW): "
+            f"{rest['step_s']*1e3:.1f} ms, {rest['tokens_per_s']:.0f} "
+            f"tok/s/chip, ~{rest['mfu_flops']/1e12:.1f} TFLOP/s",
+            file=sys.stderr,
+        )
+        _emit("train_tok_s_per_chip", rest["tokens_per_s"], "tok/s", 20000.0)
+    except Exception as e:
+        print(f"[bench] train bench failed: {e}", file=sys.stderr)
 
     _emit("decode_hbm_roofline_pct", pct, "%", 85.0)
 

@@ -48,9 +48,23 @@ _LN2 = math.log(2.0)
 _MASK = -1e30
 
 
+def _lane_partials(p):
+    """[rows, w] -> [rows, LANES] partial row sums (w % LANES == 0) or a
+    [rows, 1] keepdims sum for narrow slabs; the store cross-lane-reduces
+    once per q block (see prefill.py:_lane_partial_sum)."""
+    w = p.shape[1]
+    if w % LANES:
+        return jnp.sum(p, axis=1, keepdims=True)
+    acc = p[:, :LANES]
+    for c0 in range(LANES, w, LANES):
+        acc = acc + p[:, c0:c0 + LANES]
+    return acc
+
+
 def _varlen_kernel(
     kv_first_ref,  # scalar prefetch: [n_q_blocks] int32
     kv_last_ref,  # scalar prefetch: [n_q_blocks] int32
+    bits_ref,  # scalar prefetch: [h * n_q_blocks] int32 risky bits
     q_ref,  # [1, bq, d]
     k_ref,  # [1, bk, d]
     v_ref,  # [1, bk, d]
@@ -61,6 +75,9 @@ def _varlen_kernel(
     *rest,  # [alibi slopes (1, LANES)], o_ref, [lse_ref], m/l/acc scratch
     scale_log2e: float,
     causal: bool,
+    n_q_blocks: int,
+    block_q: int,
+    block_k: int,
     softcap: float = 0.0,
     softcap_mul: float = 0.0,
     alibi: bool = False,
@@ -69,6 +86,14 @@ def _varlen_kernel(
     sinks: int = 0,
     with_lse: bool = False,
 ):
+    """Packed varlen flash tile, zero-shift fast path (see prefill.py's
+    _bound_body for the scheme): safe q blocks run p = exp2(s) with no
+    running max and no rescale; blocks whose score range cannot be proven
+    inside fp32 exp2 range (risky bit, scalar-prefetched) take the
+    embedded classic body. Cells fully INTERIOR to one segment and the
+    causal/window band additionally skip the mask build (the varlen analog
+    of prefill's needs_mask gating — the reference masks only boundary
+    tiles too, prefill.cuh:774-778)."""
     if alibi:
         slopes_ref, *rest = rest
     else:
@@ -78,12 +103,15 @@ def _varlen_kernel(
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
         lse_ref = None
+    h = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    risky = bits_ref[h * n_q_blocks + i] != 0
 
     @pl.when(j == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, _MASK)
+        m_scr[...] = jnp.full_like(
+            m_scr, jnp.where(risky, jnp.float32(_MASK), 0.0))
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -91,12 +119,26 @@ def _varlen_kernel(
     last_j = kv_last_ref[i]
     run = jnp.logical_and(j >= first_j, j <= last_j)
 
-    @pl.when(run)
-    def _step():
-        q = q_ref[0]
-        k = k_ref[0]
+    # Interior test (scalars): one segment covers the whole tile and the
+    # causal/window band bounds pass at the tile corners.
+    interior = jnp.logical_and(
+        seg_q_ref[0, 0] == seg_q_ref[block_q - 1, 0],
+        jnp.logical_and(seg_q_ref[0, 0] == seg_k_ref[0, 0],
+                        seg_k_ref[0, 0] == seg_k_ref[0, block_k - 1]),
+    )
+    if causal or window_right >= 0:
+        wr = 0 if causal or window_right == 0 else window_right
+        interior = jnp.logical_and(
+            interior, pos_k_ref[0, block_k - 1] <= pos_q_ref[0, 0] + wr)
+    if window_left >= 0:
+        interior = jnp.logical_and(
+            interior,
+            pos_k_ref[0, 0] >= pos_q_ref[block_q - 1, 0] - window_left)
+
+    def _scores():
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         if softcap:
             s = jnp.tanh(s * softcap_mul) * softcap  # Gemma2-style softcap
@@ -105,7 +147,9 @@ def _varlen_kernel(
             # ALiBi on SEGMENT-relative positions (log2-domain slopes)
             s = s - slopes_ref[0, 0, 0] * jnp.abs(
                 pos_q_ref[...] - pos_k_ref[...]).astype(jnp.float32)
+        return s
 
+    def _mask(s):
         mask = seg_q_ref[...] == seg_k_ref[...]  # [bq, bk] via broadcast
         if causal or window_right == 0:
             mask = jnp.logical_and(mask, pos_k_ref[...] <= pos_q_ref[...])
@@ -120,17 +164,33 @@ def _varlen_kernel(
             if sinks > 0:
                 in_win = jnp.logical_or(in_win, pos_k_ref[...] < sinks)
             mask = jnp.logical_and(mask, in_win)
-        s = jnp.where(mask, s, _MASK)
+        return jnp.where(mask, s, _MASK)
 
+    def _fast(masked: bool):
+        s = _scores()
+        if masked:
+            s = _mask(s)
+        p = jnp.exp2(s)  # zero shift
+        ps = _lane_partials(p)
+        if ps.shape[1] == 1:
+            l_scr[:, :1] = l_scr[:, :1] + ps
+        else:
+            l_scr[...] = l_scr[...] + ps
+        v = v_ref[0]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] + pv
+
+    def _classic():
+        s = _mask(_scores())
         m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
+        m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - m_next[:, :1])
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        l_scr[...] = alpha * l_scr[...] + _lane_partials(p)
         m_scr[...] = m_next
-
         v = v_ref[0]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -138,14 +198,22 @@ def _varlen_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
+    safe = jnp.logical_not(risky)
+    pl.when(jnp.logical_and(run, jnp.logical_and(safe, interior)))(
+        lambda: _fast(False))
+    pl.when(jnp.logical_and(run, jnp.logical_and(
+        safe, jnp.logical_not(interior))))(lambda: _fast(True))
+    pl.when(jnp.logical_and(run, risky))(_classic)
+
     @pl.when(j == last_j)
     def _store():
-        l = l_scr[:, :1]
+        l = jnp.sum(l_scr[...], axis=1, keepdims=True)
         # Fully-masked rows (possible when a left window pushes past the
-        # end of a SHORTER kv sequence): every visited score was _MASK, so
-        # m stayed at its _MASK init and p = exp2(_MASK - _MASK) = 1
-        # polluted l/acc with a uniform distribution. Detect via m (a real
-        # visible score can never be ~-1e30) and zero the row.
+        # end of a SHORTER kv sequence): on the classic path every visited
+        # score was _MASK, m stayed at its init and p = 1 polluted l/acc —
+        # detect via m. On the fast path masked scores contribute
+        # exp2(-huge) = 0 exactly, so l == 0 detects them (m sits at 0,
+        # never near _MASK).
         dead = m_scr[:, :1] <= _MASK * 0.5
         bad = jnp.logical_or(dead, jnp.logical_or(l == 0.0, jnp.isnan(l)))
         l_safe = jnp.where(bad, 1.0, l)
@@ -348,25 +416,49 @@ def varlen_attention(
             (jnp.asarray(alibi_slopes, jnp.float32) * _LOG2E)[:, None, None],
             (num_heads, 8, LANES)))
 
-    def kv_index_map(h, i, j, kv_first_ref, kv_last_ref):
+    # Per-(head, q-block) risky bits for the zero-shift fast path (see
+    # prefill._bound_risky): ALiBi shifts scores unboundedly downward ->
+    # always classic; softcap bounds |s| by the cap itself -> trace-time
+    # constant; otherwise |s| <= |q|max |k|max * scale, one fused norm
+    # pass over each of Q and K.
+    from mfa_tpu.kernels.prefill import _BOUND_SAFE_LOG2
+
+    scale_l2e = (_LOG2E if logit_softcap else float(softmax_scale) * _LOG2E)
+    if alibi_slopes is not None:
+        bits = jnp.ones((num_heads * n_q_blocks,), jnp.int32)
+    elif logit_softcap:
+        const_risky = float(logit_softcap) * _LOG2E > _BOUND_SAFE_LOG2
+        bits = jnp.full((num_heads * n_q_blocks,), int(const_risky),
+                        jnp.int32)
+    else:
+        qn = jnp.sqrt(jnp.sum(
+            qt.astype(jnp.float32) ** 2, axis=-1))  # [h, tq_p]
+        qn_blk = jnp.max(qn.reshape(num_heads, n_q_blocks, bq), axis=-1)
+        maxk = jnp.max(jnp.sqrt(jnp.sum(
+            kt.astype(jnp.float32) ** 2, axis=-1)), axis=-1)  # [hkv]
+        bits = (qn_blk * jnp.repeat(maxk, group)[:, None] * scale_l2e
+                > _BOUND_SAFE_LOG2).reshape(-1).astype(jnp.int32)
+
+    def kv_index_map(h, i, j, kv_first_ref, kv_last_ref, bits_ref):
         return (h // group, jnp.clip(j, kv_first_ref[i], kv_last_ref[i]), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_heads, n_q_blocks, n_kv_blocks),
         in_specs=[
-            pl.BlockSpec((1, bq, head_dim), lambda h, i, j, f, l: (h, i, 0)),
+            pl.BlockSpec((1, bq, head_dim),
+                         lambda h, i, j, *_: (h, i, 0)),
             pl.BlockSpec((1, bk, head_dim), kv_index_map),
             pl.BlockSpec((1, bk, head_dim), kv_index_map),
-            pl.BlockSpec((bq, 1), lambda h, i, j, f, l: (i, 0)),
-            pl.BlockSpec((bq, 1), lambda h, i, j, f, l: (i, 0)),
-            pl.BlockSpec((1, bk), lambda h, i, j, f, l: (0, j)),
-            pl.BlockSpec((1, bk), lambda h, i, j, f, l: (0, j)),
-        ] + ([pl.BlockSpec((1, 8, LANES), lambda h, i, j, f, l: (h, 0, 0))]
+            pl.BlockSpec((bq, 1), lambda h, i, j, *_: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda h, i, j, *_: (i, 0)),
+            pl.BlockSpec((1, bk), lambda h, i, j, *_: (0, j)),
+            pl.BlockSpec((1, bk), lambda h, i, j, *_: (0, j)),
+        ] + ([pl.BlockSpec((1, 8, LANES), lambda h, i, j, *_: (h, 0, 0))]
              if alibi_slopes is not None else []),
         out_specs=[
-            pl.BlockSpec((1, bq, head_dim), lambda h, i, j, f, l: (h, i, 0)),
-        ] + ([pl.BlockSpec((1, bq, LANES), lambda h, i, j, f, l: (h, i, 0))]
+            pl.BlockSpec((1, bq, head_dim), lambda h, i, j, *_: (h, i, 0)),
+        ] + ([pl.BlockSpec((1, bq, LANES), lambda h, i, j, *_: (h, i, 0))]
              if return_lse else []),
         scratch_shapes=[
             pltpu.VMEM((bq, LANES), jnp.float32),
@@ -377,12 +469,14 @@ def varlen_attention(
 
     kernel = functools.partial(
         _varlen_kernel,
-        scale_log2e=(_LOG2E if logit_softcap
-                     else float(softmax_scale) * _LOG2E),
+        scale_log2e=scale_l2e,
         softcap=float(logit_softcap),
         softcap_mul=(float(softmax_scale) / float(logit_softcap)
                      if logit_softcap else 0.0),
         causal=causal,
+        n_q_blocks=n_q_blocks,
+        block_q=bq,
+        block_k=bk,
         alibi=alibi_slopes is not None,
         window_left=int(window_left),
         window_right=int(window_right),
@@ -404,6 +498,7 @@ def varlen_attention(
     )(
         kv_first.astype(jnp.int32),
         kv_last.astype(jnp.int32),
+        bits,
         qt,
         kt,
         vt,
