@@ -292,7 +292,7 @@ def main():
             f"tok/s/chip, ~{rest['mfu_flops']/1e12:.1f} TFLOP/s",
             file=sys.stderr,
         )
-        _emit("train_tok_s_per_chip", rest["tokens_per_s"], "tok/s", 20000.0)
+        _emit("train_tok_s_per_chip", rest["tokens_per_s"], "tok/s", 29000.0)
     except Exception as e:
         print(f"[bench] train bench failed: {e}", file=sys.stderr)
 

@@ -47,14 +47,17 @@ _MASK = -1e30
 
 
 def _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k, window_left,
-               window_right, kv_off=0):
+               window_right, kv_off=0, col0=0, ncols=None):
     # Skinny [bq,1]/[1,bk] iotas broadcast inside the compares — no full
     # [bq, bk] index planes (the backward inner loop is VPU-bound too).
     # kv_off: q rows sit kv_off positions ahead of the kv columns (ring
     # attention pairs) — shifts the window/causal compares, NOT the
     # seqlen_q row bound (that is the physical array length).
+    # col0/ncols: restrict to the kv column slab [col0, col0+ncols).
+    ncols = block_k if ncols is None else ncols
     row = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + i * block_q
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + j * block_k
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) \
+        + j * block_k + col0
     mask = jnp.logical_and(row < seqlen_q, col < seqlen_k)
     if window_right >= 0:
         mask = jnp.logical_and(mask, col <= row + kv_off + window_right)
@@ -167,6 +170,7 @@ def _fused_bwd_kernel(
     alibi: bool = False,
     kv_off: int = 0,
     diag_sub: int = 0,
+    kv_slab: int = 0,
 ):
     """Single-pass backward: dQ, dK and dV in ONE kernel.
 
@@ -257,17 +261,22 @@ def _fused_bwd_kernel(
 
     def _step(masked: bool):
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
-                           window_left, window_right, kv_off)
-                if masked else None)
-        bias = (_alibi_bias(i, j, block_q, block_k, slopes_ref)
-                if alibi else None)
-        p, dcap = _recompute_p(q, k, lse_all, mask, scale * _LOG2E,
-                               softcap, softcap_mul, bias)
-        _accum(p, dcap, q, do, v, j * block_k, slice(None), k, delta_all)
+        width = kv_slab if (kv_slab and not alibi) else block_k
+        for cs in range(block_k // width):
+            c0 = cs * width
+            k = k_ref[0, 0, c0:c0 + width]
+            v = v_ref[0, 0, c0:c0 + width]
+            mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
+                               window_left, window_right, kv_off,
+                               col0=c0, ncols=width)
+                    if masked else None)
+            bias = (_alibi_bias(i, j, block_q, block_k, slopes_ref)
+                    if alibi else None)
+            p, dcap = _recompute_p(q, k, lse_all, mask, scale * _LOG2E,
+                                   softcap, softcap_mul, bias)
+            _accum(p, dcap, q, do, v, j * block_k + c0, slice(None), k,
+                   delta_all)
 
     def _step_diag():
         for cs in range(block_k // diag_sub):
@@ -517,7 +526,7 @@ def _dq_tri_kernel(imap_ref, jmap_ref, *refs, **params):
     jax.jit,
     static_argnames=("causal", "softmax_scale", "window_size", "block_q",
                      "block_k", "interpret", "logit_softcap",
-                     "kv_position_offset", "fused"),
+                     "kv_position_offset", "fused", "kv_slab"),
 )
 def flash_attention_bwd(
     q: jax.Array,  # [b, hq, sq, d]
@@ -537,6 +546,7 @@ def flash_attention_bwd(
     alibi_slopes: Optional[jax.Array] = None,
     kv_position_offset: int = 0,
     fused: Optional[bool] = None,
+    kv_slab: int = 0,
 ):
     """-> (dq, dk, dv) on the [b, h, s, d] layout.
 
@@ -672,6 +682,7 @@ def flash_attention_bwd(
             alibi=alibi,
             kv_off=kv_off,
             diag_sub=dsub,
+            kv_slab=int(kv_slab),
         )
         dq, dk, dv = pl.pallas_call(
             functools.partial(_fused_bwd_kernel, **fparams),

@@ -47,18 +47,7 @@ _LOG2E = math.log2(math.e)
 _LN2 = math.log(2.0)
 _MASK = -1e30
 
-
-def _lane_partials(p):
-    """[rows, w] -> [rows, LANES] partial row sums (w % LANES == 0) or a
-    [rows, 1] keepdims sum for narrow slabs; the store cross-lane-reduces
-    once per q block (see prefill.py:_lane_partial_sum)."""
-    w = p.shape[1]
-    if w % LANES:
-        return jnp.sum(p, axis=1, keepdims=True)
-    acc = p[:, :LANES]
-    for c0 in range(LANES, w, LANES):
-        acc = acc + p[:, c0:c0 + LANES]
-    return acc
+from mfa_tpu.kernels.prefill import _lane_partial_sum as _lane_partials  # noqa: E402
 
 
 def _varlen_kernel(

@@ -40,7 +40,7 @@ def main():
             def step(qc, k, v, do, _f=fused):
                 return step_full(qc, k, v, do, _f)
             try:
-                t = scan_timeit(step, q, args=(k, v, do), iters=8, rtt=rtt)
+                t = scan_timeit(step, q, args=(k, v, do), iters=48, rtt=rtt)
                 print(f"b={b} s={s} {name}: {t*1e3:.3f} ms "
                       f"{flops/t/1e12:.1f} TFLOP/s", flush=True)
             except Exception as e:
@@ -50,15 +50,19 @@ def main():
         # bwd-only (no fwd in the loop): isolates the kernel
         out, lse = prefill_attention(q, k, v, causal=True, return_lse=True)
         bflops = 2.5 * 4 * b * h * s * s * d * 0.5
-        for name, fused in (("bwd-only fused", True),
-                            ("bwd-only 2-kernel", False)):
-            def step(qc, k, v, do, out, lse, _f=fused):
+        for name, kw in (("bwd-only fused", dict(fused=True)),
+                         ("bwd-only slab512", dict(fused=True, kv_slab=512)),
+                         ("bwd-only slab256", dict(fused=True, kv_slab=256)),
+                         ("bwd-only d256", dict(fused=True, block_q=1024,
+                                                block_k=1024)),
+                         ("bwd-only 2-kernel", dict(fused=False))):
+            def step(qc, k, v, do, out, lse, _kw=kw):
                 dq, dk, dv = flash_attention_bwd(qc, k, v, out, lse, do,
-                                                 causal=True, fused=_f)
+                                                 causal=True, **_kw)
                 return chain(qc, dq + dk + dv)
             try:
                 t = scan_timeit(step, q, args=(k, v, do, out, lse),
-                                iters=8, rtt=rtt)
+                                iters=48, rtt=rtt)
                 print(f"b={b} s={s} {name}: {t*1e3:.3f} ms "
                       f"{bflops/t/1e12:.1f} TFLOP/s", flush=True)
             except Exception as e:
