@@ -29,7 +29,8 @@ sys.path.insert(0, ".")
 
 def run_serve(layers=4, dim=4096, heads=32, kv_heads=8, ffn=14336,
               vocab=32000, batch=16, prompt_len=512, gen=32, page=128,
-              quant="none", tp=1, burst=8, spec=0, prefix_cache=False):
+              quant="none", tp=1, burst=8, spec=0, prefix_cache=False,
+              pipeline=True):
     """Run the continuous-batching engine benchmark; returns a dict with
     prefill_tps, decode_tps, per_layer_ms, and (if spec) acceptance."""
     from mfa_tpu.models import llama
@@ -74,13 +75,15 @@ def run_serve(layers=4, dim=4096, heads=32, kv_heads=8, ffn=14336,
         for i in range(batch)
     ]
 
-    # Warmup compiles every program the timed loop uses: prefill, the
-    # single decode_step bucket (used right after prefill), and the
-    # power-of-two burst programs.
+    # Warmup is a full dress rehearsal of the timed workload (same
+    # prompts, same gen): the first pipelined drain in a process pays
+    # ~2s of one-time dispatch/compile overhead that a shape-truncated
+    # warmup does not reproduce (measured: first pipelined run 695
+    # tok/s, second 2575 — scripts/probe_serve_pipeline.py).
     for p in prompts:
-        eng.submit(p, max(2, burst + 2))
+        eng.submit(p, gen)
     eng.step()  # prefill + one plain decode step
-    eng.run(burst=burst)
+    eng.run(burst=burst, pipeline=pipeline)
 
     for p in prompts:
         eng.submit(p, gen)
@@ -89,19 +92,20 @@ def run_serve(layers=4, dim=4096, heads=32, kv_heads=8, ffn=14336,
     eng.step()
     prefill_s = time.time() - t0
     t0 = time.time()
-    steps = 0
-    while eng.sched.has_work:
-        if spec:
+    steps0 = eng.stats.steps
+    if spec:
+        while eng.sched.has_work:
             eng.step_speculative()
-            steps += 1
-        elif burst > 1:
-            eng.step_burst(burst)
-            steps += burst
-        else:
+    elif burst > 1:
+        # the engine's own drain loop (pipelined by default: up to two
+        # bursts in flight so token readback overlaps device compute)
+        eng.run(burst=burst, pipeline=pipeline)
+    else:
+        while eng.sched.has_work:
             eng.step()
-            steps += 1
     jax.block_until_ready(eng.cache.lengths)
     decode_s = time.time() - t0
+    steps = max(eng.stats.steps - steps0, 1)
 
     dec_tokens = batch * max(gen - 1, 1)
     res = dict(
@@ -137,6 +141,8 @@ def main():
                     help="speculative tokens per step (0 = off; draft = "
                          "1-layer slice of the same shape)")
     ap.add_argument("--prefix-cache", action="store_true")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="disable in-flight burst pipelining (sync loop)")
     args = ap.parse_args()
 
     res = run_serve(
@@ -145,6 +151,7 @@ def main():
         batch=args.batch, prompt_len=args.prompt_len, gen=args.gen,
         page=args.page, quant=args.quant, tp=args.tp, burst=args.burst,
         spec=args.spec, prefix_cache=args.prefix_cache,
+        pipeline=not args.no_pipeline,
     )
     per_layer_ms = res["per_layer_ms"]
     print(

@@ -1411,13 +1411,14 @@ def rollback(cache, seq_slots, new_lengths):
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_steps", "mesh", "sampling",
-                              "return_logits")
+                              "return_logits", "return_presence")
 )
 def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
                  n_steps: int, mesh: Optional[Mesh] = None,
                  sampling=None, key: Optional[jax.Array] = None,
                  presence: Optional[jax.Array] = None,
-                 sampling_vecs=None, return_logits: bool = False):
+                 sampling_vecs=None, return_logits: bool = False,
+                 return_presence: bool = False):
     """n_steps decode steps fused on-device (one host round trip).
 
     The per-step host sync (sample -> feed back) costs a device->host round
@@ -1432,6 +1433,9 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     are sampled; sampling_vecs: optional (temperature, top_p, min_p,
     repetition_penalty) [batch] fp32 arrays for PER-REQUEST sampling in
     one compiled program (temperature 0 rows decode greedily).
+    return_presence: also return the burst-final presence rows so a
+    pipelined caller can chain the next burst's repetition-penalty state
+    on-device without a host round trip (Engine._run_pipelined).
     """
     from mfa_tpu.serve.sampling import (SamplingParams, sample,
                                         sample_dynamic, token_logprobs)
@@ -1465,11 +1469,12 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             ys = ys + (logits,)
         return (cache, nxt, pres), ys
 
-    (cache, _, _), ys = jax.lax.scan(
+    (cache, _, pres_final), ys = jax.lax.scan(
         body, (cache, tokens, presence), jnp.arange(n_steps)
     )
+    extra = (pres_final,) if return_presence else ()
     if return_logits:
         out, lps, logits_all = ys
-        return cache, out, lps, logits_all
+        return (cache, out, lps, logits_all) + extra
     out, lps = ys
-    return cache, out, lps
+    return (cache, out, lps) + extra

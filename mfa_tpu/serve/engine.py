@@ -554,6 +554,7 @@ class Engine:
 
     def step(self) -> None:
         """One engine iteration: admit, prefill, batched decode step."""
+        self._drain_pipeline()
         self._prefill_admitted(self.sched.admit())
         self._advance_chunked_prefill()
 
@@ -573,6 +574,7 @@ class Engine:
         after, so no live state is corrupted."""
         from mfa_tpu.cache.paged_cache import release_slot
 
+        self._drain_pipeline()
         self._prefill_admitted(self.sched.admit())
         self._advance_chunked_prefill()
 
@@ -619,6 +621,183 @@ class Engine:
             if req.done:
                 self._finish(req)
         self._pres_mark(mark_slots, mark_toks)
+
+    # ---- pipelined burst serving -------------------------------------
+    #
+    # step_burst blocks on np.asarray(toks) every burst: one full
+    # device->host round trip (~30-50ms through the tunnel) during which
+    # the chip idles. The pipelined loop instead keeps up to
+    # PIPELINE_DEPTH bursts in flight: burst N+1 is dispatched on
+    # device-resident state (the cache future plus burst N's last sampled
+    # token) BEFORE burst N's tokens are read back, so the readback and
+    # host bookkeeping overlap burst N+1's compute. Safety rests on one
+    # invariant: every cache mutation threads functionally through
+    # self.cache, so host-side decisions made "early" (page mapping,
+    # slot release, admission prefill) are dispatched in program order
+    # AFTER the in-flight bursts — a finished row's junk appends are
+    # device-ordered before its pages can be re-mapped to a new owner.
+    # Requests finishing mid-flight (eos/stop) are discovered one burst
+    # late; their extra rows waste compute but never corrupt state (the
+    # processing loop discards tokens past `done`).
+
+    PIPELINE_DEPTH = 2
+
+    def _dispatch_chained(self, burst: int, prev):
+        """Dispatch one decode burst without waiting for in-flight ones.
+
+        prev: the most recently dispatched burst record (None when the
+        pipeline is empty). Returns a burst record for _process_burst_result
+        or None when no burst can be dispatched right now (no active
+        requests, all budgets projected exhausted, page pressure, or a
+        row-set change that repetition-penalty state can't chain across —
+        the caller then drains the pipeline and falls back to step_burst).
+        """
+        from mfa_tpu.cache.paged_cache import map_pages
+
+        active = self._decode_ready()
+        if not active:
+            return None
+        # Budget projection counts in-flight tokens the host hasn't seen.
+        rem = max(r.max_new_tokens - len(r.generated) - r.inflight
+                  for r in active)
+        if rem <= 0:
+            return None
+        n_eff = burst if rem >= burst else 1 << max(rem - 1, 0).bit_length()
+        n_eff = max(1, n_eff)
+        m_slots, m_idx, m_ids = [], [], []
+        try:
+            for req in active:
+                for page_index, page_id in self.sched.ensure_decode_pages(
+                        req, req.inflight + n_eff):
+                    m_slots.append(req.slot)
+                    m_idx.append(page_index)
+                    m_ids.append(page_id)
+        except MemoryError:
+            # Page pressure: drain the pipeline; the synchronous
+            # step_burst fallback preempts a victim with exact state.
+            # Pages already granted above stay mapped (harmless: they are
+            # legitimately owned by their requests and cover upcoming
+            # positions).
+            if m_slots:
+                self.cache = map_pages(self.cache, m_slots, m_idx, m_ids)
+            return None
+        if m_slots:
+            self.cache = map_pages(self.cache, m_slots, m_idx, m_ids)
+
+        slots, tokens_host, scratch = self._pad_batch(active)
+        need_pres = self._pres_dev is not None
+        if (prev is not None and len(prev["active"]) == len(active)
+                and all(a is b for a, b in zip(prev["active"], active))
+                and np.array_equal(prev["slots"], slots)):
+            # Same rows as the in-flight burst: chain tokens (and
+            # presence) directly on device — exact.
+            tokens = prev["toks"][-1]
+            pres = prev["pres"]
+        elif any(r.inflight for r in active):
+            if need_pres or prev is None:
+                return None  # presence can't chain across a row change
+            # Row set changed mid-flight (a request finished or was
+            # admitted): route in-flight rows' last tokens through a
+            # slot-indexed device map; rows with nothing in flight get
+            # exact host tokens.
+            tokmap = jnp.zeros((self.sched.max_seqs,), jnp.int32).at[
+                jnp.asarray(prev["slots"], jnp.int32)].set(prev["toks"][-1])
+            tokens = tokmap[jnp.asarray(slots, jnp.int32)]
+            rows = [i for i, r in enumerate(active) if r.inflight == 0]
+            rows += list(range(len(active), len(slots)))  # padding rows
+            if rows:
+                tokens = tokens.at[jnp.asarray(rows, jnp.int32)].set(
+                    jnp.asarray(tokens_host[rows], jnp.int32))
+            pres = None
+        else:
+            tokens = jnp.asarray(tokens_host)
+            pres = self._pres_rows(slots)
+
+        self._key, sub = jax.random.split(self._key)
+        out = llama.decode_burst(
+            self.params, self.cfg, self.cache,
+            jnp.asarray(slots), tokens, n_eff, mesh=self.mesh,
+            sampling=self.sampling, key=sub, presence=pres,
+            sampling_vecs=self._sampling_vecs(active, len(slots)),
+            return_presence=need_pres,
+        )
+        if need_pres:
+            self.cache, toks, lps, pres_out = out
+        else:
+            (self.cache, toks, lps), pres_out = out, None
+        for r in active:
+            r.inflight += n_eff
+        return dict(active=list(active), n_eff=n_eff, toks=toks, lps=lps,
+                    pres=pres_out, slots=slots, scratch=scratch)
+
+    def _process_burst_result(self, d) -> None:
+        """Read back one in-flight burst (overlaps later bursts' compute)
+        and do the host bookkeeping step_burst would have done."""
+        from mfa_tpu.cache.paged_cache import release_slot
+
+        toks_np = np.asarray(d["toks"])
+        lps_np = np.asarray(d["lps"])
+        self.stats.steps += d["n_eff"]
+        mark_slots, mark_toks = [], []
+        for i, req in enumerate(d["active"]):
+            req.inflight = max(0, req.inflight - d["n_eff"])
+            was_done = req.done  # finished in an earlier processed burst
+            for t, lp in zip(toks_np[:, i], lps_np[:, i]):
+                if req.done:
+                    break
+                req.generated.append(int(t))
+                req.logprobs.append(float(lp))
+                mark_slots.append(req.slot)
+                mark_toks.append(int(t))
+                self.stats.decode_tokens += 1
+            if req.done and not was_done:
+                self._finish(req)
+        # The scratch slot's junk lengths are rolled back only while it is
+        # still free — an admission may have legitimately claimed it (its
+        # prefill SET the row/lengths after the in-flight junk appends).
+        if d["scratch"] is not None and d["scratch"] not in self.sched.active:
+            self.cache = release_slot(self.cache, d["scratch"])
+        self._pres_mark(mark_slots, mark_toks)
+
+    def _drain_pipeline(self) -> None:
+        """Read back every in-flight burst (pipeline barrier). The
+        synchronous step paths call this first so host state (generated,
+        presence) is exact before they build a batch."""
+        while self._pending_bursts:
+            self._process_burst_result(self._pending_bursts.popleft())
+
+    def step_pipelined(self, n: int) -> None:
+        """One pipelined engine iteration: admit + prefill, top the
+        pipeline up to PIPELINE_DEPTH in-flight bursts, then process the
+        oldest (its readback overlaps the younger bursts' compute).
+        Incremental — poll() between calls streams tokens with at most
+        one burst of extra latency. Falls back to the synchronous
+        step_burst when nothing can be dispatched pipelined (page
+        pressure, presence row change)."""
+        pending = self._pending_bursts
+        self._prefill_admitted(self.sched.admit())
+        self._advance_chunked_prefill()
+        while len(pending) < self.PIPELINE_DEPTH:
+            d = self._dispatch_chained(n, pending[-1] if pending else None)
+            if d is None:
+                break
+            pending.append(d)
+        if pending:
+            self._process_burst_result(pending.popleft())
+        elif self._decode_ready():
+            # could not dispatch with an empty pipeline (page pressure /
+            # presence row change): exact synchronous path, including
+            # preemption
+            self.step_burst(n)
+
+    def _run_pipelined(self, burst: int) -> None:
+        """Drain all work with up to PIPELINE_DEPTH decode bursts in
+        flight (see the block comment above)."""
+        while self.sched.has_work or self._pending_bursts:
+            if not (self._pending_bursts or self._decode_ready()
+                    or self.sched.waiting or self._prefilling):
+                return
+            self.step_pipelined(burst)
 
     def step_speculative(self) -> None:
         """One speculative iteration: the draft model proposes spec_tokens
@@ -763,6 +942,7 @@ class Engine:
             self._pres_dev = jnp.zeros_like(self._pres_dev)
         active = sorted(self.sched.active.values(), key=lambda r: r.uid)
         for req in list(active):
+            req.inflight = 0  # any in-flight burst dies with the state
             self.sched.finish(req)
         if self.sched.prefix is not None:
             # The rebuilt device caches wipe page contents; stale shared
@@ -792,17 +972,22 @@ class Engine:
         self.stats.recoveries += 1
         return len(active)
 
-    def run(self, max_retries: int = 0, burst: int = 1) -> EngineStats:
+    def run(self, max_retries: int = 0, burst: int = 1,
+            pipeline: bool = True) -> EngineStats:
         """Drain all work. With max_retries > 0, a failing step triggers
         recover() and the batch restarts, up to the retry budget. With
         burst > 1, up to `burst` decode steps run fused on-device between
-        host syncs (greedy only; see step_burst)."""
+        host syncs (see step_burst), and by default (pipeline=True) up to
+        PIPELINE_DEPTH bursts stay in flight so token readback and host
+        bookkeeping overlap device compute (_run_pipelined)."""
         t0 = time.time()
         retries = 0
         while self.sched.has_work:
             try:
                 if self.draft_cache is not None:
                     self.step_speculative()
+                elif burst > 1 and pipeline:
+                    self._run_pipelined(burst)
                 elif burst > 1:
                     self.step_burst(burst)
                 else:

@@ -69,6 +69,9 @@ class Request:
     # the cache keys this request holds references on
     cached_len: int = 0
     prefix_keys: List[int] = dataclasses.field(default_factory=list)
+    # pipelined serving: decode tokens dispatched on-device but not yet
+    # read back (Engine._run_pipelined); page mapping must cover them
+    inflight: int = 0
 
     @property
     def done(self) -> bool:
