@@ -47,6 +47,7 @@ from mfa_tpu.dispatch.config import (
     round_up,
     softmax_scale_default,
 )
+from mfa_tpu.kernels.quant import fp8_bits_to_bf16
 
 _LOG2E = math.log2(math.e)
 
@@ -150,6 +151,7 @@ def _paged_kernel_body(
     max_blocks: int,
     quantized: bool,
     pack2: bool,
+    fp8: bool,
     head_dim: int,
     window_left: int,
     sinks: int,
@@ -332,8 +334,12 @@ def _paged_kernel_body(
                 k = k_buf[slot, h].reshape(bt, -1)
                 v = v_buf[slot, h].reshape(bt, -1)
             if quantized:
-                k = k.astype(jnp.bfloat16)
-                v = v.astype(jnp.bfloat16)
+                if fp8:  # int8-carried e4m3 bits (see fp8_bits_to_bf16)
+                    k = fp8_bits_to_bf16(k)
+                    v = fp8_bits_to_bf16(v)
+                else:
+                    k = k.astype(jnp.bfloat16)
+                    v = v.astype(jnp.bfloat16)
 
             sc = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -437,6 +443,18 @@ def paged_attention(
     pack2 = quant_dtype == "int4"
     if pack2 and not quantized:
         raise ValueError("int4 pages require k_scales/v_scales")
+    # fp8 pools: Mosaic DMAs/relayouts of float8-typed arrays are ~10x
+    # slower than int8 on this chip (scripts/probe_fp8.py), so the kernel
+    # consumes the BIT PATTERNS as int8 (bitcast is free under jit) and
+    # decodes e4m3->bf16 arithmetically (quant.fp8_bits_to_bf16).
+    fp8 = quantized and (quant_dtype == "fp8"
+                         or k_pages.dtype == jnp.float8_e4m3fn)
+    if fp8 and k_pages.dtype != jnp.int8:
+        if k_pages.dtype != jnp.float8_e4m3fn:
+            raise ValueError(f"fp8 pages must be float8_e4m3fn or int8 "
+                             f"bits, got {k_pages.dtype}")
+        k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.int8)
+        v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.int8)
     page_size = page_rows * 2 if pack2 else page_rows
     # Narrow head dims are stored 128-lane padded (the strided per-page
     # DMA can't address sub-128-lane rows; zero features are inert in
@@ -536,6 +554,7 @@ def paged_attention(
         max_blocks=max_blocks,
         quantized=quantized,
         pack2=pack2,
+        fp8=fp8,
         head_dim=head_dim,
         window_left=window_left,
         sinks=int(sink_tokens) if window_left >= 0 else 0,

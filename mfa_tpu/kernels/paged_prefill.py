@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mfa_tpu.dispatch.config import cdiv, default_interpret, round_up, \
     softmax_scale_default
+from mfa_tpu.kernels.quant import fp8_bits_to_bf16
 from mfa_tpu.kernels.paged import (_page_copy, _pair_permute_iota,
                                    _unpack_int4, gather_page_scales)
 
@@ -78,6 +79,7 @@ def _body(
     max_blocks: int,
     quantized: bool,
     pack2: bool,
+    fp8: bool,
     head_dim: int,
     sinks: int,
     window_left: int,
@@ -267,8 +269,12 @@ def _body(
                 k = k_buf[slot, h].reshape(bt, -1)
                 v = v_buf[slot, h].reshape(bt, -1)
             if quantized:
-                k = k.astype(jnp.bfloat16)
-                v = v.astype(jnp.bfloat16)
+                if fp8:  # int8-carried e4m3 bits (see fp8_bits_to_bf16)
+                    k = fp8_bits_to_bf16(k)
+                    v = fp8_bits_to_bf16(v)
+                else:
+                    k = k.astype(jnp.bfloat16)
+                    v = v.astype(jnp.bfloat16)
             sc = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -360,6 +366,16 @@ def paged_prefill_attention(
     pack2 = quant_dtype == "int4"
     if pack2 and not quantized:
         raise ValueError("int4 pages require k_scales/v_scales")
+    # fp8 pools ride the int8 DMA path as bit patterns (float8 moves are
+    # ~10x slower in Mosaic on this chip — see kernels/paged.py)
+    fp8 = quantized and (quant_dtype == "fp8"
+                         or k_pages.dtype == jnp.float8_e4m3fn)
+    if fp8 and k_pages.dtype != jnp.int8:
+        if k_pages.dtype != jnp.float8_e4m3fn:
+            raise ValueError(f"fp8 pages must be float8_e4m3fn or int8 "
+                             f"bits, got {k_pages.dtype}")
+        k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.int8)
+        v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.int8)
     page_size = page_rows * 2 if pack2 else page_rows
     if pwidth < head_dim:
         raise ValueError(
@@ -466,6 +482,7 @@ def paged_prefill_attention(
         max_blocks=max_blocks,
         quantized=quantized,
         pack2=pack2,
+        fp8=fp8,
         head_dim=head_dim,
         sinks=int(sink_tokens) if (window_left >= 0 and causal) else 0,
         window_left=window_left,

@@ -29,6 +29,7 @@ __all__ = [
     "quant_max",
     "pack_int4_pairs",
     "unpack_int4_pairs",
+    "fp8_bits_to_bf16",
 ]
 
 KV_QUANT_DTYPES = ("int8", "fp8", "int4")
@@ -74,6 +75,33 @@ def unpack_int4_pairs(packed: jax.Array) -> jax.Array:
     hi = jnp.right_shift(packed, 4)
     stacked = jnp.stack([lo, hi], axis=-2)  # [..., rows, 2, d]
     return stacked.reshape(*packed.shape[:-2], -1, packed.shape[-1])
+
+
+def fp8_bits_to_bf16(bits: jax.Array) -> jax.Array:
+    """Decode e4m3fn bit patterns (int8) to bf16 with integer VPU ops.
+
+    This chip has no native float8: Mosaic moves/relayouts float8-typed
+    arrays pathologically slowly (measured 11x on the paged decode kernel,
+    scripts/probe_fp8.py), so fp8 pools are bitcast to int8 OUTSIDE the
+    kernel (free under jit) and decoded here with shifts/selects that run
+    at int8-path speed. Normals: bf16 = s | (e+120)<<7 | m<<4 (e4m3 bias 7
+    -> bf16 bias 127, mantissa 3 -> 7 bits). Subnormals (e==0): m * 2^-9.
+    NaN (0x7F/0xFF) is NOT handled — quantize_rows clips, so cache
+    payloads never contain it.
+    """
+    b32 = bits.astype(jnp.int32)
+    # low = (e<<7) | (m<<4): exponent+mantissa in one masked shift; adding
+    # the rebias constant 120<<7 turns it into the bf16 exponent/mantissa
+    # field directly. e == 0 iff low < 1<<7.
+    low = jnp.left_shift(jnp.bitwise_and(b32, 0x7F), 4)
+    sign15 = jnp.left_shift(jnp.bitwise_and(b32, 0x80), 8)
+    norm16 = (sign15 + low + (120 << 7)).astype(jnp.uint16)
+    normal = jax.lax.bitcast_convert_type(norm16, jnp.bfloat16)
+    m = jnp.bitwise_and(b32, 0x7)
+    sgn = jnp.where(b32 < 0, jnp.float32(-(2.0 ** -9)),
+                    jnp.float32(2.0 ** -9))
+    sub = (m.astype(jnp.float32) * sgn).astype(jnp.bfloat16)
+    return jnp.where(low < (1 << 7), sub, normal)
 
 
 def quantize_rows(x: jax.Array, quant_dtype: str) -> Tuple[jax.Array, jax.Array]:

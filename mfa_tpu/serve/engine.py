@@ -130,6 +130,11 @@ class Engine:
         )
         self._key = jax.random.key(seed)
         self.stats = EngineStats()
+        # Pipelined serving: dispatched-but-unread decode bursts
+        # (step_pipelined / _run_pipelined; drained by the sync paths).
+        from collections import deque
+
+        self._pending_bursts = deque()
         self._next_uid = 0
         self._stream_pos: Dict[int, int] = {}  # uid -> tokens consumed
         self._all_reqs: Dict[int, Request] = {}  # uid -> request (streaming)
@@ -940,6 +945,7 @@ class Engine:
         self._prefilling.clear()
         if self._pres_dev is not None:
             self._pres_dev = jnp.zeros_like(self._pres_dev)
+        self._pending_bursts.clear()  # stale futures die with the state
         active = sorted(self.sched.active.values(), key=lambda r: r.uid)
         for req in list(active):
             req.inflight = 0  # any in-flight burst dies with the state

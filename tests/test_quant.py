@@ -20,6 +20,47 @@ def test_quantize_roundtrip(qd):
     assert rel < (0.02 if qd == "int8" else 0.08)
 
 
+def test_fp8_bits_decode_exact():
+    """fp8_bits_to_bf16 (the kernels' int8-bit-path e4m3 decode) must
+    match float8_e4m3fn.astype(bf16) on every bit pattern except the two
+    NaN encodings (0x7f/0xff), which quantize_rows can never store."""
+    from mfa_tpu.kernels.quant import fp8_bits_to_bf16
+
+    bits = jnp.arange(256, dtype=jnp.uint8).astype(jnp.int8)
+    want = jax.lax.bitcast_convert_type(
+        bits, jnp.float8_e4m3fn).astype(jnp.bfloat16)
+    got = fp8_bits_to_bf16(bits)
+    keep = np.array([b & 0x7F != 0x7F for b in range(256)])
+    np.testing.assert_array_equal(np.asarray(got)[keep],
+                                  np.asarray(want)[keep])
+
+
+def test_paged_decode_fp8_int8_bits_pool():
+    """The cache may hand the kernel an int8 pool carrying e4m3 bits
+    (quant_dtype='fp8'): same results as the float8-typed pool."""
+    batch, heads, kvh, d, page, pps = 2, 4, 2, 128, 64, 2
+    key = jax.random.key(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    num_pages = batch * pps + 1
+    q = jax.random.normal(kq, (batch, heads, d), jnp.bfloat16)
+    k_pages = jax.random.normal(kk, (kvh, num_pages, page, d), jnp.float32)
+    v_pages = jax.random.normal(kv, (kvh, num_pages, page, d), jnp.float32)
+    table = jnp.arange(1, batch * pps + 1,
+                       dtype=jnp.int32).reshape(batch, pps)
+    lens = jnp.asarray([page * pps, 70], jnp.int32)
+    kq_pages, k_scales = quantize_rows(k_pages, "fp8")
+    vq_pages, v_scales = quantize_rows(v_pages, "fp8")
+    out_f8 = paged_attention(q, kq_pages, vq_pages, lens, table,
+                             k_scales=k_scales, v_scales=v_scales)
+    out_bits = paged_attention(
+        q,
+        jax.lax.bitcast_convert_type(kq_pages, jnp.int8),
+        jax.lax.bitcast_convert_type(vq_pages, jnp.int8),
+        lens, table, k_scales=k_scales, v_scales=v_scales,
+        quant_dtype="fp8")
+    np.testing.assert_array_equal(np.asarray(out_f8), np.asarray(out_bits))
+
+
 def test_quantize_zero_rows():
     x = jnp.zeros((4, 64))
     payload, scales = quantize_rows(x, "int8")
