@@ -462,8 +462,15 @@ def _bound_body(
         acc_scr[qsl, :] = acc_scr[qsl, :] + pv
 
     def _step(masked: bool):
+        # l/pv accumulate in loop-carried VALUES and hit the scratch refs
+        # ONCE per cell. On an isolated full-tile loop this beats per-slab
+        # scratch RMW by ~5% (155.9 vs 148.5 TFLOP/s, probe_overlap.py);
+        # inside the full kernel it measured neutral-to-+1% — kept for the
+        # simpler dependency structure, not as a perf claim.
         q = q_ref[0, 0]
         width = kv_slab if kv_slab else block_k
+        l_acc = None
+        pv_acc = None
         for c in range(block_k // width):
             ksl = slice(c * width, (c + 1) * width)
             s = jax.lax.dot_general(
@@ -474,7 +481,17 @@ def _bound_body(
                 s = _band_mask(s, i, j, block_q, block_k, seqlen_k,
                                window_left, window_right, sinks, kv_off,
                                col0=c * width)
-            _slab_update(s, slice(None), v_ref[0, 0, ksl])
+            p = jnp.exp2(s * scale_log2e)
+            ps = _lane_partial_sum(p)
+            l_acc = ps if l_acc is None else l_acc + ps
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0, ksl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pv_acc = pv if pv_acc is None else pv_acc + pv
+        l_scr[...] = l_scr[...] + l_acc
+        acc_scr[...] = acc_scr[...] + pv_acc
 
     def _step_diag():
         """Causal diagonal cell (i == j, block_q == block_k, no tail),

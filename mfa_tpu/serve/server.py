@@ -45,9 +45,14 @@ class _Err:
 class ServingLoop:
     """Owns the Engine on one thread; bridges it to concurrent callers."""
 
-    def __init__(self, engine, burst: int = 8, model_name: str = "mfa-tpu"):
+    def __init__(self, engine, burst: int = 8, model_name: str = "mfa-tpu",
+                 pipeline: bool = True):
+        """pipeline: keep up to Engine.PIPELINE_DEPTH decode bursts in
+        flight (throughput ~1.5x through the dispatch tunnel) at the cost
+        of one extra burst of streaming latency per token batch."""
         self.engine = engine
         self.burst = burst
+        self.pipeline = pipeline
         self.model_name = model_name
         self._submit_q: "queue.Queue" = queue.Queue()
         self._streams: Dict[int, queue.Queue] = {}
@@ -125,7 +130,10 @@ class ServingLoop:
                 self._admit_one(item)
                 continue
             try:
-                self.engine.step_burst(self.burst)
+                if self.pipeline:
+                    self.engine.step_pipelined(self.burst)
+                else:
+                    self.engine.step_burst(self.burst)
             except Exception as e:
                 # a dead loop thread would hang every present and future
                 # request — recover the engine and fail the in-flight ones
@@ -355,7 +363,7 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8000,
                 burst: int = 8, model_name: str = "mfa-tpu",
-                tokenizer=None) -> ThreadingHTTPServer:
+                tokenizer=None, pipeline: bool = True) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server around an Engine.
 
     tokenizer: optional object with .encode(str)->ids and .decode(ids)->str
@@ -363,7 +371,8 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8000,
     call .serve_forever() (or serve() below), and .loop.close() on
     shutdown.
     """
-    loop = ServingLoop(engine, burst=burst, model_name=model_name)
+    loop = ServingLoop(engine, burst=burst, model_name=model_name,
+                       pipeline=pipeline)
     handler = type("BoundHandler", (_Handler,), dict(
         loop=loop,
         encode=(getattr(tokenizer, "encode", None) if tokenizer else None),
