@@ -30,9 +30,13 @@ sys.path.insert(0, ".")
 def run_serve(layers=4, dim=4096, heads=32, kv_heads=8, ffn=14336,
               vocab=32000, batch=16, prompt_len=512, gen=32, page=128,
               quant="none", tp=1, burst=8, spec=0, prefix_cache=False,
-              pipeline=True):
+              pipeline=True, wquant="none"):
     """Run the continuous-batching engine benchmark; returns a dict with
-    prefill_tps, decode_tps, per_layer_ms, and (if spec) acceptance."""
+    prefill_tps, decode_tps, per_layer_ms, and (if spec) acceptance.
+
+    wquant="int8": per-channel int8 WEIGHTS (models/wquant.py) — the
+    BASELINE.md north-star 8B-shaped config only fits a 16 GB chip this
+    way, and weight streaming is the decode-step floor."""
     from mfa_tpu.models import llama
     from mfa_tpu.serve.engine import Engine
     from mfa_tpu.shard.mesh import MODEL_AXIS, make_mesh
@@ -42,7 +46,8 @@ def run_serve(layers=4, dim=4096, heads=32, kv_heads=8, ffn=14336,
         n_heads=heads, n_kv_heads=kv_heads, ffn_dim=ffn,
         dtype=jnp.bfloat16,
     )
-    params = llama.init_params(jax.random.key(0), cfg)
+    wq = None if wquant == "none" else wquant
+    params = llama.init_params(jax.random.key(0), cfg, quantize=wq)
     mesh = (
         make_mesh({MODEL_AXIS: tp}, jax.devices()[:tp])
         if tp > 1
@@ -134,6 +139,8 @@ def main():
     ap.add_argument("--gen", type=int, default=32)
     ap.add_argument("--page", type=int, default=128)
     ap.add_argument("--quant", choices=["none", "int8", "fp8", "int4"], default="none")
+    ap.add_argument("--wquant", choices=["none", "int8"], default="none",
+                    help="int8 per-channel WEIGHT quantization")
     ap.add_argument("--tp", type=int, default=1, help="model-axis mesh size")
     ap.add_argument("--burst", type=int, default=8,
                     help="decode steps fused on-device per host sync")
@@ -151,7 +158,7 @@ def main():
         batch=args.batch, prompt_len=args.prompt_len, gen=args.gen,
         page=args.page, quant=args.quant, tp=args.tp, burst=args.burst,
         spec=args.spec, prefix_cache=args.prefix_cache,
-        pipeline=not args.no_pipeline,
+        pipeline=not args.no_pipeline, wquant=args.wquant,
     )
     per_layer_ms = res["per_layer_ms"]
     print(

@@ -22,6 +22,7 @@ import dataclasses
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -197,11 +198,20 @@ def config_from_hf(hf_config) -> LlamaConfig:
 
 
 def from_hf(model_or_state_dict, hf_config=None,
-            dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
+            dtype=jnp.bfloat16,
+            quantize: "str | None" = None) -> Tuple[Params, LlamaConfig]:
     """Convert a transformers causal-LM (or its state_dict + config).
 
     Returns (params, cfg) ready for llama.forward / the serving Engine.
+
+    quantize="int8": per-channel int8 weight quantization applied to each
+    projection AS IT IS READ (models/wquant.py) — with a LazyStateDict
+    input (from_safetensors) peak memory stays one bf16 tensor + the int8
+    tree, so an 8B checkpoint loads onto a 16 GB chip. Norms, biases, and
+    MoE routers stay full precision; the embedding quantizes per row.
     """
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported weight quantization {quantize!r}")
     if hasattr(model_or_state_dict, "state_dict"):
         sd = model_or_state_dict.state_dict()
         hf_config = hf_config or model_or_state_dict.config
@@ -210,9 +220,15 @@ def from_hf(model_or_state_dict, hf_config=None,
         if hf_config is None:
             raise ValueError("state_dict input requires hf_config")
     cfg = dataclasses.replace(config_from_hf(hf_config), dtype=dtype)
+    if quantize:
+        from mfa_tpu.models.wquant import quantize_weight
 
     def w(name):  # [out, in] -> [in, out]
-        return jnp.asarray(_np(sd[name]).T, dtype)
+        arr = jnp.asarray(_np(sd[name]).T, dtype)
+        return quantize_weight(arr, axis=-2) if quantize else arr
+
+    def _estack(xs):  # stacks plain arrays AND QWeight leaves
+        return jax.tree.map(lambda *a: jnp.stack(a), *xs)
 
     per_layer = []
     mpat = cfg.moe_layer_pattern
@@ -246,11 +262,11 @@ def from_hf(model_or_state_dict, hf_config=None,
                     w_router=jnp.asarray(
                         _np(sd[p + "block_sparse_moe.gate.weight"]).T,
                         jnp.float32),
-                    we_gate=jnp.stack([w(f"{ep}{e}.w1.weight")
+                    we_gate=_estack([w(f"{ep}{e}.w1.weight")
                                        for e in range(cfg.n_experts)]),
-                    we_up=jnp.stack([w(f"{ep}{e}.w3.weight")
+                    we_up=_estack([w(f"{ep}{e}.w3.weight")
                                      for e in range(cfg.n_experts)]),
-                    we_down=jnp.stack([w(f"{ep}{e}.w2.weight")
+                    we_down=_estack([w(f"{ep}{e}.w2.weight")
                                        for e in range(cfg.n_experts)]),
                 )
             else:
@@ -259,11 +275,11 @@ def from_hf(model_or_state_dict, hf_config=None,
                 lp.update(
                     w_router=jnp.asarray(
                         _np(sd[p + "mlp.gate.weight"]).T, jnp.float32),
-                    we_gate=jnp.stack([w(f"{ep}{e}.gate_proj.weight")
+                    we_gate=_estack([w(f"{ep}{e}.gate_proj.weight")
                                        for e in range(cfg.n_experts)]),
-                    we_up=jnp.stack([w(f"{ep}{e}.up_proj.weight")
+                    we_up=_estack([w(f"{ep}{e}.up_proj.weight")
                                      for e in range(cfg.n_experts)]),
-                    we_down=jnp.stack([w(f"{ep}{e}.down_proj.weight")
+                    we_down=_estack([w(f"{ep}{e}.down_proj.weight")
                                        for e in range(cfg.n_experts)]),
                 )
             if cfg.shared_expert_dim:
@@ -299,7 +315,10 @@ def from_hf(model_or_state_dict, hf_config=None,
         per_layer.append(lp)
 
     def _stack(lps):
-        return {k: jnp.stack([l[k] for l in lps]) for k in lps[0]}
+        # tree-aware: QWeight leaves (quantize="int8") stack (qw, scale)
+        return {k: jax.tree.map(lambda *a: jnp.stack(a),
+                                *[l[k] for l in lps])
+                for k in lps[0]}
 
     if cfg.moe_hetero:
         stacked = dict(
@@ -323,8 +342,9 @@ def from_hf(model_or_state_dict, hf_config=None,
     return params, cfg
 
 
-def from_safetensors(path: str, hf_config=None,
-                     dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
+def from_safetensors(path: str, hf_config=None, dtype=jnp.bfloat16,
+                     quantize: "str | None" = None
+                     ) -> Tuple[Params, LlamaConfig]:
     """Load an on-disk HF checkpoint directory (or one .safetensors file)
     straight into the converted layout — tensor by tensor, no torch, no
     in-memory transformers model (VERDICT r2 missing #4: loading a real
@@ -334,7 +354,10 @@ def from_safetensors(path: str, hf_config=None,
     index]) or a single .safetensors file (then hf_config is required).
     hf_config: optional override; defaults to `config.json` next to the
     shards. Text-stack checkpoints only (for Gemma3 multimodal use
-    gemma3_multimodal_from_hf with a transformers model)."""
+    gemma3_multimodal_from_hf with a transformers model).
+    quantize="int8": per-channel int8 weight quantization applied tensor
+    by tensor as each shard entry streams in (see from_hf) — this is the
+    path that loads an 8B checkpoint onto a 16 GB chip."""
     import os
     import types
 
@@ -352,7 +375,8 @@ def from_safetensors(path: str, hf_config=None,
         # multimodal wrappers keep the text stack under text_config
         raw = raw.get("text_config", raw)
         hf_config = types.SimpleNamespace(**raw)
-    return from_hf(dict_like_sd(sd), hf_config, dtype=dtype)
+    return from_hf(dict_like_sd(sd), hf_config, dtype=dtype,
+                   quantize=quantize)
 
 
 def dict_like_sd(sd):

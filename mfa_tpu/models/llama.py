@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mfa_tpu.kernels.autodiff import flash_attention_grad
+from mfa_tpu.models.wquant import (QWeight, dequantize_weight, qmm, qtake,
+                                   ragged_qmm)
 from mfa_tpu.shard.mesh import DATA_AXIS, MODEL_AXIS
 
 try:
@@ -227,7 +229,16 @@ class LlamaConfig:
 Params = Dict[str, Any]
 
 
-def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
+def init_params(key: jax.Array, cfg: LlamaConfig,
+                quantize: Optional[str] = None) -> Params:
+    """quantize="int8": emit wquant.QWeight projections, quantizing each
+    LAYER as it is built — peak device memory stays int8-tree + one bf16
+    layer, which is what lets an 8B-shaped model initialize on a 16 GB
+    chip (quantizing after a full bf16 init would need ~16 GB first)."""
+    from mfa_tpu.models.wquant import quantize_params as _qp
+
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported weight quantization {quantize!r}")
     d, hd = cfg.dim, cfg.head_dim
 
     def dense(key, shape, scale=None):
@@ -289,6 +300,8 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
         if cfg.qk_norm:
             lp.update(q_norm=norm_init((hd,), jnp.float32),
                       k_norm=norm_init((hd,), jnp.float32))
+        if quantize:
+            lp = _qp(lp, include_experts=True)
         layers.append(lp)
     norm_init = jnp.zeros if cfg.norm_offset else jnp.ones
     if cfg.moe_hetero:
@@ -298,12 +311,14 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
         )
     else:
         stacked = _stack_layers(layers)
-    return dict(
+    head = dict(
         embed=dense(keys[-2], (cfg.vocab_size, d), scale=0.02),
         final_norm=norm_init((cfg.dim,), jnp.float32),
         lm_head=dense(keys[-1], (d, cfg.vocab_size)),
-        layers=stacked,
     )
+    if quantize:
+        head = _qp(head)
+    return dict(layers=stacked, **head)
 
 
 def _stack_layers(layers):
@@ -383,7 +398,7 @@ def _qkv(h, lp, cfg: "LlamaConfig", *lead):
     """Shared q/k/v projection (+ optional Qwen2-style bias, optional
     Qwen3-style per-head q/k RMSNorm) for every execution path. lead:
     leading output dims (e.g. batch, seq)."""
-    q, k, v = h @ lp["wq"], h @ lp["wk"], h @ lp["wv"]
+    q, k, v = qmm(h, lp["wq"]), qmm(h, lp["wk"]), qmm(h, lp["wv"])
     if cfg.qkv_bias:
         q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
     hd = cfg.head_dim
@@ -437,8 +452,13 @@ def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     t = h.reshape(-1, h.shape[-1])  # [T, d]
     T = t.shape[0]
     if use_expert_parallel(mesh):
-        out = expert_parallel_moe(mesh, cfg)(
-            t, lp["w_router"], lp["we_gate"], lp["we_up"], lp["we_down"])
+        # the EP shard_map path contracts per-shard with plain ragged_dot;
+        # a quantized expert bank dequantizes at entry (capacity-only win,
+        # same as ragged_qmm below)
+        banks = [dequantize_weight(lp[n], t.dtype)
+                 if isinstance(lp[n], QWeight) else lp[n]
+                 for n in ("we_gate", "we_up", "we_down")]
+        out = expert_parallel_moe(mesh, cfg)(t, lp["w_router"], *banks)
     else:
         k = cfg.n_active_experts
         w_top, idx = _moe_route(t, lp["w_router"], k, cfg.norm_topk)
@@ -447,18 +467,18 @@ def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
         tok_of = (jnp.arange(T * k, dtype=jnp.int32) // k)[order]
         gathered = t[tok_of]  # [T*k, d] expert-sorted
         gs = jnp.zeros((cfg.n_experts,), jnp.int32).at[flat_e].add(1)
-        gate = _act(jax.lax.ragged_dot(gathered, lp["we_gate"], gs),
+        gate = _act(ragged_qmm(gathered, lp["we_gate"], gs),
                     cfg.hidden_act)
-        up = jax.lax.ragged_dot(gathered, lp["we_up"], gs)
-        down = jax.lax.ragged_dot(gate * up, lp["we_down"], gs)  # [T*k, d]
+        up = ragged_qmm(gathered, lp["we_up"], gs)
+        down = ragged_qmm(gate * up, lp["we_down"], gs)  # [T*k, d]
         wflat = w_top.reshape(-1)[order].astype(down.dtype)
         out = jnp.zeros((T, t.shape[-1]), down.dtype).at[tok_of].add(
             down * wflat[:, None])
     if "ws_gate" in lp:
         # Qwen2-MoE/DeepSeek shared expert: dense SwiGLU on every token,
         # optionally scaled by a sigmoid gate on the (normed) hidden state
-        sg = _act(t @ lp["ws_gate"], cfg.hidden_act)
-        sh = (sg * (t @ lp["ws_up"])) @ lp["ws_down"]
+        sg = _act(qmm(t, lp["ws_gate"]), cfg.hidden_act)
+        sh = qmm(sg * qmm(t, lp["ws_up"]), lp["ws_down"])
         if "w_shared_gate" in lp:
             sh = sh * jax.nn.sigmoid(
                 t.astype(jnp.float32) @ lp["w_shared_gate"].astype(
@@ -474,8 +494,8 @@ def _mlp(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     if cfg.n_experts and "we_gate" in lp:
         return _moe(x, lp, cfg, mesh)
     h = _rms_norm(x, lp["mlp_norm"], cfg)
-    gate = _act(h @ lp["w_gate"], cfg.hidden_act)
-    out = (gate * (h @ lp["w_up"])) @ lp["w_down"]
+    gate = _act(qmm(h, lp["w_gate"]), cfg.hidden_act)
+    out = qmm(gate * qmm(h, lp["w_up"]), lp["w_down"])
     if cfg.post_norms:  # Gemma2 post_feedforward_layernorm
         out = _rms_norm(out, lp["post_mlp_norm"], cfg)
     return x + out
@@ -484,7 +504,7 @@ def _mlp(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
 def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig"):
     """o-projection + optional Gemma2 post_attention_layernorm + residual.
     attn_flat: [..., n_heads*head_dim]."""
-    out = attn_flat.astype(x.dtype) @ lp["wo"]
+    out = qmm(attn_flat.astype(x.dtype), lp["wo"])
     if cfg.post_norms:
         out = _rms_norm(out, lp["post_attn_norm"], cfg)
     return x + out
@@ -587,14 +607,14 @@ def _scan_layers(cfg: "LlamaConfig", body, x, layers, cache_xs,
 
 
 def _embed(params, tokens, cfg: "LlamaConfig"):
-    x = params["embed"][tokens]
+    x = qtake(params["embed"], tokens)
     if cfg.embed_scale:  # Gemma: scale in the activation dtype (HF rounds
         x = x * jnp.asarray(cfg.dim ** 0.5, x.dtype)  # sqrt(dim) to dtype)
     return x
 
 
 def _unembed(params, x, cfg: "LlamaConfig"):
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = qmm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.logit_softcap:
         cap = float(cfg.logit_softcap)
         logits = jnp.tanh(logits / cap) * cap

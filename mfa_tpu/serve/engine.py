@@ -106,7 +106,11 @@ class Engine:
             cfg, num_pages, page_size, max_seqs, pages_per_seq, quant_dtype
         )
         if mesh is not None:
-            params = jax.device_put(params, llama.param_shardings(cfg, mesh))
+            from mfa_tpu.models.wquant import adapt_shardings
+
+            params = jax.device_put(
+                params,
+                adapt_shardings(llama.param_shardings(cfg, mesh), params))
             cache = jax.device_put(
                 cache, llama.cache_shardings(cfg, cache, mesh)
             )
