@@ -28,20 +28,32 @@ The MMA/ldmatrix/swizzle machinery of the reference (prefill.cuh:317-364,
 traits.h:39-47) has no hand-written analog here: tiles are fed to the MXU
 with `jax.lax.dot_general` and Mosaic owns layout.
 
-Two kernel variants share the wrapper:
+Three softmax engines share the wrapper (bound_softmax selects):
 
-- classic: online-softmax with per-row running max (the reference's state
-  machine, prefill.cuh:452-483).
-- max-free ("bound"): the online-softmax shift is fixed at ZERO — one
-  exp2 pass per tile, no rowmax reduce, no alpha rescale (on TPU the VPU,
-  not the MXU, is the per-tile bottleneck at d=128). Softmax is
-  shift-invariant, so this is exact for every block whose score range
-  provably stays inside fp32 exp2 range (|q|max*|k|max*scale*log2e <=
-  100, checked per q block in a fused prepass, Cauchy-Schwarz); the rare
-  risky block runs the classic body EMBEDDED in the same kernel behind
-  `pl.when`. Measured on v5e: a whole-array `lax.cond` between two
-  kernels round-trips the operands (~0.5 ms at b8/s2048); the in-kernel
-  branch costs ~2 TFLOP/s and nothing touches O twice.
+- classic (False): online-softmax with per-row running max (the
+  reference's state machine, prefill.cuh:452-483).
+- max-free prepass ("prepass"): the online-softmax shift is fixed at
+  ZERO — one exp2 pass per tile, no rowmax reduce, no alpha rescale (on
+  TPU the VPU, not the MXU, is the per-tile bottleneck at d=128).
+  Softmax is shift-invariant, so this is exact for every block whose
+  score range provably stays inside fp32 exp2 range
+  (|q|max*|k|max*scale*log2e <= 100, checked per q block in a fused
+  prepass, Cauchy-Schwarz); rare risky blocks run the classic body
+  EMBEDDED in the same kernel behind `pl.when`. The prepass is a serial
+  q+k HBM reduction: ~10% of the kernel at b8/s2048.
+- max-free DEFERRED REPAIR (True, the default): the zero-shift kernel
+  runs at full "unchecked" speed and DETECTS poisoned q blocks after
+  the fact, from values already in registers (row sums outside
+  (_L_MIN, finite), non-finite output rows — sufficient for every
+  silent-corruption mode, see _L_MIN). A second near-empty kernel
+  (_repair_kernel) recomputes exactly the flagged blocks with the
+  classic algorithm, writing o/lse in place via input_output_aliases.
+  Measured on v5e (scripts/probe_r4.py): 85.3 vs unchecked 87.3
+  TFLOP/s at b8/s2048 (prepass: 79.8) and 139.0 vs 140.9 at b2/s8192.
+  Rejected alternatives, both measured: whole-array lax.cond between
+  two kernels round-trips operands (~0.5-0.7 ms); trailing in-kernel
+  repair CELLS (same BlockSpec indices, manual DMA) stall the Mosaic
+  pipeline ~1.9 us per cell (~0.5 ms).
 """
 
 from __future__ import annotations
@@ -76,6 +88,15 @@ _MASK = -1e30
 # are provably exact; others take the embedded classic body. 100 leaves
 # >= 26 doublings of headroom on both sides. See _bound_risky.
 _BOUND_SAFE_LOG2 = 100.0
+# Deferred-repair poison detector (default bound_softmax path): a
+# zero-shift q block is UNPOISONED iff its row sums stay inside
+# (_L_MIN, finite) and its output is finite. l <= block_k * p_max <= 2^11
+# * p_max, so l > 2^-89 proves the row's max exp2 argument > -100 — every
+# entry within 24 doublings of the winner then survives the fp32 flush
+# (smaller ones vanish under classic rounding too). l == 0 (fully masked
+# OR fully flushed) and inf/NaN l/acc all fail the check; flagged blocks
+# are recomputed by the separate classic repair kernel (_repair_kernel).
+_L_MIN = 2.0 ** -89
 
 
 def _lane_partial_sum(p):
@@ -325,7 +346,7 @@ def _prefill_body(
         dead = m_scr[:, :1] <= _MASK * 0.5
         bad = jnp.logical_or(dead, jnp.logical_or(l == 0.0, jnp.isnan(l)))
         l_safe = jnp.where(bad, 1.0, l)
-        o = acc_scr[...] / l_safe
+        o = acc_scr[...] * (1.0 / l_safe)
         o_ref[0, 0] = jnp.where(dead, 0.0, o).astype(o_ref.dtype)
         if with_lse:
             # m is in the raw score domain: LSE = m*scale + log(l).
@@ -395,6 +416,7 @@ def _bound_body(
     diag_sub: int = 0,
     kv_slab: int = 0,
     with_classic: bool = True,
+    flag_ref=None,
 ):
     """Max-free flash tile with an EMBEDDED per-block classic fallback.
 
@@ -578,7 +600,10 @@ def _bound_body(
         dead = m_scr[:, :1] <= _MASK * 0.5
         bad = jnp.logical_or(dead, jnp.logical_or(l == 0.0, jnp.isnan(l)))
         l_safe = jnp.where(bad, 1.0, l)
-        o = acc_scr[...] / l_safe
+        # reciprocal-then-multiply: [bq, 1] divides instead of a [bq, d]
+        # broadcast divide (VPU divides are multi-op; the epilogue runs on
+        # the same grid step as a full tile body)
+        o = acc_scr[...] * (1.0 / l_safe)
         o_ref[0, 0] = jnp.where(dead, 0.0, o).astype(o_ref.dtype)
         if with_lse:
             # shared formula: m = 0 on the safe path, the raw running max
@@ -586,6 +611,20 @@ def _bound_body(
             lse = m_scr[:, :1] * (scale_log2e * _LN2) + jnp.log(l_safe)
             lse = jnp.where(jnp.logical_or(l == 0.0, dead), -jnp.inf, lse)
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        if flag_ref is not None:
+            # Deferred-repair poison flag (see _L_MIN): any row whose sum
+            # left (_L_MIN, finite) or whose output rows are non-finite
+            # sends the whole q block to the separate repair kernel
+            # (_repair_poisoned). The check reads only values already in
+            # registers and writes one broadcast (8, LANES) block —
+            # measured free vs "unchecked" (scripts/probe_r4.py); the
+            # safety it buys used to cost a serial q+k HBM prepass (~10%
+            # of the kernel at b8/s2048).
+            l_ok = jnp.logical_and(l > _L_MIN, l < jnp.inf)
+            o_ok = jnp.isfinite(o)
+            good = jnp.logical_and(jnp.all(l_ok), jnp.all(o_ok))
+            flag_ref[0, 0] = jnp.full(flag_ref.shape[2:],
+                                      1 - good.astype(jnp.int32))
 
 
 def _bound_flat_kernel(imap_ref, jmap_ref, bits_ref, *refs, ncells,
@@ -622,6 +661,240 @@ def _bound_bht_kernel(imap_ref, jmap_ref, bits_ref, *refs, ncells,
         params.get("kv_off", 0),
     )
     _bound_body(i, j, risky, first_j, last_j, *refs, **params)
+
+
+def _flagged_flat_kernel(imap_ref, jmap_ref, q_ref, k_ref, v_ref,
+                         o_ref, lse_ref, flag_ref, m_scr, l_scr,
+                         acc_scr, *, ncells, **params):
+    """Zero-shift kernel on the flat grid + per-q-block poison flag
+    output (the deferred-repair default; _repair_kernel fixes flagged
+    blocks in a separate near-empty kernel)."""
+    t = pl.program_id(0)
+    c = t % ncells
+    i = imap_ref[c]
+    j = jmap_ref[c]
+    first_j, last_j = _kv_block_bounds(
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
+    )
+    compute_flag = params.pop("compute_flag", True)
+    _bound_body(i, j, jnp.bool_(False), first_j, last_j, q_ref, k_ref,
+                v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                with_classic=False,
+                flag_ref=flag_ref if compute_flag else None, **params)
+
+
+def _flagged_bht_kernel(imap_ref, jmap_ref, q_ref, k_ref, v_ref,
+                        o_ref, lse_ref, flag_ref, m_scr, l_scr,
+                        acc_scr, *, ncells, **params):
+    """Zero-shift + poison-flag kernel on the (batch, head, cell) grid."""
+    del ncells
+    i = imap_ref[pl.program_id(2)]
+    j = jmap_ref[pl.program_id(2)]
+    first_j, last_j = _kv_block_bounds(
+        i, params["block_q"], params["block_k"], params["num_kv_blocks"],
+        params["window_left"], params["window_right"],
+        params.get("kv_off", 0),
+    )
+    compute_flag = params.pop("compute_flag", True)
+    _bound_body(i, j, jnp.bool_(False), first_j, last_j, q_ref, k_ref,
+                v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                with_classic=False,
+                flag_ref=flag_ref if compute_flag else None, **params)
+
+
+def _repair_kernel(
+    flags_ref,
+    q_any,
+    k_any,
+    v_any,
+    o_in,
+    lse_in,
+    o_any,
+    lse_any,
+    qscr,
+    kscr,
+    vscr,
+    oscr,
+    lsescr,
+    m_scr,
+    l_scr,
+    acc_scr,
+    sem,
+    *,
+    num_heads: int,
+    num_q_blocks: int,
+    group: int,
+    scale_log2e: float,
+    block_q: int,
+    block_k: int,
+    seqlen_k: int,
+    num_kv_blocks: int,
+    window_left: int,
+    window_right: int,
+    with_lse: bool,
+    sinks: int = 0,
+    kv_off: int = 0,
+    **_unused,
+):
+    """Classic recompute of POISONED q blocks (deferred-repair path).
+
+    A single grid step scans the scalar-prefetched per-(b, h, q_block)
+    poison flags the zero-shift kernel emitted; benign inputs cost one
+    near-empty kernel launch (a ~B*H*nq-iteration scalar loop, no DMA,
+    no compute) instead of the serial q+k HBM prepass of the old design
+    (~10% of the kernel at b8/s2048, scripts/probe_r4.py — in-kernel
+    trailing repair CELLS were also tried first and cost ~0.5 ms of
+    pipeline stalls). Flagged blocks stream q/k/v by manual DMA from
+    ANY-space refs and overwrite their o/lse rows IN PLACE: the outputs
+    alias the zero-shift kernel's outputs (input_output_aliases), so
+    untouched blocks keep their already-correct values. Plain
+    online-softmax, always masked — exact for any finite input; rare,
+    never hot."""
+    del o_in, lse_in  # aliased: o_any/lse_any ARE their buffers
+    nq = num_q_blocks
+
+    def fix(idx, carry):
+        @pl.when(flags_ref[idx] != 0)
+        def _repair():
+            b = idx // (num_heads * nq)
+            h = (idx // nq) % num_heads
+            i = idx % nq
+            kvh = h // group
+            first_j, last_j = _kv_block_bounds(
+                i, block_q, block_k, num_kv_blocks, window_left,
+                window_right, kv_off)
+            cq = pltpu.make_async_copy(
+                q_any.at[b, h, pl.ds(i * block_q, block_q)], qscr, sem)
+            cq.start()
+            cq.wait()
+            m_scr[...] = jnp.full_like(m_scr, _MASK)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+            q = qscr[...]
+
+            def visit(jj, carry):
+                ck = pltpu.make_async_copy(
+                    k_any.at[b, kvh, pl.ds(jj * block_k, block_k)],
+                    kscr, sem)
+                ck.start()
+                ck.wait()
+                cv = pltpu.make_async_copy(
+                    v_any.at[b, kvh, pl.ds(jj * block_k, block_k)],
+                    vscr, sem)
+                cv.start()
+                cv.wait()
+                s = jax.lax.dot_general(
+                    q, kscr[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = _band_mask(s, i, jj, block_q, block_k, seqlen_k,
+                               window_left, window_right, sinks, kv_off)
+                m_prev = m_scr[...]
+                m_next = jnp.maximum(m_prev,
+                                     jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp2((m_prev - m_next) * scale_log2e)
+                # subtract-FIRST (see _prefill_body._online_update)
+                p = jnp.exp2((s - m_next[:, :1]) * scale_log2e)
+                l_scr[...] = alpha * l_scr[...] + _lane_partial_sum(p)
+                m_scr[...] = m_next
+                pv = jax.lax.dot_general(
+                    p.astype(vscr.dtype), vscr[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+                return carry
+
+            if sinks > 0:
+                nsink = jnp.minimum(
+                    jnp.int32(cdiv(int(sinks), block_k)), first_j)
+                jax.lax.fori_loop(0, nsink, visit, 0)
+            jax.lax.fori_loop(first_j, last_j + 1, visit, 0)
+
+            l = jnp.sum(l_scr[...], axis=1, keepdims=True)
+            dead = m_scr[:, :1] <= _MASK * 0.5
+            bad = jnp.logical_or(dead,
+                                 jnp.logical_or(l == 0.0, jnp.isnan(l)))
+            l_safe = jnp.where(bad, 1.0, l)
+            o = acc_scr[...] * (1.0 / l_safe)
+            oscr[...] = jnp.where(dead, 0.0, o).astype(oscr.dtype)
+            co = pltpu.make_async_copy(
+                oscr, o_any.at[b, h, pl.ds(i * block_q, block_q)], sem)
+            co.start()
+            co.wait()
+            if with_lse:
+                lse = (m_scr[:, :1] * (scale_log2e * _LN2)
+                       + jnp.log(l_safe))
+                lse = jnp.where(jnp.logical_or(l == 0.0, dead),
+                                -jnp.inf, lse)
+                lsescr[...] = jnp.broadcast_to(lse, lsescr.shape)
+                cl = pltpu.make_async_copy(
+                    lsescr,
+                    lse_any.at[b, h, pl.ds(i * block_q, block_q)], sem)
+                cl.start()
+                cl.wait()
+        return carry
+
+    jax.lax.fori_loop(0, flags_ref.shape[0], fix, 0)
+
+
+def _repair_poisoned(flags, q, k, v, outs, kparams, *, batch, num_heads,
+                     num_q_blocks, group, bq, bk, head_dim, return_lse,
+                     interpret):
+    """Launch _repair_kernel over the zero-shift kernel's outputs.
+
+    flags: [batch*num_heads*num_q_blocks] int32 poison flags; outs: the
+    (o [, lse]) arrays to repair IN PLACE via input_output_aliases.
+    Returns the repaired outs tuple. Benign inputs cost one near-empty
+    kernel launch (single grid step scanning the prefetched flags)."""
+    o = outs[0]
+    with_lse = return_lse
+    scratch = [
+        pltpu.VMEM((bq, head_dim), q.dtype),       # qscr
+        pltpu.VMEM((bk, head_dim), k.dtype),       # kscr
+        pltpu.VMEM((bk, head_dim), v.dtype),       # vscr
+        pltpu.VMEM((bq, head_dim), o.dtype),       # oscr
+        pltpu.VMEM((bq, LANES), jnp.float32),      # lsescr
+        pltpu.VMEM((bq, LANES), jnp.float32),      # m
+        pltpu.VMEM((bq, LANES), jnp.float32),      # l
+        pltpu.VMEM((bq, head_dim), jnp.float32),   # acc
+        pltpu.SemaphoreType.DMA,
+    ]
+    rparams = dict(kparams, num_heads=num_heads,
+                   num_q_blocks=num_q_blocks, group=group)
+    kern = functools.partial(_repair_kernel, **rparams)
+    if not with_lse:
+        def kern(flags_ref, q_any, k_any, v_any, o_in, o_any, *scr,
+                 _k=rparams):
+            return _repair_kernel(flags_ref, q_any, k_any, v_any, o_in,
+                                  None, o_any, None, *scr, **_k)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    n_in = 4 + (1 if with_lse else 0)
+    aliases = {4: 0}
+    if with_lse:
+        aliases[5] = 1
+    out_shapes = [jax.ShapeDtypeStruct(o.shape, o.dtype)]
+    if with_lse:
+        out_shapes.append(jax.ShapeDtypeStruct(outs[1].shape,
+                                               outs[1].dtype))
+    res = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[any_spec] * n_in,
+            out_specs=[any_spec] * len(out_shapes),
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(flags, q, k, v, *outs)
+    return tuple(res)
 
 
 def _bound_risky(maxq, maxk, scale_log2e):
@@ -699,6 +972,18 @@ def prefill_attention(
 
     kv_slab (bound path only): column slab width for NON-diagonal tiles
     (None = auto, 0 = monolithic tiles).
+
+    bound_softmax selects the softmax engine. None/True (default):
+    zero-shift max-free body with DEFERRED REPAIR — the store computes a
+    per-q-block poison flag (row sums outside (_L_MIN, finite) or
+    non-finite output) and a trailing repair cell recomputes flagged
+    blocks with the classic algorithm in-kernel (exact for ANY finite
+    input, ~zero cost when benign). "prepass": the pre-round-4 design — a
+    fused q/k norm reduction proves safety ahead of time and risky blocks
+    take an embedded classic body (costs a serial HBM pass over q and k,
+    ~10% at b8/s2048). "unchecked": zero-shift only, no safety net (the
+    caller guarantees bounded scores). False: classic online-softmax
+    kernel.
 
     flat_grid: None = auto. True flattens (batch, head, cell) into ONE
     'arbitrary' grid dimension — keeps the Mosaic pipeline running across
@@ -840,7 +1125,7 @@ def prefill_attention(
         out_shapes = out_shapes[:1]
 
     flops_mult = 0.5 if window_right == 0 and sq == sk else 1.0
-    scratch_shapes = [
+    base_scratch = [
         pltpu.VMEM((bq, LANES), jnp.float32),
         pltpu.VMEM((bq, LANES), jnp.float32),
         pltpu.VMEM((bq, head_dim), jnp.float32),
@@ -859,6 +1144,22 @@ def prefill_attention(
     # reference's n_block_max pruning (prefill.cuh:749-752), inverted for
     # TPU's static grids. Attention-sink blocks are listed ahead of the
     # window band (they are invisible to the rectangular bounds).
+    # Deferred-repair mode (bound_softmax=True, the default): the
+    # zero-shift kernel emits a per-q-block poison flag and a separate
+    # near-empty repair kernel (_repair_kernel) recomputes flagged blocks
+    # in place. The repair kernel's manual q/k/v DMA needs 128-lane-
+    # aligned rows (Mosaic memref tiling — same constraint that pads
+    # KV-cache page rows, cache/paged_cache.stored_width); narrower head
+    # dims keep the prepass design, which has no manual DMA.
+    # "flag_only" is a timing-decomposition mode (scripts/probe_r4.py):
+    # the flag is computed and written but the repair kernel is not
+    # launched — output is unsound for poisoned blocks; probes only.
+    # "flag_presence" additionally skips the flag computation itself.
+    flagged = (use_bound
+               and bound_softmax in (True, "flag_only", "flag_presence")
+               and head_dim % LANES == 0)
+    if use_bound and bound_softmax is True and not flagged:
+        bound_softmax = "prepass"
     sink_blocks = cdiv(int(sink_tokens), bk) if sink_tokens else 0
     cells_i, cells_j = [], []
     for bi in range(num_q_blocks):
@@ -888,10 +1189,11 @@ def prefill_attention(
     use_flat = flat_grid if flat_grid is not None else C <= 8
 
     def _call(bht_kernel, flat_kernel, extra_inputs=(), extra_in_specs=(),
-              extra_prefetch=()):
+              extra_prefetch=(), extra_scratch=(), with_flag_out=False):
         """One pallas_call on the selected grid. extra_in_specs entries
         are callables (flat: bool) -> BlockSpec; extra_prefetch arrays
         ride as additional scalar-prefetch args (int32)."""
+        scratch_shapes = base_scratch + list(extra_scratch)
         if use_flat:
             qo_map = lambda t, *_: \
                 (t // (H * C), (t // C) % H, _[0][t % C], 0)  # noqa: E731
@@ -917,6 +1219,15 @@ def prefill_attention(
             pl.BlockSpec((1, 1, bq, head_dim), qo_map),
             pl.BlockSpec((1, 1, bq, LANES), qo_map),
         ][: len(out_shapes)]
+        if with_flag_out:
+            # per-q-block poison flag: one broadcast (8, LANES) int32
+            # block at row 8*i (the row dim exists only to satisfy Mosaic
+            # block tiling; XLA reads [:, :, ::8, 0] afterwards)
+            out_specs = out_specs + [
+                pl.BlockSpec((1, 1, 8, LANES), qo_map)]
+        all_out_shapes = out_shapes + ([jax.ShapeDtypeStruct(
+            (batch, num_heads, num_q_blocks * 8, LANES), jnp.int32)]
+            if with_flag_out else [])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2 + len(extra_prefetch),
             grid=grid,
@@ -924,11 +1235,13 @@ def prefill_attention(
             out_specs=out_specs,
             scratch_shapes=scratch_shapes,
         )
-        kern = kernel if return_lse else _drop_lse_arg(kernel)
+        n_tail = len(scratch_shapes) + (1 if with_flag_out else 0)
+        kern = (kernel if return_lse
+                else _drop_lse_arg(kernel, n_tail=n_tail))
         return pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=out_shapes,
+            out_shape=all_out_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=semantics,
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -974,33 +1287,67 @@ def prefill_attention(
             extra_inputs, extra_in_specs)
         return tuple(outs) if isinstance(outs, (list, tuple)) else (outs,)
 
-    if use_bound:
+    if flagged:
+        # DEFAULT bound-softmax path (deferred repair): the zero-shift
+        # kernel runs UNCHECKED speed (its store emits a free poison
+        # flag per q block) and a second, near-empty kernel repairs
+        # flagged blocks in place. Safety without the serial q+k prepass:
+        # the prepass was the whole 79.8-vs-87.6 TFLOP/s gap at b8/s2048
+        # (scripts/probe_r4.py); in-kernel trailing repair cells were
+        # tried first and stalled the pipeline ~0.5 ms.
+        fparams = dict(kparams, diag_sub=int(dsub), kv_slab=int(slab),
+                       compute_flag=bound_softmax != "flag_presence")
+        outs = _call(
+            functools.partial(_flagged_bht_kernel, ncells=C, **fparams),
+            functools.partial(_flagged_flat_kernel, ncells=C, **fparams),
+            with_flag_out=True,
+        )
+        *outs, flags4d = outs
+        outs = tuple(outs)
+        if bound_softmax is True:
+            flags = flags4d[:, :, ::8, 0].reshape(-1)
+            outs = _repair_poisoned(
+                flags, q, k, v, outs, kparams, batch=batch, num_heads=H,
+                num_q_blocks=num_q_blocks, group=group, bq=bq, bk=bk,
+                head_dim=head_dim, return_lse=return_lse,
+                interpret=interpret)
+    elif use_bound:
         # bound_softmax="unchecked": the caller statically asserts its
         # activations keep |q||k|*scale*log2e under _BOUND_SAFE_LOG2
         # (e.g. RMS-normed q/k), so the classic fallback body is not
         # compiled in at all. Results for inputs violating the assertion
-        # are numerically wrong — the default keeps the embedded guard.
+        # are numerically wrong — "prepass" keeps the embedded guard fed
+        # by the fused q/k norm reduction (the pre-round-4 default).
         bparams = dict(kparams, diag_sub=int(dsub), kv_slab=int(slab),
                        with_classic=bound_softmax != "unchecked")
-        # ONE fused reduce over each of Q and K yields the per-q-block
-        # RISKY bits (can this block's scores leave fp32 exp2 range under
-        # the zero shift? — see _bound_risky); the bits ride as scalar
-        # prefetch, and risky blocks take the classic body EMBEDDED in
-        # the same kernel. No lax.cond: a whole-array cond between two
-        # kernels measured ~0.5 ms of operand round-tripping at b8/s2048
-        # (72 -> 87 TFLOP/s without it), while the in-kernel branch costs
-        # ~2 TFLOP/s and the prepass ~1.
-        kf32 = k.astype(jnp.float32)
-        maxk = jnp.max(jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1)),
-                       axis=-1)  # [b, hkv]
-        qf32 = q.astype(jnp.float32)
-        qn = jnp.sqrt(jnp.sum(qf32 * qf32, axis=-1))  # [b, hq, sq_p]
-        qn_blk = jnp.max(
-            qn.reshape(batch, num_heads, num_q_blocks, bq), axis=-1)
-        risky_bits = _bound_risky(
-            qn_blk, jnp.repeat(maxk, group, axis=1)[:, :, None],
-            kparams["scale_log2e"],
-        ).reshape(-1).astype(jnp.int32)
+        if bound_softmax == "unchecked":
+            # No classic body is compiled, so the risky bits only feed the
+            # m-scratch init select (which must be 0 for the zero-shift
+            # math): skip the prepass entirely — its q+k reduction is a
+            # serial 2-array HBM pass (~0.25 ms at b8/s2048, the largest
+            # single overhead of the checked path).
+            risky_bits = jnp.zeros(
+                batch * num_heads * num_q_blocks, jnp.int32)
+        else:
+            # ONE fused reduce over each of Q and K yields the per-q-block
+            # RISKY bits (can this block's scores leave fp32 exp2 range
+            # under the zero shift? — see _bound_risky); the bits ride as
+            # scalar prefetch, and risky blocks take the classic body
+            # EMBEDDED in the same kernel. No lax.cond: a whole-array cond
+            # between two kernels measured ~0.5 ms of operand
+            # round-tripping at b8/s2048 (72 -> 87 TFLOP/s without it),
+            # while the in-kernel branch costs ~2 TFLOP/s.
+            kf32 = k.astype(jnp.float32)
+            maxk = jnp.max(jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1)),
+                           axis=-1)  # [b, hkv]
+            qf32 = q.astype(jnp.float32)
+            qn = jnp.sqrt(jnp.sum(qf32 * qf32, axis=-1))  # [b, hq, sq_p]
+            qn_blk = jnp.max(
+                qn.reshape(batch, num_heads, num_q_blocks, bq), axis=-1)
+            risky_bits = _bound_risky(
+                qn_blk, jnp.repeat(maxk, group, axis=1)[:, :, None],
+                kparams["scale_log2e"],
+            ).reshape(-1).astype(jnp.int32)
 
         outs = _call(
             functools.partial(_bound_bht_kernel, ncells=C,

@@ -1,0 +1,84 @@
+"""TPU smoke of the deferred-repair (flagged) prefill kernel.
+
+CPU interpret mode does not enforce Mosaic's BlockSpec/DMA rules; this
+drives the round-4 flagged kernel's new pieces on the chip: ANY-space
+k/v aliases, SMEM poison flag, repair-cell manual DMA, and the gated
+classic recompute — on benign AND adversarial inputs, both grids.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/smoke_flagged.py
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from mfa_tpu.kernels.prefill import prefill_attention  # noqa: E402
+from mfa_tpu.ref.oracle import attention_ref  # noqa: E402
+
+
+def check(name, q, k, v, tol, **kw):
+    # structural tolerance is RELATIVE: fp32 operands multiply at the
+    # MXU's bf16-mantissa precision on chip, so adversarial-magnitude
+    # comparisons see ~1e-3 relative noise (flagged/prepass/classic
+    # kernels agree to 0.0 with each other; only the oracle drifts —
+    # measured by /tmp/ragged_check round 4). Same 1e-2 structural gate
+    # as scripts/stress_tpu.py.
+    out = prefill_attention(q, k, v, causal=True, **kw)
+    ref = jnp.swapaxes(
+        attention_ref(*(jnp.swapaxes(x, 1, 2) for x in (q, k, v)),
+                      causal=True), 1, 2)
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-9
+    d = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                              - ref.astype(jnp.float32)))) / scale
+    ok = d < tol and bool(jnp.all(jnp.isfinite(out)))
+    print(f"{name}: reldiff {d:.5f} {'OK' if ok else 'FAIL'}", flush=True)
+    return ok
+
+
+def mk(key, b, h, hkv, s, d, std=1.0, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    q = (jax.random.normal(ks[0], (b, h, s, d)) * std).astype(dtype)
+    k = (jax.random.normal(ks[1], (b, hkv, s, d)) * std).astype(dtype)
+    v = (jax.random.normal(ks[2], (b, hkv, s, d)) * std).astype(dtype)
+    return q, k, v
+
+
+def main():
+    ok = True
+    # benign bf16 at the bench shape (flat grid, diag subtiling)
+    q, k, v = mk(jax.random.key(0), 2, 8, 4, 2048, 128, dtype=jnp.bfloat16)
+    ok &= check("benign b2 s2048 bf16", q, k, v, 0.02)
+    # benign long (bht grid)
+    q, k, v = mk(jax.random.key(1), 1, 4, 4, 8192, 128, dtype=jnp.bfloat16)
+    ok &= check("benign b1 s8192 bf16", q, k, v, 0.02)
+    # adversarial fp32: overflow/underflow rows -> repair cells fire
+    q, k, v = mk(jax.random.key(2), 1, 2, 2, 512, 128, std=1e3)
+    ok &= check("adversarial std=1e3 s512", q, k, v, 1e-2)
+    # adversarial forced onto the bht grid
+    ok &= check("adversarial bht grid", q, k, v, 1e-2, flat_grid=False)
+    # ragged tail + window + sinks adversarial
+    q, k, v = mk(jax.random.key(3), 1, 2, 2, 387, 128, std=300.0)
+    ok &= check("adversarial ragged 387", q, k, v, 1e-2)
+    out = prefill_attention(q, k, v, causal=True, window_size=(127, 0),
+                            sink_tokens=16)
+    print("window+sinks adversarial: finite",
+          bool(jnp.all(jnp.isfinite(out))), flush=True)
+    ok &= bool(jnp.all(jnp.isfinite(out)))
+    # lse on the flagged path
+    q, k, v = mk(jax.random.key(4), 1, 2, 2, 512, 128, std=1e3)
+    o1, lse = prefill_attention(q, k, v, causal=True, return_lse=True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(128.0)
+    mask = jnp.arange(512)[None, :] <= jnp.arange(512)[:, None]
+    ref_lse = jax.nn.logsumexp(jnp.where(mask, s, -jnp.inf), -1)
+    rel = float(jnp.max(jnp.abs(lse - ref_lse)
+                        / jnp.maximum(jnp.abs(ref_lse), 1.0)))
+    print(f"adversarial lse rel err {rel:.6f}", flush=True)
+    ok &= rel < 1e-3
+    print("SMOKE", "PASS" if ok else "FAIL", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
