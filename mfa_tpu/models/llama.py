@@ -394,11 +394,15 @@ def _rms_norm(x, w, cfg: "LlamaConfig"):
     return (xf * jax.lax.rsqrt(var + cfg.norm_eps) * w).astype(x.dtype)
 
 
-def _qkv(h, lp, cfg: "LlamaConfig", *lead):
+def _qkv(h, lp, cfg: "LlamaConfig", *lead, kernel_ok: bool = True):
     """Shared q/k/v projection (+ optional Qwen2-style bias, optional
     Qwen3-style per-head q/k RMSNorm) for every execution path. lead:
-    leading output dims (e.g. batch, seq)."""
-    q, k, v = qmm(h, lp["wq"]), qmm(h, lp["wk"]), qmm(h, lp["wv"])
+    leading output dims (e.g. batch, seq). kernel_ok: int8-weight
+    projections may use the Pallas matmul (single-device only — see
+    wquant.qmm)."""
+    q = qmm(h, lp["wq"], kernel_ok)
+    k = qmm(h, lp["wk"], kernel_ok)
+    v = qmm(h, lp["wv"], kernel_ok)
     if cfg.qkv_bias:
         q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
     hd = cfg.head_dim
@@ -477,8 +481,9 @@ def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     if "ws_gate" in lp:
         # Qwen2-MoE/DeepSeek shared expert: dense SwiGLU on every token,
         # optionally scaled by a sigmoid gate on the (normed) hidden state
-        sg = _act(qmm(t, lp["ws_gate"]), cfg.hidden_act)
-        sh = qmm(sg * qmm(t, lp["ws_up"]), lp["ws_down"])
+        ok = mesh is None
+        sg = _act(qmm(t, lp["ws_gate"], ok), cfg.hidden_act)
+        sh = qmm(sg * qmm(t, lp["ws_up"], ok), lp["ws_down"], ok)
         if "w_shared_gate" in lp:
             sh = sh * jax.nn.sigmoid(
                 t.astype(jnp.float32) @ lp["w_shared_gate"].astype(
@@ -493,18 +498,20 @@ def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
 def _mlp(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     if cfg.n_experts and "we_gate" in lp:
         return _moe(x, lp, cfg, mesh)
+    ok = mesh is None
     h = _rms_norm(x, lp["mlp_norm"], cfg)
-    gate = _act(qmm(h, lp["w_gate"]), cfg.hidden_act)
-    out = qmm(gate * qmm(h, lp["w_up"]), lp["w_down"])
+    gate = _act(qmm(h, lp["w_gate"], ok), cfg.hidden_act)
+    out = qmm(gate * qmm(h, lp["w_up"], ok), lp["w_down"], ok)
     if cfg.post_norms:  # Gemma2 post_feedforward_layernorm
         out = _rms_norm(out, lp["post_mlp_norm"], cfg)
     return x + out
 
 
-def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig"):
+def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig",
+                   kernel_ok: bool = True):
     """o-projection + optional Gemma2 post_attention_layernorm + residual.
     attn_flat: [..., n_heads*head_dim]."""
-    out = qmm(attn_flat.astype(x.dtype), lp["wo"])
+    out = qmm(attn_flat.astype(x.dtype), lp["wo"], kernel_ok)
     if cfg.post_norms:
         out = _rms_norm(out, lp["post_attn_norm"], cfg)
     return x + out
@@ -613,8 +620,8 @@ def _embed(params, tokens, cfg: "LlamaConfig"):
     return x
 
 
-def _unembed(params, x, cfg: "LlamaConfig"):
-    logits = qmm(x, params["lm_head"]).astype(jnp.float32)
+def _unembed(params, x, cfg: "LlamaConfig", kernel_ok: bool = True):
+    logits = qmm(x, params["lm_head"], kernel_ok).astype(jnp.float32)
     if cfg.logit_softcap:
         cap = float(cfg.logit_softcap)
         logits = jnp.tanh(logits / cap) * cap
@@ -807,7 +814,7 @@ def forward(
 
     def body(x, lp, _leaves, wl, rope):
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, b, s)
+        q, k, v = _qkv(h, lp, cfg, b, s, kernel_ok=mesh is None)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
         if image_block_ids is not None:
@@ -815,13 +822,14 @@ def forward(
                                         image_block_ids, mesh)
         else:
             attn = _attention_sharded(q, k, v, mesh, cfg, wl)
-        x = _attn_residual(x, attn.reshape(b, s, cfg.n_heads * hd), lp, cfg)
+        x = _attn_residual(x, attn.reshape(b, s, cfg.n_heads * hd), lp,
+                           cfg, kernel_ok=mesh is None)
         x = _mlp(x, lp, cfg, mesh)
         return x, ()
 
     x, _ = _scan_layers(cfg, body, x, params["layers"], (), remat=remat)
     x = _rms_norm(x, params["final_norm"], cfg)
-    return _unembed(params, x, cfg)
+    return _unembed(params, x, cfg, kernel_ok=mesh is None)
 
 
 def loss_fn(params, tokens, cfg, mesh=None, remat=False):
@@ -1054,7 +1062,7 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     def body(x, lp, leaves, wl, rope):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, n, s)
+        q, k, v = _qkv(h, lp, cfg, n, s, kernel_ok=mesh is None)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
         # page writes: [n, s, hkv, d] -> [hkv, n*npg, page, d]
@@ -1078,7 +1086,8 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
                                         image_block_ids, pmesh)
         else:
             attn = _attention_sharded(q, k, v, pmesh, cfg, wl)
-        x = _attn_residual(x, attn.reshape(n, s, cfg.n_heads * hd), lp, cfg)
+        x = _attn_residual(x, attn.reshape(n, s, cfg.n_heads * hd), lp,
+                           cfg, kernel_ok=mesh is None)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
@@ -1089,7 +1098,7 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     last = jnp.take_along_axis(
         x, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1
     )[:, 0]  # [n, d]
-    logits = _unembed(params, last, cfg)
+    logits = _unembed(params, last, cfg, kernel_ok=mesh is None)
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
         block_tables=cache.block_tables.at[seq_slots].set(table_rows),
@@ -1181,7 +1190,7 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
     def body(x, lp, leaves, wl, rope):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, n, chunk)
+        q, k, v = _qkv(h, lp, cfg, n, chunk, kernel_ok=mesh is None)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
         kq, ks_new = _store_rows(
@@ -1206,7 +1215,7 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
             table_rows, _prefill_mesh(mesh), cfg, wl, cache.quant_dtype,
         )
         x = _attn_residual(x, attn.reshape(n, chunk, cfg.n_heads * hd),
-                           lp, cfg)
+                           lp, cfg, kernel_ok=mesh is None)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
@@ -1216,7 +1225,7 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
     x = _rms_norm(x, params["final_norm"], cfg)
     last_idx = jnp.clip(final_lens - 1 - offsets, 0, chunk - 1)
     last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
-    logits = _unembed(params, last, cfg)  # [n, vocab]
+    logits = _unembed(params, last, cfg, kernel_ok=mesh is None)  # [n, vocab]
     lengths = cache.lengths.at[seq_slots].set(
         jnp.where(final_mask, final_lens, cache.lengths[seq_slots])
     )
@@ -1313,7 +1322,7 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     def body(x, lp, leaves, wl, rope):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, n, 1)
+        q, k, v = _qkv(h, lp, cfg, n, 1, kernel_ok=mesh is None)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
@@ -1331,7 +1340,8 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             q[:, 0], kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype,
             cfg, wl, cache.quant_dtype,
         )  # [n, heads, hd]
-        x = _attn_residual(x, attn.reshape(n, 1, cfg.n_heads * hd), lp, cfg)
+        x = _attn_residual(x, attn.reshape(n, 1, cfg.n_heads * hd), lp,
+                           cfg, kernel_ok=mesh is None)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
@@ -1339,7 +1349,7 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         cfg, body, x, params["layers"], _cache_xs(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
-    logits = _unembed(params, x[:, 0], cfg)
+    logits = _unembed(params, x[:, 0], cfg, kernel_ok=mesh is None)
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
         lengths=cache.lengths.at[seq_slots].set(lens_inc),
@@ -1379,7 +1389,7 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     def body(x, lp, leaves, wl, rope):
         kp, vp, ksc, vsc = leaves
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, n, span)
+        q, k, v = _qkv(h, lp, cfg, n, span, kernel_ok=mesh is None)
         q = _rope(q, pos, *rope)
         k = _rope(k, pos, *rope)
         kq, ks_new = _store_rows(
@@ -1400,7 +1410,7 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             cfg, wl, cache.quant_dtype,
         )  # [n, span, heads, hd]
         x = _attn_residual(x, attn.reshape(n, span, cfg.n_heads * hd),
-                           lp, cfg)
+                           lp, cfg, kernel_ok=mesh is None)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
@@ -1408,7 +1418,7 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         cfg, body, x, params["layers"], _cache_xs(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
-    logits = _unembed(params, x, cfg)  # [n, span, vocab]
+    logits = _unembed(params, x, cfg, kernel_ok=mesh is None)  # [n, span, vocab]
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
         lengths=cache.lengths.at[seq_slots].set(lens_inc),
@@ -1460,6 +1470,17 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     from mfa_tpu.serve.sampling import (SamplingParams, sample,
                                         sample_dynamic, token_logprobs)
 
+    if isinstance(params.get("lm_head"), QWeight):
+        # Dequantize the lm_head ONCE per burst, outside the step scan.
+        # Inside the scan, the int8 logits matmul is a measured
+        # pathology: +2.4 ms/step at the 1B shape (vs bf16's 0.7 ms for
+        # the same matmul) even though the identical fused int8 dot runs
+        # 1.7x FASTER than bf16 in isolation (scripts/probe_r4b.py /
+        # /tmp bisect, r4). One up-front bf16 materialization amortized
+        # over n_steps costs ~3% and keeps the int8 residency win
+        # (6.60 vs 8.64 ms/step measured; bf16-head baseline 6.36).
+        params = dict(params, lm_head=dequantize_weight(
+            params["lm_head"], cfg.dtype))
     sampling = sampling or SamplingParams()
     if key is None:
         # Greedy (and per-request vecs with all-greedy rows) never consumes

@@ -189,3 +189,22 @@ def test_from_safetensors_quantize(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     with pytest.raises(ValueError):
         from_safetensors(str(tmp_path), quantize="int3")
+
+
+def test_int8_matmul_kernel_parity():
+    # kernels/wmatmul.int8_matmul (the TPU qmm backend): parity with the
+    # jnp dequant graph across shapes incl. ragged m and vocab-like N
+    # (N % 512 != 0 exercises the divisor-tile fallback).
+    from mfa_tpu.kernels.wmatmul import int8_matmul
+
+    for m, K, N in ((3, 256, 384), (16, 512, 1152), (130, 384, 256)):
+        x = jax.random.normal(jax.random.key(m), (m, K), jnp.bfloat16)
+        w = jax.random.normal(jax.random.key(m + 1), (K, N), jnp.bfloat16)
+        qw = quantize_weight(w)
+        ref = ((x @ qw.qw.astype(jnp.bfloat16))
+               * qw.scale.astype(jnp.bfloat16))
+        out = int8_matmul(x, qw.qw, qw.scale)
+        d = np.abs(np.asarray(out, np.float32)
+                   - np.asarray(ref, np.float32))
+        s = np.abs(np.asarray(ref, np.float32)).max()
+        assert d.max() / s < 2e-2, (m, K, N, d.max() / s)
