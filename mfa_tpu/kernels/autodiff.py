@@ -39,9 +39,11 @@ def flash_attention_grad(
     alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Differentiable attention on [batch, heads, seq, head_dim] layout.
-    sink_tokens (StreamingLLM) is forward/serving-only: the backward pass
-    raises for sinked windows (no training use case). alibi_slopes: [h]
-    per-head slopes (position-only bias: its own gradient is zero)."""
+    sink_tokens (StreamingLLM): fully differentiable — models fine-tune
+    with the same sinked-window attention they serve (fused backward
+    kernel with sink-prefix cell tables, kernels/backward.py).
+    alibi_slopes: [h] per-head slopes (position-only bias: its own
+    gradient is zero)."""
     return prefill_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
         window_size=window_size, logit_softcap=logit_softcap,
@@ -64,15 +66,12 @@ def _bwd(causal, softmax_scale, window_size, logit_softcap, sink_tokens,
          res, do):
     from mfa_tpu.kernels.backward import flash_attention_bwd
 
-    if sink_tokens:
-        raise NotImplementedError(
-            "attention sinks are a serving feature; the backward pass "
-            "does not support them")
     q, k, v, out, lse, alibi_slopes = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, do,
         causal=causal, softmax_scale=softmax_scale, window_size=window_size,
         logit_softcap=logit_softcap, alibi_slopes=alibi_slopes,
+        sink_tokens=sink_tokens,
     )
     # ALiBi slopes are position-only constants: zero cotangent.
     dslopes = (None if alibi_slopes is None

@@ -47,13 +47,15 @@ _MASK = -1e30
 
 
 def _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k, window_left,
-               window_right, kv_off=0, col0=0, ncols=None):
+               window_right, kv_off=0, col0=0, ncols=None, sinks=0):
     # Skinny [bq,1]/[1,bk] iotas broadcast inside the compares — no full
     # [bq, bk] index planes (the backward inner loop is VPU-bound too).
     # kv_off: q rows sit kv_off positions ahead of the kv columns (ring
     # attention pairs) — shifts the window/causal compares, NOT the
     # seqlen_q row bound (that is the physical array length).
     # col0/ncols: restrict to the kv column slab [col0, col0+ncols).
+    # sinks (StreamingLLM): the first `sinks` columns stay visible
+    # through a left window (matches the forward's _band_mask).
     ncols = block_k if ncols is None else ncols
     row = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + i * block_q
     col = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) \
@@ -62,15 +64,19 @@ def _tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k, window_left,
     if window_right >= 0:
         mask = jnp.logical_and(mask, col <= row + kv_off + window_right)
     if window_left >= 0:
-        mask = jnp.logical_and(mask, col >= row + kv_off - window_left)
+        in_window = col >= row + kv_off - window_left
+        if sinks > 0:
+            in_window = jnp.logical_or(in_window, col < sinks)
+        mask = jnp.logical_and(mask, in_window)
     return mask
 
 
 def _tile_needs_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
-                     window_left, window_right, kv_off=0):
+                     window_left, window_right, kv_off=0, sinks=0):
     """True iff tile (i, j) touches a sequence tail or the window edge —
     interior tiles skip the mask entirely (reference prefill.cuh:774-778;
-    here it also skips the row-bound check the forward doesn't need)."""
+    here it also skips the row-bound check the forward doesn't need).
+    Sink-prefix tiles are always masked (partially visible)."""
     needs = jnp.logical_or((i + 1) * block_q > seqlen_q,
                            (j + 1) * block_k > seqlen_k)
     if window_right >= 0:
@@ -81,6 +87,8 @@ def _tile_needs_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
         needs = jnp.logical_or(
             needs,
             j * block_k < (i + 1) * block_q + kv_off - 1 - window_left)
+    if sinks > 0:
+        needs = jnp.logical_or(needs, j * block_k < sinks)
     return needs
 
 
@@ -171,6 +179,7 @@ def _fused_bwd_kernel(
     kv_off: int = 0,
     diag_sub: int = 0,
     kv_slab: int = 0,
+    sinks: int = 0,
 ):
     """Single-pass backward: dQ, dK and dV in ONE kernel.
 
@@ -212,6 +221,9 @@ def _fused_bwd_kernel(
     first_j, last_j = _kv_block_bounds(
         i, block_q, block_k, num_kv_blocks, window_left, window_right,
         kv_off)
+    # with sinks, each q block's first enumerated cell is SINK block 0
+    # (listed ahead of the window band, like the forward cell table)
+    init_j = 0 if sinks > 0 else first_j
     # lse/delta are (1, 1, bq, 1) fp32 blocks, fetched once per q ROW (the
     # index map depends on (g, i) only, so the j-inner sweep reuses the
     # resident block). A lane-packed [8, 256] stripe would be a denser
@@ -225,14 +237,14 @@ def _fused_bwd_kernel(
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    @pl.when(j == first_j)
+    @pl.when(j == init_j)
     def _init_q():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     needs_tail = (j + 1) * block_k > seqlen_k
     needs_mask = _tile_needs_mask(i, j, block_q, block_k, seqlen_q,
                                   seqlen_k, window_left, window_right,
-                                  kv_off)
+                                  kv_off, sinks)
 
     def _accum(p, dcap, qs, dos, vs, ksl_lo, qsl, k_or_slab, delta):
         """Shared additive update: dv/dk rows [ksl_lo, ksl_lo+w) and dq
@@ -269,7 +281,7 @@ def _fused_bwd_kernel(
             v = v_ref[0, 0, c0:c0 + width]
             mask = (_tile_mask(i, j, block_q, block_k, seqlen_q, seqlen_k,
                                window_left, window_right, kv_off,
-                               col0=c0, ncols=width)
+                               col0=c0, ncols=width, sinks=sinks)
                     if masked else None)
             bias = (_alibi_bias(i, j, block_q, block_k, slopes_ref)
                     if alibi else None)
@@ -526,7 +538,8 @@ def _dq_tri_kernel(imap_ref, jmap_ref, *refs, **params):
     jax.jit,
     static_argnames=("causal", "softmax_scale", "window_size", "block_q",
                      "block_k", "interpret", "logit_softcap",
-                     "kv_position_offset", "fused", "kv_slab"),
+                     "kv_position_offset", "fused", "kv_slab",
+                     "sink_tokens"),
 )
 def flash_attention_bwd(
     q: jax.Array,  # [b, hq, sq, d]
@@ -547,8 +560,15 @@ def flash_attention_bwd(
     kv_position_offset: int = 0,
     fused: Optional[bool] = None,
     kv_slab: int = 0,
+    sink_tokens: int = 0,
 ):
     """-> (dq, dk, dv) on the [b, h, s, d] layout.
+
+    sink_tokens (StreamingLLM): with a left window, the first
+    `sink_tokens` kv columns stay visible to every row — fine-tune with
+    the same attention the model serves. Fused-kernel path only (the
+    full-KV fp32 accumulators make sink-column gradients free; the
+    two-kernel split would need its own sink cell tables).
 
     kv_position_offset (static, >= 0): q row r sits at absolute position
     r + offset relative to the kv columns — the backward of the ring
@@ -571,6 +591,12 @@ def flash_attention_bwd(
     kv_off = int(kv_position_offset)
     if kv_off < 0:
         raise ValueError("kv_position_offset must be >= 0 (q leads kv)")
+    if sink_tokens and window_left < 0:
+        sink_tokens = 0  # no left window: sinks are a no-op (forward too)
+    if sink_tokens and kv_off:
+        raise NotImplementedError(
+            "kv_position_offset with attention sinks is not supported "
+            "(the ring path handles sink blocks on the owning shard)")
 
     alibi = alibi_slopes is not None
     if alibi:
@@ -614,10 +640,16 @@ def flash_attention_bwd(
     # intermediates and double-buffered tiles at 1024x1024).
     use_fused = (fused if fused is not None
                  else sk_p * head_dim * 8 <= 16 * 1024 * 1024)
+    if sink_tokens and not use_fused:
+        raise NotImplementedError(
+            "attention-sink backward requires the fused single-pass "
+            "kernel (sequence too long for its VMEM dK/dV accumulators, "
+            "or fused=False was forced)")
     if use_fused:
         # cell table, g-major / i / j-inner (python mirror of
         # _kv_block_bounds, first clamped to last so every q block runs at
         # least one in-range cell and stores its dq — zeros when dead)
+        sink_blocks = (-(-int(sink_tokens) // bk)) if sink_tokens else 0
         f_g, f_i, f_j = [], [], []
         for g_ in range(group):
             for bi in range(num_q_blocks):
@@ -628,6 +660,13 @@ def flash_attention_bwd(
                 fj = (0 if window_left < 0
                       else min(max(0, (bi * bq + kv_off - window_left) // bk),
                                lj))
+                # sink-prefix cells ahead of the band (forward parity:
+                # prefill.py cell table; _fused_bwd_kernel inits dq_acc
+                # at j == 0 when sinks are active)
+                for bj in range(min(sink_blocks, fj)):
+                    f_g.append(g_)
+                    f_i.append(bi)
+                    f_j.append(bj)
                 for bj in range(fj, lj + 1):
                     f_g.append(g_)
                     f_i.append(bi)
@@ -683,6 +722,7 @@ def flash_attention_bwd(
             kv_off=kv_off,
             diag_sub=dsub,
             kv_slab=int(kv_slab),
+            sinks=int(sink_tokens),
         )
         dq, dk, dv = pl.pallas_call(
             functools.partial(_fused_bwd_kernel, **fparams),

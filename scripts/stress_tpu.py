@@ -259,4 +259,106 @@ for trial in range(4):
     print(f"blockmask trial {trial} (b={b} h={h} s={s} run={run_len}): "
           f"{'OK' if ok else f'FAIL {dmax:.5f}'}", flush=True)
 
+# ---- packed varlen stress (VERDICT r3 weak #6) ----
+# kernels/varlen.py carries its own BlockSpec class (segment-id side
+# arrays, per-sequence bounds via scalar prefetch); exercise ragged
+# cu_seqlens (zero-length sequences, non-tile-multiple totals), causal,
+# sliding windows, and sinks against a per-sequence dense oracle.
+from mfa_tpu.kernels.varlen import varlen_attention
+from mfa_tpu.ref.oracle import attention_ref
+
+for trial in range(6):
+    hkv = int(rng.choice([1, 2, 4]))
+    group = int(rng.choice([1, 2, 4]))
+    h = hkv * group
+    d = 128
+    nseq = int(rng.randint(2, 6))
+    lens_q = []
+    for _ in range(nseq):
+        lens_q.append(0 if rng.rand() < 0.2
+                      else int(rng.randint(1, 700)))
+    lens_k = list(lens_q)  # self-attention packing (q len == k len)
+    causal = bool(rng.rand() < 0.7)
+    window = int(rng.choice([-1, 63, 250])) if causal else -1
+    sinks = int(rng.choice([0, 8])) if window >= 0 else 0
+    cu_q = np.concatenate([[0], np.cumsum(lens_q)]).astype(np.int32)
+    total = int(cu_q[-1])
+    if total == 0:
+        continue
+    q = jax.random.normal(jax.random.key(trial + 2000), (total, h, d),
+                          jnp.float32)
+    k = jax.random.normal(jax.random.key(trial + 2100), (total, hkv, d),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.key(trial + 2200), (total, hkv, d),
+                          jnp.float32)
+    out = varlen_attention(
+        q, k, v, jnp.asarray(cu_q), jnp.asarray(cu_q),
+        int(max(lens_q) or 1), int(max(lens_k) or 1), causal=causal,
+        window_size=(window, -1 if not causal else 0),
+        sink_tokens=sinks)
+    ok = True
+    for i in range(nseq):
+        n = lens_q[i]
+        if n == 0:
+            continue
+        qi = q[cu_q[i]:cu_q[i + 1]][None]
+        ki = k[cu_q[i]:cu_q[i + 1]][None]
+        vi = v[cu_q[i]:cu_q[i + 1]][None]
+        if sinks:
+            sc = jnp.einsum("qhd,khd->hqk", qi[0], jnp.repeat(
+                ki[0], group, 1)) * d ** -0.5
+            row = jnp.arange(n)[:, None]
+            col = jnp.arange(n)[None, :]
+            vis = (col <= row) & ((col >= row - window) | (col < sinks))
+            sc = jnp.where(vis[None], sc, -jnp.inf)
+            ref = jnp.einsum("hqk,khd->qhd", jax.nn.softmax(sc, -1),
+                             jnp.repeat(vi[0], group, 1))[None]
+        else:
+            ref = attention_ref(qi, ki, vi, causal=causal,
+                                window_size=(window, 0 if causal else -1))
+        dmax = float(jnp.abs(out[cu_q[i]:cu_q[i + 1]].astype(jnp.float32)
+                             - ref[0]).max())
+        # 2e-2: window+sinks fp32 configs measured up to 0.011 of pure
+        # MXU bf16-mantissa noise (the same config is 1e-6-exact in
+        # interpret mode); structural errors are O(1)
+        if dmax > 2e-2:
+            ok = False
+            print(f"VL trial {trial} seq {i}: maxdiff {dmax:.5f} "
+                  f"(lens={lens_q} causal={causal} w={window} "
+                  f"sinks={sinks} hkv={hkv} g={group})", flush=True)
+    fails += 0 if ok else 1
+    print(f"varlen trial {trial} (lens={lens_q} causal={causal} "
+          f"w={window} sinks={sinks}): {'OK' if ok else 'FAIL'}",
+          flush=True)
+
+# ---- deferred-repair (flagged) prefill adversarial stress ----
+# Round-4 kernel class: ANY-space k/v aliases + SMEM poison flag +
+# repair-cell manual DMA. Adversarial magnitudes force the repair; the
+# three engines must agree bit-exactly on chip (the oracle drifts by MXU
+# fp32 precision, so the gate is kernel-vs-kernel).
+from mfa_tpu.kernels.prefill import prefill_attention
+
+for trial in range(4):
+    b = int(rng.choice([1, 2]))
+    hkv = int(rng.choice([1, 2]))
+    group = int(rng.choice([1, 2]))
+    s = int(rng.choice([256, 387, 512, 1024]))
+    std = float(rng.choice([1.0, 300.0, 1e3]))
+    h = hkv * group
+    q = jax.random.normal(jax.random.key(trial + 3000), (b, h, s, 128)) * std
+    k = jax.random.normal(jax.random.key(trial + 3100), (b, hkv, s, 128)) * std
+    v = jax.random.normal(jax.random.key(trial + 3200), (b, hkv, s, 128)) * std
+    out_f = prefill_attention(q, k, v, causal=True)
+    out_c = prefill_attention(q, k, v, causal=True, bound_softmax=False)
+    dmax = float(jnp.abs(out_f - out_c).max())
+    rel = dmax / (float(jnp.abs(out_c).max()) + 1e-9)
+    # adversarial std: repair IS the classic algorithm -> near-bit-equal.
+    # benign std: zero-shift vs max-shift round differently on the fp32
+    # MXU (bf16 mantissa) -> structural gate only.
+    gate = 1e-6 if std >= 300.0 else 1e-2
+    ok = rel < gate and bool(jnp.all(jnp.isfinite(out_f)))
+    fails += 0 if ok else 1
+    print(f"flagged trial {trial} (b={b} h={h} s={s} std={std}): "
+          f"{'OK' if ok else f'FAIL rel={rel:.2e}'}", flush=True)
+
 print(f"STRESS {'PASS' if fails == 0 else f'FAIL ({fails})'}")
