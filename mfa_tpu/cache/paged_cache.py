@@ -113,32 +113,46 @@ class StackedKVCache:
     The serving engine's hot loop mutates cache metadata (map pages,
     release slots) from the host; with per-layer caches every such change
     is n_layers eager device ops, and through a remote-dispatch link that
-    dominates the decode step. Stacking the page arrays on a leading layer
-    axis and sharing ONE block table + lengths vector across layers makes
-    every metadata mutation a single O(1)-dispatch op, and lets the model
-    lax.scan over layers (compile time O(1) in depth)."""
+    dominates the decode step. Sharing ONE block table + lengths vector
+    across layers makes every metadata mutation a single O(1)-dispatch op,
+    and lets the model lax.scan over layers (compile time O(1) in depth).
 
-    k_pages: jax.Array  # [layers, hkv, num_pages, page, d]
+    LAYOUT (round 4): every layer's pages live in ONE MERGED pool
+    [hkv, n_layers * num_pages, rows, W] — layer l's logical page p is
+    physical page l * num_pages + p. The model layer passes the SAME
+    merged pool to the paged kernels with a per-layer-offset block table
+    (tables + l * num_pages, a tiny add), so the pools never ride a
+    lax.scan's xs/ys: they thread through the scan CARRY and every write
+    is a token/page-level scatter XLA aliases in place. The previous
+    [layers, hkv, ...] layout forced a per-layer pool slice + restack
+    each step — measured as the DOMINANT decode cost (step time scaled
+    with POOL SIZE at fixed kv length: 5.7 -> 19.5 ms/step when pools
+    grew 4x; scripts/probe_decode_step2.py decomposition)."""
+
+    k_pages: jax.Array  # [hkv, layers * num_pages, rows, W] merged pool
     v_pages: jax.Array
-    k_scales: Optional[jax.Array]  # [layers, hkv, num_pages, page] fp32
+    k_scales: Optional[jax.Array]  # [hkv, layers * num_pages, page] fp32
     v_scales: Optional[jax.Array]
     block_tables: jax.Array  # [max_seqs, pages_per_seq] int32 (all layers)
     lengths: jax.Array  # [max_seqs] int32 (all layers)
     page_size: int = dataclasses.field(metadata=dict(static=True))
     quant_dtype: Optional[str] = dataclasses.field(metadata=dict(static=True))
     head_dim: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # number of stacked layers (static: the merged page dim divides by it)
+    layers: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def n_layers(self) -> int:
-        return self.k_pages.shape[0]
+        return self.layers
 
     @property
     def num_kv_heads(self) -> int:
-        return self.k_pages.shape[1]
+        return self.k_pages.shape[0]
 
     @property
     def num_pages(self) -> int:
-        return self.k_pages.shape[2]
+        """LOGICAL pages per layer (the host allocator's id space)."""
+        return self.k_pages.shape[1] // self.layers
 
     @property
     def page_width(self) -> int:
@@ -168,11 +182,12 @@ def create_stacked_cache(
     if quant_dtype == "int4" and page_size % 2:
         raise ValueError("int4 KV needs an even page_size (row pairing)")
     rows = page_size // 2 if quant_dtype == "int4" else page_size
-    shape = (n_layers, num_kv_heads, num_pages, rows,
+    # one MERGED pool: layer l's logical page p = physical l*num_pages + p
+    shape = (num_kv_heads, n_layers * num_pages, rows,
              stored_width(head_dim))
     # scales stay per-TOKEN (page_size rows) even when payload rows pair
     scales = (
-        jnp.ones((n_layers, num_kv_heads, num_pages, page_size),
+        jnp.ones((num_kv_heads, n_layers * num_pages, page_size),
                  jnp.float32) if quant_dtype else None
     )
     return StackedKVCache(
@@ -185,6 +200,7 @@ def create_stacked_cache(
         page_size=page_size,
         quant_dtype=quant_dtype,
         head_dim=head_dim,
+        layers=n_layers,
     )
 
 
@@ -218,11 +234,11 @@ def cache_shardings(cache: PagedKVCache, mesh, model_axis: str = "model"):
             f"mesh axis '{model_axis}' ({size})"
         )
     rep = NamedSharding(mesh, P())
-    stacked = isinstance(cache, StackedKVCache)
-    head_spec = ((None, model_axis) if stacked else (model_axis,))
-    pages = NamedSharding(mesh, P(*head_spec, None, None, None))
+    # both layouts lead with the kv-head axis (StackedKVCache merges the
+    # layer axis into the page dim)
+    pages = NamedSharding(mesh, P(model_axis, None, None, None))
     scales = (
-        NamedSharding(mesh, P(*head_spec, None, None))
+        NamedSharding(mesh, P(model_axis, None, None))
         if cache.k_scales is not None
         else None
     )

@@ -180,9 +180,15 @@ def num_splits_heuristic(
 # unpack (int32 shift math — see kernels/quant.py) plus a read-modify-write
 # on append, so they only win once the cache read dominates: the measured
 # v5e crossover vs int8 sits between 2k and 4k tokens of KV per sequence
-# (benchmark/compare_decode.py sweep; at 8192 int4 is ~1.13x faster, at
-# ≤1024 it loses). Below the crossover int8 is both faster and accurate
-# enough; above it int4 wins on speed AND doubles residency.
+# (benchmark/compare_decode.py sweep; at 8192 int4 is ~1.1-1.3x faster,
+# at ≤1024 it loses). Below the crossover int8 is both faster and
+# accurate enough; above it int4 wins modestly on speed AND doubles
+# residency. Why only ~1.15x when bytes predict 1.75x: per-page DMA
+# transfers are LATENCY-bound on this chip — halving a page's bytes cuts
+# its transfer time to only ~0.75-0.80x (measured serial floor), the
+# unpack adds 5-12% VPU, and bigger pages measure slower end-to-end
+# (scripts/probe_int4_decode.py). int4's primary value is the 2x KV
+# DENSITY, which this crossover rule reflects.
 INT4_KV_CROSSOVER_TOKENS = 4096
 
 

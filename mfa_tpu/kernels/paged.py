@@ -157,6 +157,7 @@ def _paged_kernel_body(
     sinks: int,
     q_span: int,
     group: int,
+    pos_offset: int = 0,
 ):
     b, i = pl.program_id(0), pl.program_id(1)
     bt = page_size * pages_per_block
@@ -168,7 +169,8 @@ def _paged_kernel_body(
         window caps each row's visibility to window_left tokens back)."""
         if window_left < 0:
             return jnp.int32(0)
-        return jnp.maximum(0, lens_ref[bb] - q_span - window_left)
+        return jnp.maximum(
+            0, lens_ref[bb] + pos_offset - q_span - window_left)
 
     def _first_block(bb):
         if sinks > 0:  # sink blocks precede the window band
@@ -314,10 +316,15 @@ def _paged_kernel_body(
                 in_len = jnp.logical_and(in_len, vis)
         else:
             si = jax.lax.broadcasted_iota(jnp.int32, (rows_p, bt), 0) // group
-            in_len = col < (length - q_span + 1 + si)
+            # row si's absolute position is length + pos_offset - q_span
+            # + si; reads stay bounded by the STORED length (deferred
+            # appends: pos_offset > 0 means the span's own K/V is not in
+            # the cache — the caller merges it via LSE combine)
+            in_len = col < jnp.minimum(
+                length, length + pos_offset - q_span + 1 + si)
             if window_left >= 0:
                 row_start = jnp.maximum(
-                    0, (length - q_span + si) - window_left
+                    0, (length + pos_offset - q_span + si) - window_left
                 )
                 vis = col >= row_start
                 if sinks > 0:
@@ -358,7 +365,7 @@ def _paged_kernel_body(
                 # absolute position length - q_span + si
                 si_rows = jax.lax.broadcasted_iota(
                     jnp.int32, (sc.shape[0], 1), 0) // group
-                pos_rows = (length - q_span) + si_rows
+                pos_rows = (length + pos_offset - q_span) + si_rows
                 sc = sc - slopes_ref[h][:, :1] * jnp.abs(
                     pos_rows - col).astype(jnp.float32)
             sc = jnp.where(in_len, sc, _MASK)
@@ -408,8 +415,16 @@ def paged_attention(
     quant_dtype: Optional[str] = None,
     sink_tokens: int = 0,
     alibi_slopes: Optional[jax.Array] = None,
+    pos_offset: int = 0,
 ):
     """Paged decode attention (seqlen_q == 1, or a small speculative span).
+
+    pos_offset (static, DEFERRED-APPEND serving): query row si sits at
+    absolute position cache_seqlens + pos_offset - q_span + si while
+    reads stay bounded by cache_seqlens — the span's own K/V rows are
+    NOT yet in the cache (the model layer scatters them after the layer
+    scan and merges their attention contribution with an exact LSE
+    combine, models/llama.py:_merge_deferred). 0 = classic behavior.
 
     q: [batch, num_heads, head_dim], or [batch, q_span, num_heads,
         head_dim] for multi-query (speculative verify / MTP) decoding —
@@ -560,6 +575,7 @@ def paged_attention(
         sinks=int(sink_tokens) if window_left >= 0 else 0,
         q_span=q_span,
         group=group,
+        pos_offset=int(pos_offset),
     )
     has_alibi = alibi_slopes is not None
 

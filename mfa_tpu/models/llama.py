@@ -959,9 +959,85 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
     return fn(*args)
 
 
-def _cache_xs(cache):
-    """The per-layer-scanned leaves of a StackedKVCache."""
+def _cache_pools(cache):
+    """The MERGED KV pools of a StackedKVCache (scan CARRY, not xs)."""
     return (cache.k_pages, cache.v_pages, cache.k_scales, cache.v_scales)
+
+
+def _scan_layers_kv(cfg: "LlamaConfig", body, x, layers, pools):
+    """Scan `body(x, pools, lp, l, window_left, rope) -> (x, pools)` over
+    the stacked layer axis with the MERGED KV pools in the scan CARRY.
+
+    Layer l addresses its pages as physical `logical_id + l * num_pages`
+    inside the shared pool (cache/paged_cache.StackedKVCache layout), so
+    every cache write is a token/page-level scatter that XLA aliases in
+    place on the carry. The previous design scanned per-layer pool
+    slices as xs and restacked them as ys — a full pool read + write
+    per step that DOMINATED decode (step time scaled with pool size at
+    fixed kv length: 5.7 -> 19.5 ms/step for 4x pools, r4 probe).
+
+    Sliding patterns (Gemma2 pairs, Gemma3 periods) scan as PERIODS with
+    the static sub-index selecting window/theta, like _scan_layers;
+    heterogeneous MoE/dense interleaves unroll at trace time."""
+    pattern = cfg.sliding_pattern
+    L = cfg.n_layers
+
+    def _static(li):
+        if pattern is None:
+            return cfg.window_left, (cfg.rope_theta, cfg.rope_scale,
+                                     cfg.rope_scaling)
+        sliding = bool(pattern[li % len(pattern)])
+        return (cfg.window_left if sliding else -1,
+                _sub_rope(cfg, sliding))
+
+    if cfg.moe_hetero:
+        mpat = cfg.moe_layer_pattern
+        moe_i = dense_i = 0
+        for li in range(L):
+            if mpat[li]:
+                grp, pos = layers["moe"], moe_i
+                moe_i += 1
+            else:
+                grp, pos = layers["dense"], dense_i
+                dense_i += 1
+            lp = jax.tree.map(lambda a, p=pos: a[p], grp)
+            wl, rope = _static(li)
+            x, pools = body(x, pools, lp, jnp.int32(li), wl, rope)
+        return x, pools
+    if pattern is None:
+        wl, rope = _static(0)
+
+        def fn(carry, xs):
+            x, pools = carry
+            lp, l = xs
+            x, pools = body(x, pools, lp, l, wl, rope)
+            return (x, pools), None
+
+        (x, pools), _ = jax.lax.scan(
+            fn, (x, pools), (layers, jnp.arange(L, dtype=jnp.int32)))
+        return x, pools
+    period = len(pattern)
+    assert L % period == 0, (
+        f"layer pattern period {period} must divide n_layers")
+
+    def group(t):
+        return jax.tree.map(
+            lambda a: a.reshape(a.shape[0] // period, period,
+                                *a.shape[1:]), t)
+
+    def fn(carry, xs):
+        x, pools = carry
+        lpg, git = xs
+        for sub in range(period):
+            lp = jax.tree.map(lambda a: a[sub], lpg)
+            wl, rope = _static(sub)
+            x, pools = body(x, pools, lp, git * period + sub, wl, rope)
+        return (x, pools), None
+
+    (x, pools), _ = jax.lax.scan(
+        fn, (x, pools),
+        (group(layers), jnp.arange(L // period, dtype=jnp.int32)))
+    return x, pools
 
 
 def prefill_batch(params, cfg, cache, seq_slots, pages_list, token_lists,
@@ -1058,28 +1134,32 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
          else _embed(params, tokens, cfg))  # [n, s, d]
     positions = jnp.arange(s, dtype=jnp.int32)[None]  # broadcast over n
     flat_ids = page_ids.reshape(-1)  # [n*npg]; duplicates only on null page
+    P = cache.num_pages  # logical pages per layer (merged-pool stride)
 
-    def body(x, lp, leaves, wl, rope):
-        kp, vp, ksc, vsc = leaves
+    def body(x, pools, lp, l, wl, rope):
+        kp, vp, ksc, vsc = pools
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, s, kernel_ok=mesh is None)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
-        # page writes: [n, s, hkv, d] -> [hkv, n*npg, page, d]
+        # page writes: [n, s, hkv, d] -> [hkv, n*npg, page, d], scattered
+        # at layer l's physical ids (token-level traffic only — the
+        # merged pool stays in the scan carry)
+        ids_l = flat_ids + l * P
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
                                  jnp.transpose(k, (2, 0, 1, 3)))
         vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
                                  jnp.transpose(v, (2, 0, 1, 3)))
         from mfa_tpu.cache.paged_cache import pack_pages_payload
 
-        kp = kp.at[:, flat_ids].set(
+        kp = kp.at[:, ids_l].set(
             pack_pages_payload(cache.quant_dtype, kq, n * npg, page))
-        vp = vp.at[:, flat_ids].set(
+        vp = vp.at[:, ids_l].set(
             pack_pages_payload(cache.quant_dtype, vq, n * npg, page))
         if ksc is not None:
-            ksc = ksc.at[:, flat_ids].set(
+            ksc = ksc.at[:, ids_l].set(
                 ks_new.reshape(cfg.n_kv_heads, n * npg, page))
-            vsc = vsc.at[:, flat_ids].set(
+            vsc = vsc.at[:, ids_l].set(
                 vs_new.reshape(cfg.n_kv_heads, n * npg, page))
         if image_block_ids is not None:
             attn = _attention_blockmask(q, k, v, cfg, wl,
@@ -1091,8 +1171,8 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
-    x, (kp, vp, ksc, vsc) = _scan_layers(
-        cfg, body, x, params["layers"], _cache_xs(cache)
+    x, (kp, vp, ksc, vsc) = _scan_layers_kv(
+        cfg, body, x, params["layers"], _cache_pools(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
     last = jnp.take_along_axis(
@@ -1186,13 +1266,16 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
         0,
     ).reshape(-1)  # [n*chunk_pages]
     kv_len = jnp.minimum(final_lens, offsets + chunk)  # [n]
+    P = cache.num_pages  # merged-pool per-layer stride
 
-    def body(x, lp, leaves, wl, rope):
-        kp, vp, ksc, vsc = leaves
+    def body(x, pools, lp, l, wl, rope):
+        kp, vp, ksc, vsc = pools
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, chunk, kernel_ok=mesh is None)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
+        ids_l = page_ids + l * P
+        tab_l = table_rows + l * P
         kq, ks_new = _store_rows(
             cache.quant_dtype, kp.dtype,
             jnp.transpose(k, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
@@ -1201,26 +1284,26 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
             jnp.transpose(v, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
         from mfa_tpu.cache.paged_cache import pack_pages_payload
 
-        kp = kp.at[:, page_ids].set(
+        kp = kp.at[:, ids_l].set(
             pack_pages_payload(cache.quant_dtype, kq, n * chunk_pages, page))
-        vp = vp.at[:, page_ids].set(
+        vp = vp.at[:, ids_l].set(
             pack_pages_payload(cache.quant_dtype, vq, n * chunk_pages, page))
         if ksc is not None:
-            ksc = ksc.at[:, page_ids].set(
+            ksc = ksc.at[:, ids_l].set(
                 ks_new.reshape(cfg.n_kv_heads, n * chunk_pages, page))
-            vsc = vsc.at[:, page_ids].set(
+            vsc = vsc.at[:, ids_l].set(
                 vs_new.reshape(cfg.n_kv_heads, n * chunk_pages, page))
         attn = _paged_prefill_sharded(
             q.astype(cfg.dtype), kp, vp, ksc, vsc, kv_len, offsets,
-            table_rows, _prefill_mesh(mesh), cfg, wl, cache.quant_dtype,
+            tab_l, _prefill_mesh(mesh), cfg, wl, cache.quant_dtype,
         )
         x = _attn_residual(x, attn.reshape(n, chunk, cfg.n_heads * hd),
                            lp, cfg, kernel_ok=mesh is None)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
-    x, (kp, vp, ksc, vsc) = _scan_layers(
-        cfg, body, x, params["layers"], _cache_xs(cache)
+    x, (kp, vp, ksc, vsc) = _scan_layers_kv(
+        cfg, body, x, params["layers"], _cache_pools(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
     last_idx = jnp.clip(final_lens - 1 - offsets, 0, chunk - 1)
@@ -1318,26 +1401,29 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     lens_inc = lens + 1
     x = _embed(params, tokens, cfg)[:, None]  # [n, 1, d]
     positions = lens[:, None]
+    P = cache.num_pages  # merged-pool per-layer stride
 
-    def body(x, lp, leaves, wl, rope):
-        kp, vp, ksc, vsc = leaves
+    def body(x, pools, lp, l, wl, rope):
+        kp, vp, ksc, vsc = pools
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, 1, kernel_ok=mesh is None)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
+        wp_l = write_pages + l * P
+        tab_l = tables + l * P
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
                                  jnp.swapaxes(k[:, 0], 0, 1))  # [hkv, n, d]
         vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
                                  jnp.swapaxes(v[:, 0], 0, 1))
         from mfa_tpu.cache.paged_cache import scatter_token_rows
 
-        kp = scatter_token_rows(kp, write_pages, offs, kq, cache.quant_dtype)
-        vp = scatter_token_rows(vp, write_pages, offs, vq, cache.quant_dtype)
+        kp = scatter_token_rows(kp, wp_l, offs, kq, cache.quant_dtype)
+        vp = scatter_token_rows(vp, wp_l, offs, vq, cache.quant_dtype)
         if ksc is not None:
-            ksc = ksc.at[:, write_pages, offs].set(ks_new)
-            vsc = vsc.at[:, write_pages, offs].set(vs_new)
+            ksc = ksc.at[:, wp_l, offs].set(ks_new)
+            vsc = vsc.at[:, wp_l, offs].set(vs_new)
         attn = _paged_attention_sharded(
-            q[:, 0], kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype,
+            q[:, 0], kp, vp, ksc, vsc, lens_inc, tab_l, mesh, cfg.dtype,
             cfg, wl, cache.quant_dtype,
         )  # [n, heads, hd]
         x = _attn_residual(x, attn.reshape(n, 1, cfg.n_heads * hd), lp,
@@ -1345,8 +1431,8 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
-    x, (kp, vp, ksc, vsc) = _scan_layers(
-        cfg, body, x, params["layers"], _cache_xs(cache)
+    x, (kp, vp, ksc, vsc) = _scan_layers_kv(
+        cfg, body, x, params["layers"], _cache_pools(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
     logits = _unembed(params, x[:, 0], cfg, kernel_ok=mesh is None)
@@ -1385,13 +1471,16 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     tables = cache.block_tables[seq_slots]
     lens_inc = lens + span
     x = _embed(params, tokens, cfg)  # [n, span, d]
+    P = cache.num_pages  # merged-pool per-layer stride
 
-    def body(x, lp, leaves, wl, rope):
-        kp, vp, ksc, vsc = leaves
+    def body(x, pools, lp, l, wl, rope):
+        kp, vp, ksc, vsc = pools
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, span, kernel_ok=mesh is None)
         q = _rope(q, pos, *rope)
         k = _rope(k, pos, *rope)
+        wp_l = write_pages + l * P
+        tab_l = tables + l * P
         kq, ks_new = _store_rows(
             cache.quant_dtype, kp.dtype,
             jnp.transpose(k, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
@@ -1400,13 +1489,13 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             jnp.transpose(v, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
         from mfa_tpu.cache.paged_cache import scatter_span_rows
 
-        kp = scatter_span_rows(kp, write_pages, offs, kq, cache.quant_dtype)
-        vp = scatter_span_rows(vp, write_pages, offs, vq, cache.quant_dtype)
+        kp = scatter_span_rows(kp, wp_l, offs, kq, cache.quant_dtype)
+        vp = scatter_span_rows(vp, wp_l, offs, vq, cache.quant_dtype)
         if ksc is not None:
-            ksc = ksc.at[:, write_pages, offs].set(ks_new)
-            vsc = vsc.at[:, write_pages, offs].set(vs_new)
+            ksc = ksc.at[:, wp_l, offs].set(ks_new)
+            vsc = vsc.at[:, wp_l, offs].set(vs_new)
         attn = _paged_attention_sharded(
-            q, kp, vp, ksc, vsc, lens_inc, tables, mesh, cfg.dtype,
+            q, kp, vp, ksc, vsc, lens_inc, tab_l, mesh, cfg.dtype,
             cfg, wl, cache.quant_dtype,
         )  # [n, span, heads, hd]
         x = _attn_residual(x, attn.reshape(n, span, cfg.n_heads * hd),
@@ -1414,8 +1503,8 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
-    x, (kp, vp, ksc, vsc) = _scan_layers(
-        cfg, body, x, params["layers"], _cache_xs(cache)
+    x, (kp, vp, ksc, vsc) = _scan_layers_kv(
+        cfg, body, x, params["layers"], _cache_pools(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
     logits = _unembed(params, x, cfg, kernel_ok=mesh is None)  # [n, span, vocab]

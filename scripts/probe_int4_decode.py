@@ -18,6 +18,17 @@ gap is VPU work (unpack + fp32 scale multiplies over twice the tokens
 per DMA'd byte). If dma+sum int4 >> 0.5x, small-row DMA efficiency is
 the culprit (int4 pages have page/2 rows).
 
+MEASURED (v5e, two sessions): paged int4 runs 1.1-1.3x int8 (capture
+1.12-1.15x). The serial-DMA floor ratio is 0.75-0.80 vs the 0.50 bytes
+predict — per-page transfers are LATENCY-bound, so halving a page's
+bytes doesn't halve its transfer time; the nibble unpack adds 5-12%
+VPU on top. Bigger pages do NOT fix it: int4 at page=256 (128 packed
+rows, int8's exact DMA geometry) measured SLOWER end-to-end (0.466 vs
+0.410 ms) — the pipeline loses more to coarser buffering than it gains
+per descriptor. Conclusion: ~1.15x is the honest speed ceiling of this
+DMA geometry; int4's primary value is 2x KV DENSITY (double the context
+per HBM GB), which is what recommend_kv_quant's crossover reflects.
+
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/probe_int4_decode.py
 """
 import functools
@@ -36,7 +47,7 @@ from mfa_tpu.kernels.quant import quantize_rows  # noqa: E402
 from mfa_tpu.utils.timing import chain, measure_rtt, scan_timeit  # noqa: E402
 
 
-def build(batch=24, kv_heads=8, d=128, kv_len=8192, page=128):
+def build(batch=24, kv_heads=8, d=128, kv_len=8192, page=128):  # noqa
     pps = kv_len // page
     num_pages = batch * pps + 1
     k_pages = jax.random.normal(jax.random.key(1),
@@ -59,10 +70,12 @@ def build(batch=24, kv_heads=8, d=128, kv_len=8192, page=128):
     return out, table, lens
 
 
-def dma_sum_kernel(table_ref, pages, out_ref, buf, sems, *, pps, rows,
-                   unpack):
+def dma_sum_kernel(table_ref, seed_ref, pages, out_ref, buf, sems, *,
+                   pps, rows, unpack):
     """Stream every page of one batch row via the same strided per-page
-    DMA the decode kernel uses; reduce with adds only."""
+    DMA the decode kernel uses; reduce with adds only. seed (a
+    carry-dependent input block) feeds the accumulator so the whole call
+    cannot be hoisted out of the timing scan as loop-invariant."""
     b = pl.program_id(0)
 
     def copy(j, slot):
@@ -71,7 +84,7 @@ def dma_sum_kernel(table_ref, pages, out_ref, buf, sems, *, pps, rows,
             pages.at[:, page_id], buf.at[slot, :, j % 2], sems.at[slot % 2]
         )
 
-    acc = jnp.zeros((8, 128), jnp.float32)
+    acc = seed_ref[0].astype(jnp.float32)
 
     def body(j, acc):
         copy(j, 0).start()
@@ -97,7 +110,8 @@ def time_dma_sum(pool, table, rtt, pps, unpack, label):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(batch,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec((1, 8, 128), lambda b, *_: (0, 0, 0)),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((1, hkv, 2, rows, d), pool.dtype),
@@ -110,7 +124,8 @@ def time_dma_sum(pool, table, rtt, pps, unpack, label):
     )
 
     def step(c, pool, table):
-        o = call(table, pool)
+        seed = jnp.broadcast_to(c, (1, 8, 128))
+        o = call(table, seed, pool)
         return chain(c, jnp.sum(o))
 
     c0 = jnp.zeros((), jnp.float32)
@@ -142,6 +157,22 @@ def main():
         print(f"paged {qd}: {dt*1e3:.3f} ms", flush=True)
     print(f"kernel speedup int4 vs int8: {times['int8']/times['int4']:.2f}x",
           flush=True)
+    # int4 at page=256: packed pages carry 128 rows — the same DMA
+    # geometry as int8's 128-row pages (the serial-DMA floor shows
+    # per-page transfers are LATENCY-bound: halving bytes at fixed row
+    # count only reaches 0.75x, so give int4 bigger pages instead)
+    pools256, table256, lens256 = build(page=256)
+    kq, vq, ks, vs = pools256["int4"]
+
+    def step256(qc, kq, vq, lens, table, ks, vs):
+        out = paged_attention(qc, kq, vq, lens, table, k_scales=ks,
+                              v_scales=vs, quant_dtype="int4")
+        return chain(qc, out)
+
+    dt256 = scan_timeit(step256, q, args=(kq, vq, lens256, table256, ks, vs),
+                        rtt=rtt, iters=48)
+    print(f"paged int4 page=256: {dt256*1e3:.3f} ms "
+          f"({times['int8']/dt256:.2f}x vs int8@128)", flush=True)
     pps = 8192 // 128
     t8 = time_dma_sum(pools["int8"][0], table, rtt, pps, False,
                       "dma+sum int8 K-pool")

@@ -42,9 +42,10 @@ def test_sharded_engine_matches_unsharded():
     mesh = make_mesh({MODEL_AXIS: 4}, jax.devices()[:4])
     gen_tp, eng = _run(params, cfg, mesh=mesh)
     assert gen_tp == gen_ref, f"TP generations diverge: {gen_tp} vs {gen_ref}"
-    # cache actually lives sharded on the mesh (layer axis, then kv heads)
+    # cache actually lives sharded on the mesh (kv heads lead the
+    # merged [hkv, layers*pages, ...] pool)
     shard = eng.cache.k_pages.sharding
-    assert shard.spec[1] == MODEL_AXIS
+    assert shard.spec[0] == MODEL_AXIS
 
 
 def test_sharded_engine_quantized_runs():
@@ -53,7 +54,7 @@ def test_sharded_engine_quantized_runs():
     mesh = make_mesh({MODEL_AXIS: 2}, jax.devices()[:2])
     gen, eng = _run(params, cfg, mesh=mesh, quant="int8")
     assert all(len(g) == 4 for g in gen)
-    assert eng.cache.k_scales.sharding.spec[1] == MODEL_AXIS
+    assert eng.cache.k_scales.sharding.spec[0] == MODEL_AXIS
 
 
 def test_cache_shardings_validates_divisibility():
