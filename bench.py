@@ -15,13 +15,23 @@ with INT8 KV-cache at KV length 8192, Llama-3-8B-shaped heads (32 q / 8 kv,
 head_dim 128). vs_baseline is the achieved fraction of that 85% target, so
 1.0 = target met, >1.0 = beaten.
 
+Capture robustness (round 4's failure mode: the in-process 8B serve bench
+left ~8.5 GB on the 16 GB chip and the unprotected headline call then died
+RESOURCE_EXHAUSTED, zeroing the round's evidence): every heavyweight bench
+group (full-model serving, train, decode-step) now runs in its OWN
+SUBPROCESS — its own process is its own TPU heap, so nothing it allocates
+can fragment the parent. The parent runs only the small kernel-level
+benches, measures the headline FIRST on a clean heap, parses each child's
+JSON stdout lines, and ALWAYS prints the headline line last (re-running it
+in a fresh subprocess if the first attempt failed). Any single group dying
+costs only its own metrics.
+
 Timing methodology (this environment tunnels to the TPU and
 block_until_ready does not truly block; per-sync RTT is ~25ms): each
-benchmark runs ITERS chained iterations inside ONE jitted lax.scan (the
+benchmark runs ITERS chained iterations inside ONE jitted loop (the
 carry feeds each step so nothing is CSE'd or overlapped away), reads back a
-scalar (a real device->host sync), and subtracts the separately measured
-round-trip time of a trivial jitted op. Secondary numbers (bf16 decode,
-prefill TFLOP/s) go to stderr.
+scalar (a real device->host sync), and differences N-vs-2N wall times.
+Secondary numbers (bf16 decode, prefill TFLOP/s) go to stderr.
 """
 
 from __future__ import annotations
@@ -215,206 +225,306 @@ def _emit(metric, value, unit, baseline):
         "metric": metric, "value": round(value, 2), "unit": unit,
         "vs_baseline": round(value / baseline, 4),
     }))
+    sys.stdout.flush()
 
 
-def main():
-    rtt = measure_rtt()
-    print(f"[bench] measured sync RTT: {rtt*1e3:.1f} ms", file=sys.stderr)
-    try:
-        from benchmark.serve import run_serve
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr)
+    sys.stderr.flush()
 
-        # THE BASELINE.md NORTH-STAR CONFIG. Runs FIRST on a clean
-        # device heap: ~8 GB of int8 weights need a contiguous region
-        # the allocator cannot provide after the other benches
-        # fragment it (r4: standalone 8B passed while the bench's
-        # mid-run attempt hit RESOURCE_EXHAUSTED). First measured in
-        # round 4: full Llama-3-8B-shaped serving (32L/4096d/32q/8kv/
-        # ffn14336/vocab128256) on ONE 16 GB chip — int8 weights (~8.5 GB,
-        # models/wquant.py) + int8 KV.
-        res8 = run_serve(layers=32, dim=4096, heads=32, kv_heads=8,
-                         ffn=14336, vocab=128256, batch=16, prompt_len=256,
-                         gen=32, quant="int8", wquant="int8", burst=16)
-        print(
-            f"[bench] serve Llama-3-8B-shaped (32L int8 weights + int8 KV) "
-            f"b16 prompt256 gen32: prefill {res8['prefill_tps']:.0f} tok/s, "
-            f"decode {res8['decode_tps']:.0f} tok/s, per-layer step "
-            f"{res8['per_layer_ms']:.3f} ms",
-            file=sys.stderr,
-        )
-        _emit("serve_8b_decode_tok_s", res8["decode_tps"], "tok/s", 100.0)
-    except Exception as e:
-        print(f"[bench] 8B serve bench failed: {e}", file=sys.stderr)
-    import gc
 
-    gc.collect()
+# ---------------------------------------------------------------------------
+# Bench groups. Each is runnable standalone via `python bench.py --sub NAME`
+# (fresh process = fresh TPU heap); each emits its own JSON lines. The
+# headline group RETURNS the roofline pct so the parent can hold its line
+# back and print it last.
+# ---------------------------------------------------------------------------
+
+
+def grp_headline(rtt):
     dt, gbps, pct = bench_decode_int8(rtt)
-    print(
-        f"[bench] int8 paged decode kv=8192 (b24 32q/8kv d128): {dt*1e3:.3f} ms, "
-        f"{gbps:.0f} GB/s, {pct:.1f}% of HBM roofline",
-        file=sys.stderr,
-    )
-    # Secondary headline metrics: each emits its own JSON line (captured in
-    # the driver tail); failures must not kill the headline metric, which
-    # is printed LAST so the driver parses it.
+    _log(f"int8 paged decode kv=8192 (b24 32q/8kv d128): {dt*1e3:.3f} ms, "
+         f"{gbps:.0f} GB/s, {pct:.1f}% of HBM roofline")
+    return dt, pct
+
+
+def grp_headline_kernels(rtt):
+    """Headline + kernel secondaries in one subprocess (they share shapes
+    and none of them is model-sized). The headline's JSON line is emitted
+    here; the parent holds it back and reprints it LAST."""
+    dt_int8 = None
+    try:
+        dt_int8, pct = grp_headline(rtt)
+        _emit("decode_hbm_roofline_pct", pct, "%", 85.0)
+    except Exception as e:
+        _log(f"headline bench failed: {e}")
+    grp_kernels(rtt, dt_int8=dt_int8)
+
+
+def grp_kernels(rtt, dt_int8=None):
+    """Kernel-level secondaries: fp8/int4/bf16 decode, prefill, multimodal,
+    fused backward. Small arrays only; each metric survives its siblings."""
+    if dt_int8 is None:
+        try:
+            dt_int8, _ = grp_headline(rtt)
+        except Exception as e:
+            _log(f"int8 reference for speedup ratio failed: {e}")
     try:
         dt8, gbps8, pct8 = bench_decode_int8(rtt, quant="fp8")
-        print(
-            f"[bench] fp8 paged decode kv=8192 (same shapes): {dt8*1e3:.3f} ms, "
-            f"{gbps8:.0f} GB/s, {pct8:.1f}% of HBM roofline "
-            f"(BASELINE.md north-star FP8-KV config)",
-            file=sys.stderr,
-        )
+        _log(f"fp8 paged decode kv=8192 (same shapes): {dt8*1e3:.3f} ms, "
+             f"{gbps8:.0f} GB/s, {pct8:.1f}% of HBM roofline "
+             f"(BASELINE.md north-star FP8-KV config)")
         _emit("decode_fp8_roofline_pct", pct8, "%", 85.0)
+    except Exception as e:
+        _log(f"fp8 decode bench failed: {e}")
+    try:
         dt4, gbps4, pct4 = bench_decode_int8(rtt, quant="int4")
-        print(
-            f"[bench] int4 paged decode kv=8192 (same shapes): {dt4*1e3:.3f} ms "
-            f"({dt/dt4:.2f}x vs int8, 2x KV density), {gbps4:.0f} GB/s, "
-            f"{pct4:.1f}% of HBM roofline (real bytes: nibble payload + "
-            f"fp32 scales)",
-            file=sys.stderr,
-        )
-        _emit("decode_int4_vs_int8_speedup", dt / dt4, "x", 1.14)
+        _log(f"int4 paged decode kv=8192 (same shapes): {dt4*1e3:.3f} ms, "
+             f"{gbps4:.0f} GB/s, {pct4:.1f}% of HBM roofline (real bytes: "
+             f"nibble payload + fp32 scales)")
+        if dt_int8:
+            _emit("decode_int4_vs_int8_speedup", dt_int8 / dt4, "x", 1.14)
         _emit("decode_int4_roofline_pct", pct4, "%", 85.0)
+    except Exception as e:
+        _log(f"int4 decode bench failed: {e}")
+    try:
         dtb, gbpsb, pctb = bench_decode_bf16(rtt)
-        print(
-            f"[bench] bf16 decode kv=8192 (b24 h24 MHA): {dtb*1e3:.3f} ms, "
-            f"{gbpsb:.0f} GB/s, {pctb:.1f}% roofline",
-            file=sys.stderr,
-        )
-    except Exception as e:  # secondary benches must not kill the headline
-        print(f"[bench] decode secondary bench failed: {e}", file=sys.stderr)
+        _log(f"bf16 decode kv=8192 (b24 h24 MHA): {dtb*1e3:.3f} ms, "
+             f"{gbpsb:.0f} GB/s, {pctb:.1f}% roofline")
+    except Exception as e:
+        _log(f"bf16 decode bench failed: {e}")
     try:
         dtp, tflops = bench_prefill(rtt)
-        print(
-            f"[bench] bf16 causal prefill b8 s2048 h24 d128: {dtp*1e3:.3f} ms, "
-            f"{tflops:.1f} TFLOP/s",
-            file=sys.stderr,
-        )
+        _log(f"bf16 causal prefill b8 s2048 h24 d128: {dtp*1e3:.3f} ms, "
+             f"{tflops:.1f} TFLOP/s")
         _emit("prefill_tflops_s2048", tflops, "TFLOP/s", 79.83)
         dtp8, tflops8 = bench_prefill(rtt, batch=2, seq=8192)
-        print(
-            f"[bench] bf16 causal prefill b2 s8192 h24 d128: {dtp8*1e3:.3f} ms, "
-            f"{tflops8:.1f} TFLOP/s",
-            file=sys.stderr,
-        )
+        _log(f"bf16 causal prefill b2 s8192 h24 d128: {dtp8*1e3:.3f} ms, "
+             f"{tflops8:.1f} TFLOP/s")
         _emit("prefill_tflops_s8192", tflops8, "TFLOP/s", 134.96)
     except Exception as e:
-        print(f"[bench] prefill bench failed: {e}", file=sys.stderr)
+        _log(f"prefill bench failed: {e}")
     try:
         dtm, tflopsm = bench_multimodal(rtt)
-        print(
-            f"[bench] image-block prefill b4 s1024 8q/4kv d128 run256: "
-            f"{dtm*1e3:.3f} ms, {tflopsm:.1f} TFLOP/s",
-            file=sys.stderr,
-        )
+        _log(f"image-block prefill b4 s1024 8q/4kv d128 run256: "
+             f"{dtm*1e3:.3f} ms, {tflopsm:.1f} TFLOP/s")
         _emit("multimodal_prefill_tflops", tflopsm, "TFLOP/s", 63.11)
     except Exception as e:
-        print(f"[bench] multimodal bench failed: {e}", file=sys.stderr)
+        _log(f"multimodal bench failed: {e}")
     try:
         dtw, tflopsw = bench_backward(rtt)
-        print(
-            f"[bench] bf16 causal fwd+bwd b8 s2048 h24 d128: {dtw*1e3:.3f} ms, "
-            f"{tflopsw:.1f} TFLOP/s",
-            file=sys.stderr,
-        )
+        _log(f"bf16 causal fwd+bwd b8 s2048 h24 d128: {dtw*1e3:.3f} ms, "
+             f"{tflopsw:.1f} TFLOP/s")
         # baselines = LAST CAPTURED values (BENCH_r03) per the CLAUDE.md
         # rule; README/docs tables reconcile to the same captures
         _emit("backward_tflops_s2048", tflopsw, "TFLOP/s", 97.1)
     except Exception as e:
-        print(f"[bench] backward bench failed: {e}", file=sys.stderr)
-    try:
-        from benchmark.serve import run_serve
+        _log(f"backward bench failed: {e}")
 
-        res = run_serve(layers=4, batch=16, prompt_len=256, gen=128,
-                        quant="int8", burst=16)
-        print(
-            f"[bench] serve 4-layer int8 slice b16 prompt256 gen128: "
-            f"prefill {res['prefill_tps']:.0f} tok/s, "
-            f"decode {res['decode_tps']:.0f} tok/s, "
-            f"per-layer step {res['per_layer_ms']:.3f} ms",
-            file=sys.stderr,
-        )
-        _emit("serve_prefill_tok_s", res["prefill_tps"], "tok/s", 25204.0)
-        _emit("serve_decode_tok_s", res["decode_tps"], "tok/s", 2462.0)
-    except Exception as e:
-        print(f"[bench] serve bench failed: {e}", file=sys.stderr)
+
+def grp_decode_step(rtt):
+    """DEVICE-ONLY decode step at the 1B shape (bf16 vs int8 weights):
+    scan-timed, immune to tunnel session drift (VERDICT r3 next #3)."""
+    dts, wb = bench_decode_step(rtt)
+    bound = wb / 819e9
+    _log(f"device decode step 1B-shaped (16L b16 int8 KV, bf16 weights): "
+         f"{dts*1e3:.3f} ms/step ({dts/16*1e3:.3f} ms/layer, weight-stream "
+         f"bound {bound*1e3:.3f} ms, {100*bound/dts:.0f}% of bound)")
+    _emit("decode_step_per_layer_ms", dts / 16 * 1e3, "ms", 0.9)
+    dtsq, wbq = bench_decode_step(rtt, wquant="int8")
+    boundq = wbq / 819e9
+    _log(f"device decode step 1B-shaped INT8 weights: {dtsq*1e3:.3f} "
+         f"ms/step ({dtsq/16*1e3:.3f} ms/layer, weight-stream bound "
+         f"{boundq*1e3:.3f} ms, {100*boundq/dtsq:.0f}% of bound)")
+    _emit("decode_step_int8w_per_layer_ms", dtsq / 16 * 1e3, "ms", 0.9)
+
+
+def grp_serve_slice(rtt):
+    """4-layer int8 serving slice + speculative decoding (same engine
+    shapes, so they share one process's compile cache)."""
+    from benchmark.serve import run_serve
+
+    res = run_serve(layers=4, batch=16, prompt_len=256, gen=128,
+                    quant="int8", burst=16)
+    _log(f"serve 4-layer int8 slice b16 prompt256 gen128: prefill "
+         f"{res['prefill_tps']:.0f} tok/s, decode {res['decode_tps']:.0f} "
+         f"tok/s, per-layer step {res['per_layer_ms']:.3f} ms")
+    _emit("serve_prefill_tok_s", res["prefill_tps"], "tok/s", 25204.0)
+    _emit("serve_decode_tok_s", res["decode_tps"], "tok/s", 2462.0)
     try:
-        # FULL-MODEL serving: Llama-3.2-1B-shaped stack (16 layers,
-        # dim 2048, 32q/8kv, head_dim 64, ffn 8192, vocab 128256) — the
-        # tok/s number at a real model shape, not only the 4-layer slice
-        # (VERDICT r2 missing #2).
-        res1 = run_serve(layers=16, dim=2048, heads=32, kv_heads=8,
-                         ffn=8192, vocab=128256, batch=16, prompt_len=256,
-                         gen=48, quant="int8", burst=16)
-        print(
-            f"[bench] serve Llama-3.2-1B-shaped (16L int8 KV) b16 "
-            f"prompt256 gen48: prefill {res1['prefill_tps']:.0f} tok/s, "
-            f"decode {res1['decode_tps']:.0f} tok/s, per-layer step "
-            f"{res1['per_layer_ms']:.3f} ms",
-            file=sys.stderr,
-        )
-        _emit("serve_1b_decode_tok_s", res1["decode_tps"], "tok/s", 1088.1)
-    except Exception as e:
-        print(f"[bench] 1B serve bench failed: {e}", file=sys.stderr)
-    try:
-        # DEVICE-ONLY decode step at the 1B shape (bf16 vs int8 weights):
-        # scan-timed, immune to tunnel session drift — the attributable
-        # decode-step metric (VERDICT r3 next #3).
-        dts, wb = bench_decode_step(rtt)
-        bound = wb / 819e9
-        print(
-            f"[bench] device decode step 1B-shaped (16L b16 int8 KV, bf16 "
-            f"weights): {dts*1e3:.3f} ms/step ({dts/16*1e3:.3f} ms/layer, "
-            f"weight-stream bound {bound*1e3:.3f} ms, "
-            f"{100*bound/dts:.0f}% of bound)",
-            file=sys.stderr,
-        )
-        _emit("decode_step_per_layer_ms", dts / 16 * 1e3, "ms", 0.9)
-        dtsq, wbq = bench_decode_step(rtt, wquant="int8")
-        boundq = wbq / 819e9
-        print(
-            f"[bench] device decode step 1B-shaped INT8 weights: "
-            f"{dtsq*1e3:.3f} ms/step ({dtsq/16*1e3:.3f} ms/layer, "
-            f"weight-stream bound {boundq*1e3:.3f} ms, "
-            f"{100*boundq/dtsq:.0f}% of bound)",
-            file=sys.stderr,
-        )
-        _emit("decode_step_int8w_per_layer_ms", dtsq / 16 * 1e3, "ms", 0.9)
-    except Exception as e:
-        print(f"[bench] decode-step bench failed: {e}", file=sys.stderr)
-    try:
-        # Speculative decoding, captured on chip for the first time
-        # (VERDICT r3 weak #5): 4-token self-drafted spec at the 4-layer
-        # slice shape, reporting acceptance and tok/s vs plain decode.
+        # Speculative decoding at the same slice shape, SELF-DRAFT
+        # (draft = target): acceptance ~1.0, so this captures the spec
+        # machinery's ceiling — an independently-initialized random draft
+        # accepts nothing (0/16128 measured) and benchmarks only the
+        # rejection path. vs_baseline is relative to the PLAIN 4-layer
+        # decode capture (BENCH_r03 serve_decode_tok_s = 2462), so >1.0
+        # would mean spec pays even with a target-sized draft.
         ress = run_serve(layers=4, batch=16, prompt_len=256, gen=128,
-                         quant="int8", burst=16, spec=4)
-        print(
-            f"[bench] serve speculative (spec=4, 1-layer draft): decode "
-            f"{ress['decode_tps']:.0f} tok/s, acceptance "
-            f"{ress['spec_acceptance']:.2f} "
-            f"({ress['spec_accepted']}/{ress['spec_proposed']})",
-            file=sys.stderr,
-        )
+                         quant="int8", burst=16, spec=4, spec_draft="self")
+        _log(f"serve speculative (spec=4, 1-layer draft): decode "
+             f"{ress['decode_tps']:.0f} tok/s, acceptance "
+             f"{ress['spec_acceptance']:.2f} "
+             f"({ress['spec_accepted']}/{ress['spec_proposed']})")
         _emit("serve_spec_decode_tok_s", ress["decode_tps"], "tok/s",
-              1000.0)
+              2462.0)
     except Exception as e:
-        print(f"[bench] speculative serve bench failed: {e}", file=sys.stderr)
+        _log(f"speculative serve bench failed: {e}")
+
+
+def grp_serve_1b(rtt):
+    """FULL-MODEL serving: Llama-3.2-1B-shaped stack (16 layers, dim 2048,
+    32q/8kv, head_dim 64, ffn 8192, vocab 128256) — tok/s at a real model
+    shape, not only the 4-layer slice (VERDICT r2 missing #2)."""
+    from benchmark.serve import run_serve
+
+    res1 = run_serve(layers=16, dim=2048, heads=32, kv_heads=8,
+                     ffn=8192, vocab=128256, batch=16, prompt_len=256,
+                     gen=48, quant="int8", burst=16)
+    _log(f"serve Llama-3.2-1B-shaped (16L int8 KV) b16 prompt256 gen48: "
+         f"prefill {res1['prefill_tps']:.0f} tok/s, decode "
+         f"{res1['decode_tps']:.0f} tok/s, per-layer step "
+         f"{res1['per_layer_ms']:.3f} ms")
+    _emit("serve_1b_decode_tok_s", res1["decode_tps"], "tok/s", 1088.1)
+
+
+def grp_serve_8b(rtt):
+    """THE BASELINE.md NORTH-STAR CONFIG: full Llama-3-8B-shaped serving
+    (32L/4096d/32q/8kv/ffn14336/vocab128256) on ONE 16 GB chip — int8
+    weights (~8.5 GB, models/wquant.py) + int8 KV. Runs in its own
+    subprocess: the weights need a contiguous region the allocator cannot
+    provide after other benches fragment the heap, and nothing after it
+    survives the ~8.5 GB it leaves behind (r4's fatal lesson)."""
+    from benchmark.serve import run_serve
+
+    res8 = run_serve(layers=32, dim=4096, heads=32, kv_heads=8,
+                     ffn=14336, vocab=128256, batch=16, prompt_len=256,
+                     gen=32, quant="int8", wquant="int8", burst=16)
+    _log(f"serve Llama-3-8B-shaped (32L int8 weights + int8 KV) b16 "
+         f"prompt256 gen32: prefill {res8['prefill_tps']:.0f} tok/s, "
+         f"decode {res8['decode_tps']:.0f} tok/s, per-layer step "
+         f"{res8['per_layer_ms']:.3f} ms")
+    _emit("serve_8b_decode_tok_s", res8["decode_tps"], "tok/s", 100.0)
+
+
+def grp_train(rtt):
+    from benchmark.train import run_train_bench
+
+    rest = run_train_bench()
+    _log(f"train step (8L 1B-shaped slice, {rest['n_params']/1e9:.2f}B "
+         f"params, b4 s2048, remat, AdamW): {rest['step_s']*1e3:.1f} ms, "
+         f"{rest['tokens_per_s']:.0f} tok/s/chip, "
+         f"~{rest['mfu_flops']/1e12:.1f} TFLOP/s")
+    _emit("train_tok_s_per_chip", rest["tokens_per_s"], "tok/s", 28973.8)
+
+
+GROUPS = {
+    "headline": None,  # special-cased: emits only the headline line
+    "headline_kernels": grp_headline_kernels,
+    "kernels": grp_kernels,
+    "decode_step": grp_decode_step,
+    "serve_slice": grp_serve_slice,
+    "serve_1b": grp_serve_1b,
+    "serve_8b": grp_serve_8b,
+    "train": grp_train,
+}
+
+# EVERY bench runs in a subprocess, in this order; the parent never
+# initializes the TPU backend. The remote device heap is shared across ALL
+# tunnel clients, so even a "clean subprocess" inherits whatever the
+# parent still holds — r5 measured the 8B group dying in its own process
+# while the parent kept kernel-bench residue alive. A TPU-free parent is
+# the only arrangement where each group truly starts from an empty heap.
+SUB_ORDER = ["headline_kernels", "decode_step", "serve_slice", "serve_1b",
+             "serve_8b", "train"]
+
+SUB_TIMEOUT_S = {"serve_8b": 3600.0}
+DEFAULT_SUB_TIMEOUT_S = 2400.0
+
+
+def run_sub(name):
+    """Run one bench group in a subprocess; return its parsed JSON records.
+    stderr streams through live; stdout is parsed line-by-line (non-JSON
+    lines are demoted to stderr). Any failure returns what was captured."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/.axon_site:/root/repo:" + env.get(
+        "PYTHONPATH", "")
+    cmd = [sys.executable, os.path.abspath(__file__), "--sub", name]
+    timeout = SUB_TIMEOUT_S.get(name, DEFAULT_SUB_TIMEOUT_S)
+    _log(f"--- sub[{name}] start (timeout {timeout:.0f}s) ---")
     try:
-        from benchmark.train import run_train_bench
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
+                              env=env, timeout=timeout, text=True)
+        out, rc = proc.stdout, proc.returncode
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (
+            e.stdout or "")
+        rc = "timeout"
+    records = []
+    for line in out.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+            if not isinstance(rec, dict) or "metric" not in rec:
+                raise ValueError(line)
+            records.append(rec)
+        except Exception:
+            _log(f"sub[{name}] non-JSON stdout: {line}")
+    if rc != 0:
+        _log(f"sub[{name}] exited rc={rc} "
+             f"({len(records)} metric(s) captured before death)")
+    else:
+        _log(f"--- sub[{name}] done ({len(records)} metric(s)) ---")
+    return records
 
-        rest = run_train_bench()
-        print(
-            f"[bench] train step (8L 1B-shaped slice, "
-            f"{rest['n_params']/1e9:.2f}B params, b4 s2048, remat, AdamW): "
-            f"{rest['step_s']*1e3:.1f} ms, {rest['tokens_per_s']:.0f} "
-            f"tok/s/chip, ~{rest['mfu_flops']/1e12:.1f} TFLOP/s",
-            file=sys.stderr,
-        )
-        _emit("train_tok_s_per_chip", rest["tokens_per_s"], "tok/s", 28973.8)
-    except Exception as e:
-        print(f"[bench] train bench failed: {e}", file=sys.stderr)
 
-    _emit("decode_hbm_roofline_pct", pct, "%", 85.0)
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
+        name = sys.argv[2]
+        rtt = measure_rtt()
+        _log(f"sub[{name}] measured sync RTT: {rtt*1e3:.1f} ms")
+        if name == "headline":
+            _, pct = grp_headline(rtt)
+            _emit("decode_hbm_roofline_pct", pct, "%", 85.0)
+        else:
+            GROUPS[name](rtt)
+        return
+
+    # PARENT = pure orchestrator: no jax backend init, no device state.
+    # Every group runs in its own subprocess (its exit is the heap reset);
+    # the headline's JSON line is held back and printed LAST.
+    headline = None
+    for name in SUB_ORDER:
+        try:
+            for rec in run_sub(name):
+                if rec.get("metric") == "decode_hbm_roofline_pct":
+                    headline = rec
+                else:
+                    print(json.dumps(rec))
+                    sys.stdout.flush()
+        except Exception as e:
+            _log(f"sub[{name}] runner failed: {e}")
+
+    if headline is None:
+        _log("headline missing — retrying in a fresh subprocess")
+        try:
+            recs = [r for r in run_sub("headline")
+                    if r.get("metric") == "decode_hbm_roofline_pct"]
+            if recs:
+                headline = recs[-1]
+        except Exception as e:
+            _log(f"headline subprocess retry failed: {e}")
+    if headline is None:
+        _log("headline unrecoverable after retry; emitting 0.0 so the "
+             "capture schema stays intact")
+        headline = {"metric": "decode_hbm_roofline_pct", "value": 0.0,
+                    "unit": "%", "vs_baseline": 0.0}
+    print(json.dumps(headline))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

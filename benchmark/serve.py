@@ -30,7 +30,7 @@ sys.path.insert(0, ".")
 def run_serve(layers=4, dim=4096, heads=32, kv_heads=8, ffn=14336,
               vocab=32000, batch=16, prompt_len=512, gen=32, page=128,
               quant="none", tp=1, burst=8, spec=0, prefix_cache=False,
-              pipeline=True, wquant="none"):
+              pipeline=True, wquant="none", spec_draft="quarter"):
     """Run the continuous-batching engine benchmark; returns a dict with
     prefill_tps, decode_tps, per_layer_ms, and (if spec) acceptance.
 
@@ -59,15 +59,28 @@ def run_serve(layers=4, dim=4096, heads=32, kv_heads=8, ffn=14336,
     quant = None if quant == "none" else quant
     spec_kw = {}
     if spec:
-        draft_cfg = llama.LlamaConfig(
-            vocab_size=vocab, dim=dim // 4, n_layers=1,
-            n_heads=heads // 4, n_kv_heads=max(1, kv_heads // 4),
-            ffn_dim=ffn // 4, dtype=jnp.bfloat16,
-        )
-        spec_kw = dict(
-            draft_params=llama.init_params(jax.random.key(7), draft_cfg),
-            draft_cfg=draft_cfg, spec_tokens=spec,
-        )
+        if spec_draft == "self":
+            # SELF-DRAFT CEILING: draft = the target model itself, so
+            # greedy draft and verify argmaxes coincide and acceptance is
+            # ~1.0. This measures the speculative MACHINERY's best case
+            # (burst-draft + one-pass verify + rollback bookkeeping); a
+            # production draft is a smaller distilled model, whose
+            # agreement a random-weight harness cannot synthesize — an
+            # independently-initialized draft accepts ~0 of its proposals
+            # (measured: 0/16128 in the r5 capture), which benchmarks
+            # nothing but the rejection path.
+            spec_kw = dict(draft_params=params, draft_cfg=cfg,
+                           spec_tokens=spec)
+        else:
+            draft_cfg = llama.LlamaConfig(
+                vocab_size=vocab, dim=dim // 4, n_layers=1,
+                n_heads=heads // 4, n_kv_heads=max(1, kv_heads // 4),
+                ffn_dim=ffn // 4, dtype=jnp.bfloat16,
+            )
+            spec_kw = dict(
+                draft_params=llama.init_params(jax.random.key(7), draft_cfg),
+                draft_cfg=draft_cfg, spec_tokens=spec,
+            )
     eng = Engine(
         params, cfg, num_pages=num_pages, page_size=page,
         max_seqs=batch, pages_per_seq=pages_per_seq,
@@ -147,6 +160,12 @@ def main():
     ap.add_argument("--spec", type=int, default=0,
                     help="speculative tokens per step (0 = off; draft = "
                          "1-layer slice of the same shape)")
+    ap.add_argument("--spec-draft", choices=["quarter", "self"],
+                    default="quarter",
+                    help="draft model: 'quarter' = independent 1-layer "
+                         "dim/4 model (realistic cost, ~0 acceptance with "
+                         "random weights), 'self' = the target itself "
+                         "(acceptance ~1: the machinery's ceiling)")
     ap.add_argument("--prefix-cache", action="store_true")
     ap.add_argument("--no-pipeline", action="store_true",
                     help="disable in-flight burst pipelining (sync loop)")
@@ -159,6 +178,7 @@ def main():
         page=args.page, quant=args.quant, tp=args.tp, burst=args.burst,
         spec=args.spec, prefix_cache=args.prefix_cache,
         pipeline=not args.no_pipeline, wquant=args.wquant,
+        spec_draft=args.spec_draft,
     )
     per_layer_ms = res["per_layer_ms"]
     print(

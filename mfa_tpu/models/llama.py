@@ -394,15 +394,13 @@ def _rms_norm(x, w, cfg: "LlamaConfig"):
     return (xf * jax.lax.rsqrt(var + cfg.norm_eps) * w).astype(x.dtype)
 
 
-def _qkv(h, lp, cfg: "LlamaConfig", *lead, kernel_ok: bool = True):
+def _qkv(h, lp, cfg: "LlamaConfig", *lead):
     """Shared q/k/v projection (+ optional Qwen2-style bias, optional
     Qwen3-style per-head q/k RMSNorm) for every execution path. lead:
-    leading output dims (e.g. batch, seq). kernel_ok: int8-weight
-    projections may use the Pallas matmul (single-device only — see
-    wquant.qmm)."""
-    q = qmm(h, lp["wq"], kernel_ok)
-    k = qmm(h, lp["wk"], kernel_ok)
-    v = qmm(h, lp["wv"], kernel_ok)
+    leading output dims (e.g. batch, seq)."""
+    q = qmm(h, lp["wq"])
+    k = qmm(h, lp["wk"])
+    v = qmm(h, lp["wv"])
     if cfg.qkv_bias:
         q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
     hd = cfg.head_dim
@@ -481,9 +479,8 @@ def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     if "ws_gate" in lp:
         # Qwen2-MoE/DeepSeek shared expert: dense SwiGLU on every token,
         # optionally scaled by a sigmoid gate on the (normed) hidden state
-        ok = mesh is None
-        sg = _act(qmm(t, lp["ws_gate"], ok), cfg.hidden_act)
-        sh = qmm(sg * qmm(t, lp["ws_up"], ok), lp["ws_down"], ok)
+        sg = _act(qmm(t, lp["ws_gate"]), cfg.hidden_act)
+        sh = qmm(sg * qmm(t, lp["ws_up"]), lp["ws_down"])
         if "w_shared_gate" in lp:
             sh = sh * jax.nn.sigmoid(
                 t.astype(jnp.float32) @ lp["w_shared_gate"].astype(
@@ -498,20 +495,18 @@ def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
 def _mlp(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
     if cfg.n_experts and "we_gate" in lp:
         return _moe(x, lp, cfg, mesh)
-    ok = mesh is None
     h = _rms_norm(x, lp["mlp_norm"], cfg)
-    gate = _act(qmm(h, lp["w_gate"], ok), cfg.hidden_act)
-    out = qmm(gate * qmm(h, lp["w_up"], ok), lp["w_down"], ok)
+    gate = _act(qmm(h, lp["w_gate"]), cfg.hidden_act)
+    out = qmm(gate * qmm(h, lp["w_up"]), lp["w_down"])
     if cfg.post_norms:  # Gemma2 post_feedforward_layernorm
         out = _rms_norm(out, lp["post_mlp_norm"], cfg)
     return x + out
 
 
-def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig",
-                   kernel_ok: bool = True):
+def _attn_residual(x, attn_flat, lp, cfg: "LlamaConfig"):
     """o-projection + optional Gemma2 post_attention_layernorm + residual.
     attn_flat: [..., n_heads*head_dim]."""
-    out = qmm(attn_flat.astype(x.dtype), lp["wo"], kernel_ok)
+    out = qmm(attn_flat.astype(x.dtype), lp["wo"])
     if cfg.post_norms:
         out = _rms_norm(out, lp["post_attn_norm"], cfg)
     return x + out
@@ -620,8 +615,8 @@ def _embed(params, tokens, cfg: "LlamaConfig"):
     return x
 
 
-def _unembed(params, x, cfg: "LlamaConfig", kernel_ok: bool = True):
-    logits = qmm(x, params["lm_head"], kernel_ok).astype(jnp.float32)
+def _unembed(params, x, cfg: "LlamaConfig"):
+    logits = qmm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.logit_softcap:
         cap = float(cfg.logit_softcap)
         logits = jnp.tanh(logits / cap) * cap
@@ -814,7 +809,7 @@ def forward(
 
     def body(x, lp, _leaves, wl, rope):
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, b, s, kernel_ok=mesh is None)
+        q, k, v = _qkv(h, lp, cfg, b, s)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
         if image_block_ids is not None:
@@ -823,13 +818,13 @@ def forward(
         else:
             attn = _attention_sharded(q, k, v, mesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(b, s, cfg.n_heads * hd), lp,
-                           cfg, kernel_ok=mesh is None)
+                           cfg)
         x = _mlp(x, lp, cfg, mesh)
         return x, ()
 
     x, _ = _scan_layers(cfg, body, x, params["layers"], (), remat=remat)
     x = _rms_norm(x, params["final_norm"], cfg)
-    return _unembed(params, x, cfg, kernel_ok=mesh is None)
+    return _unembed(params, x, cfg)
 
 
 def loss_fn(params, tokens, cfg, mesh=None, remat=False):
@@ -1139,7 +1134,7 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     def body(x, pools, lp, l, wl, rope):
         kp, vp, ksc, vsc = pools
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, n, s, kernel_ok=mesh is None)
+        q, k, v = _qkv(h, lp, cfg, n, s)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
         # page writes: [n, s, hkv, d] -> [hkv, n*npg, page, d], scattered
@@ -1167,7 +1162,7 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
         else:
             attn = _attention_sharded(q, k, v, pmesh, cfg, wl)
         x = _attn_residual(x, attn.reshape(n, s, cfg.n_heads * hd), lp,
-                           cfg, kernel_ok=mesh is None)
+                           cfg)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
@@ -1178,7 +1173,7 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     last = jnp.take_along_axis(
         x, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1
     )[:, 0]  # [n, d]
-    logits = _unembed(params, last, cfg, kernel_ok=mesh is None)
+    logits = _unembed(params, last, cfg)
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
         block_tables=cache.block_tables.at[seq_slots].set(table_rows),
@@ -1271,7 +1266,7 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
     def body(x, pools, lp, l, wl, rope):
         kp, vp, ksc, vsc = pools
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, n, chunk, kernel_ok=mesh is None)
+        q, k, v = _qkv(h, lp, cfg, n, chunk)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
         ids_l = page_ids + l * P
@@ -1298,7 +1293,7 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
             tab_l, _prefill_mesh(mesh), cfg, wl, cache.quant_dtype,
         )
         x = _attn_residual(x, attn.reshape(n, chunk, cfg.n_heads * hd),
-                           lp, cfg, kernel_ok=mesh is None)
+                           lp, cfg)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
@@ -1308,7 +1303,7 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
     x = _rms_norm(x, params["final_norm"], cfg)
     last_idx = jnp.clip(final_lens - 1 - offsets, 0, chunk - 1)
     last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
-    logits = _unembed(params, last, cfg, kernel_ok=mesh is None)  # [n, vocab]
+    logits = _unembed(params, last, cfg)  # [n, vocab]
     lengths = cache.lengths.at[seq_slots].set(
         jnp.where(final_mask, final_lens, cache.lengths[seq_slots])
     )
@@ -1406,7 +1401,7 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     def body(x, pools, lp, l, wl, rope):
         kp, vp, ksc, vsc = pools
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, n, 1, kernel_ok=mesh is None)
+        q, k, v = _qkv(h, lp, cfg, n, 1)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
         wp_l = write_pages + l * P
@@ -1427,7 +1422,7 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             cfg, wl, cache.quant_dtype,
         )  # [n, heads, hd]
         x = _attn_residual(x, attn.reshape(n, 1, cfg.n_heads * hd), lp,
-                           cfg, kernel_ok=mesh is None)
+                           cfg)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
@@ -1435,7 +1430,7 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         cfg, body, x, params["layers"], _cache_pools(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
-    logits = _unembed(params, x[:, 0], cfg, kernel_ok=mesh is None)
+    logits = _unembed(params, x[:, 0], cfg)
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
         lengths=cache.lengths.at[seq_slots].set(lens_inc),
@@ -1476,7 +1471,7 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     def body(x, pools, lp, l, wl, rope):
         kp, vp, ksc, vsc = pools
         h = _rms_norm(x, lp["attn_norm"], cfg)
-        q, k, v = _qkv(h, lp, cfg, n, span, kernel_ok=mesh is None)
+        q, k, v = _qkv(h, lp, cfg, n, span)
         q = _rope(q, pos, *rope)
         k = _rope(k, pos, *rope)
         wp_l = write_pages + l * P
@@ -1499,7 +1494,7 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
             cfg, wl, cache.quant_dtype,
         )  # [n, span, heads, hd]
         x = _attn_residual(x, attn.reshape(n, span, cfg.n_heads * hd),
-                           lp, cfg, kernel_ok=mesh is None)
+                           lp, cfg)
         x = _mlp(x, lp, cfg, mesh)
         return x, (kp, vp, ksc, vsc)
 
@@ -1507,7 +1502,7 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         cfg, body, x, params["layers"], _cache_pools(cache)
     )
     x = _rms_norm(x, params["final_norm"], cfg)
-    logits = _unembed(params, x, cfg, kernel_ok=mesh is None)  # [n, span, vocab]
+    logits = _unembed(params, x, cfg)  # [n, span, vocab]
     cache = _dc.replace(
         cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
         lengths=cache.lengths.at[seq_slots].set(lens_inc),

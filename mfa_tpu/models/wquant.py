@@ -97,7 +97,7 @@ def dequantize_weight(w: QWeight, dtype=jnp.bfloat16) -> jax.Array:
             * jnp.expand_dims(w.scale, w.axis)).astype(dtype)
 
 
-def qmm(x: jax.Array, w: Any, kernel_ok: bool = True) -> jax.Array:
+def qmm(x: jax.Array, w: Any) -> jax.Array:
     """x @ w for a plain array or a QWeight (axis == -2).
 
     QWeight path: contract in the activation dtype against the int8
@@ -112,10 +112,7 @@ def qmm(x: jax.Array, w: Any, kernel_ok: bool = True) -> jax.Array:
     the HBM roofline). The alternatives lose: dynamic-activation w8a8
     int8 dot 1.93x (quantize overhead, worse numerics) and a hand-rolled
     Pallas dequant-matmul kernel 1.28x (kernels/wmatmul.py, kept as the
-    probed-slower reference). kernel_ok is accepted for API stability
-    (sharded callers pass False) but both paths are currently the same
-    fused XLA graph."""
-    del kernel_ok
+    probed-slower reference)."""
     if not isinstance(w, QWeight):
         return x @ w
     assert w.axis == -2, "qmm needs per-output-channel QWeight (axis=-2)"
