@@ -422,9 +422,12 @@ def paged_attention(
     pos_offset (static, DEFERRED-APPEND serving): query row si sits at
     absolute position cache_seqlens + pos_offset - q_span + si while
     reads stay bounded by cache_seqlens — the span's own K/V rows are
-    NOT yet in the cache (the model layer scatters them after the layer
-    scan and merges their attention contribution with an exact LSE
-    combine, models/llama.py:_merge_deferred). 0 = classic behavior.
+    NOT yet in the cache (models/llama.py decode_step/verify_step
+    scatter them after the layer scan with _append_all_layers and fold
+    their contribution in with an exact LSE combine, _merge_deferred).
+    0 = classic behavior. Requires window_left >= q_span when windowed
+    (the caller's intra-span merge has no window mask, and a window
+    ending before the stored length can skip the store block).
 
     q: [batch, num_heads, head_dim], or [batch, q_span, num_heads,
         head_dim] for multi-query (speculative verify / MTP) decoding —
@@ -448,6 +451,10 @@ def paged_attention(
         batch, num_heads, head_dim = q.shape
     else:
         batch, q_span, num_heads, head_dim = q.shape
+    if pos_offset and 0 <= window_left < q_span:
+        raise ValueError(
+            f"pos_offset={pos_offset} (deferred append) needs "
+            f"window_left >= q_span ({q_span}), got {window_left}")
     num_kv_heads, num_pages, page_rows, pwidth = k_pages.shape
     group = num_heads // num_kv_heads
     pages_per_seq = block_table.shape[1]

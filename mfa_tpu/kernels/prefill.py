@@ -616,11 +616,29 @@ def _bound_body(
             # left (_L_MIN, finite) or whose output rows are non-finite
             # sends the whole q block to the separate repair kernel
             # (_repair_poisoned). The check reads only values already in
-            # registers and writes one broadcast (8, LANES) block —
-            # measured free vs "unchecked" (scripts/probe_r4.py); the
+            # registers and writes one broadcast (8, LANES) block; the
             # safety it buys used to cost a serial q+k HBM prepass (~10%
             # of the kernel at b8/s2048).
             l_ok = jnp.logical_and(l > _L_MIN, l < jnp.inf)
+            # A row whose mask band is STRUCTURALLY empty (window/ring
+            # kv_off edge geometries, clamped raw bands) legitimately has
+            # l == 0: let it pass, or its block repairs on every call
+            # forever while the repair just recomputes the same dead row.
+            # Emptiness is static-geometry arithmetic on the row index —
+            # poisoned underflow rows (l == 0 with a live band) still
+            # flag.
+            rowa = jax.lax.broadcasted_iota(
+                jnp.int32, (l.shape[0], 1), 0) + i * block_q + kv_off
+            hi = (jnp.minimum(seqlen_k, rowa + window_right + 1)
+                  if window_right >= 0
+                  else jnp.full_like(rowa, seqlen_k))
+            lo = (jnp.maximum(0, rowa - window_left)
+                  if window_left >= 0 else jnp.zeros_like(rowa))
+            empty = hi <= lo
+            if sinks > 0:  # sink columns stay visible unless hi <= 0
+                empty = jnp.logical_and(empty, hi <= 0)
+            l_ok = jnp.logical_or(
+                l_ok, jnp.logical_and(empty, l == 0.0))
             o_ok = jnp.isfinite(o)
             good = jnp.logical_and(jnp.all(l_ok), jnp.all(o_ok))
             flag_ref[0, 0] = jnp.full(flag_ref.shape[2:],
@@ -1155,8 +1173,12 @@ def prefill_attention(
     # the flag is computed and written but the repair kernel is not
     # launched — output is unsound for poisoned blocks; probes only.
     # "flag_presence" additionally skips the flag computation itself.
+    # "flag_debug" = full default behavior (flags + repair) PLUS the raw
+    # per-(b, h, q_block) flags as an extra return — the flag-rate
+    # observability hook (tests/smoke assert zero flags on benign inputs).
     flagged = (use_bound
-               and bound_softmax in (True, "flag_only", "flag_presence")
+               and bound_softmax in (True, "flag_only", "flag_presence",
+                                     "flag_debug")
                and head_dim % LANES == 0)
     if use_bound and bound_softmax is True and not flagged:
         bound_softmax = "prepass"
@@ -1287,6 +1309,7 @@ def prefill_attention(
             extra_inputs, extra_in_specs)
         return tuple(outs) if isinstance(outs, (list, tuple)) else (outs,)
 
+    flags_debug = None
     if flagged:
         # DEFAULT bound-softmax path (deferred repair): the zero-shift
         # kernel runs UNCHECKED speed (its store emits a free poison
@@ -1304,8 +1327,10 @@ def prefill_attention(
         )
         *outs, flags4d = outs
         outs = tuple(outs)
-        if bound_softmax is True:
+        if bound_softmax in (True, "flag_debug"):
             flags = flags4d[:, :, ::8, 0].reshape(-1)
+            if bound_softmax == "flag_debug":
+                flags_debug = flags.reshape(batch, H, num_q_blocks)
             outs = _repair_poisoned(
                 flags, q, k, v, outs, kparams, batch=batch, num_heads=H,
                 num_q_blocks=num_q_blocks, group=group, bq=bq, bk=bk,
@@ -1363,8 +1388,12 @@ def prefill_attention(
 
     if return_lse:
         out, lse = outs
+        if flags_debug is not None:
+            return out[:, :, :sq], lse[:, :, :sq, 0], flags_debug
         return out[:, :, :sq], lse[:, :, :sq, 0]
     out = outs[0] if isinstance(outs, (list, tuple)) else outs
+    if flags_debug is not None:
+        return out[:, :, :sq], flags_debug
     return out[:, :, :sq]
 
 

@@ -431,6 +431,40 @@ def _moe_route(t, w_router, k: int, norm_topk: bool):
     return w_top, idx
 
 
+# Dense-per-expert int8 MoE cutover: below this many rows the E*T extra
+# row-flops cost less than one bank stream (T < peak_flops/(2*HBM_BW)
+# ~ 120 on v5e; 64 keeps margin and buckets cleanly).
+_MOE_DENSE_MAX_T = 64
+
+
+def _moe_dense_int8(t, lp, w_top, idx, cfg: "LlamaConfig"):
+    """Decode-path MoE: DENSE per-expert int8 matmuls + router-weighted
+    combine. lax.ragged_dot needs matching operand dtypes, so the
+    quantized ragged path materializes a bf16 bank EVERY step (measured
+    10.9 ms at the Mixtral 8x4096x14336 decode shape — worse than plain
+    bf16 banks at 4.3 ms). Running every expert densely over all T rows
+    keeps XLA's int8->bf16 convert fused into the dot's operand stream
+    (HBM reads stay int8, the bank is read once) and costs E*T extra
+    row-flops — noise for T <= _MOE_DENSE_MAX_T on a 197 TFLOP/s MXU.
+    Measured 1.87 ms = 92% of the 1.72 ms int8 stream floor, 5.8x the
+    dequantize-at-entry path (scripts/probe_moe_int8.py). The per-output-
+    channel scale applies to the small [E, T, out] result, which is exact
+    (it commutes with the contraction) and slightly MORE accurate than
+    pre-dequantizing the bank to bf16."""
+    T, E = t.shape[0], cfg.n_experts
+    qg, qu, qd = lp["we_gate"], lp["we_up"], lp["we_down"]
+    g = jnp.einsum("td,edf->etf", t, qg.qw.astype(t.dtype))
+    g = _act(g * qg.scale[:, None, :].astype(t.dtype), cfg.hidden_act)
+    u = jnp.einsum("td,edf->etf", t, qu.qw.astype(t.dtype))
+    u = u * qu.scale[:, None, :].astype(t.dtype)
+    o = jnp.einsum("etf,efd->etd", g * u, qd.qw.astype(t.dtype))
+    o = o * qd.scale[:, None, :].astype(t.dtype)
+    # router weights as a [T, E] scatter (top-k ids are distinct per row)
+    mw = jnp.zeros((T, E), jnp.float32).at[
+        jnp.arange(T, dtype=jnp.int32)[:, None], idx].set(w_top)
+    return jnp.einsum("etd,te->td", o, mw.astype(o.dtype))
+
+
 def _act(x, hidden_act: str):
     """The family activation on the gate projection (gelu_tanh: Gemma)."""
     if hidden_act == "gelu_tanh":
@@ -461,6 +495,10 @@ def _moe(x, lp, cfg: "LlamaConfig", mesh: Optional[Mesh] = None):
                  if isinstance(lp[n], QWeight) else lp[n]
                  for n in ("we_gate", "we_up", "we_down")]
         out = expert_parallel_moe(mesh, cfg)(t, lp["w_router"], *banks)
+    elif isinstance(lp["we_gate"], QWeight) and T <= _MOE_DENSE_MAX_T:
+        k = cfg.n_active_experts
+        w_top, idx = _moe_route(t, lp["w_router"], k, cfg.norm_topk)
+        out = _moe_dense_int8(t, lp, w_top, idx, cfg)
     else:
         k = cfg.n_active_experts
         w_top, idx = _moe_route(t, lp["w_router"], k, cfg.norm_topk)
@@ -912,18 +950,25 @@ def _store_rows(quant_dtype: Optional[str], store_dtype, x):
 def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
                              lengths, tables, mesh: Optional[Mesh],
                              out_dtype, cfg: "LlamaConfig",
-                             window_left: int = -1, quant_dtype=None):
+                             window_left: int = -1, quant_dtype=None,
+                             pos_offset: int = 0,
+                             return_lse: bool = False):
     """Paged decode attention on one layer's pages, TP-sharded by kv head
     when a mesh with a 'model' axis is active. q3: [n, heads, d].
 
     Zero-communication shard_map: each chip holds whole kv heads of the
     page pool plus the co-located GQA q-head group (q head h maps to kv
-    head h // group within the same shard)."""
+    head h // group within the same shard).
+
+    pos_offset/return_lse: the deferred-append serving path (see
+    decode_step) — queries sit pos_offset past the stored lengths and the
+    caller LSE-merges the span's own K/V rows via _merge_deferred."""
     from mfa_tpu.kernels.paged import paged_attention
 
     pkw = dict(window_left=window_left, softmax_scale=cfg.attn_scale,
                logit_softcap=cfg.attn_softcap or 0.0,
-               quant_dtype=quant_dtype, sink_tokens=cfg.attn_sinks)
+               quant_dtype=quant_dtype, sink_tokens=cfg.attn_sinks,
+               pos_offset=pos_offset, return_lse=return_lse)
     if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return paged_attention(
             q3.astype(out_dtype), k_pages, v_pages, lengths, tables,
@@ -933,6 +978,8 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
     page_spec = P(MODEL_AXIS, None, None, None)
     q_spec = (P(None, MODEL_AXIS, None) if q3.ndim == 3
               else P(None, None, MODEL_AXIS, None))
+    lse_spec = (P(None, MODEL_AXIS) if q3.ndim == 3
+                else P(None, None, MODEL_AXIS))
     in_specs = [q_spec, page_spec, page_spec, P(), P(None, None)]
     args = [q3.astype(out_dtype), k_pages, v_pages, lengths, tables]
     if k_scales is not None:
@@ -949,9 +996,81 @@ def _paged_attention_sharded(q3, k_pages, v_pages, k_scales, v_scales,
 
     fn = shard_map(
         _fn, mesh=mesh, in_specs=tuple(in_specs),
-        out_specs=q_spec, check_vma=False,
+        out_specs=(q_spec, lse_spec) if return_lse else q_spec,
+        check_vma=False,
     )
     return fn(*args)
+
+
+def _merge_deferred(o_c, lse_c, q, kq, ks_new, vq, vs_new,
+                    cfg: "LlamaConfig"):
+    """Exact LSE merge of the deferred-append span's OWN K/V rows into the
+    paged-cache attention result (kernels/paged.py pos_offset: the span's
+    rows are not yet in the cache; the post-scan scatter appends them).
+
+    Numerics mirror the kernel's treatment had the rows been stored:
+    raw-payload dot in bf16 with the per-row quant scale applied AFTER the
+    contraction, softcap on the scaled logit, fp32 softmax algebra.
+
+    o_c:   [n, span, heads, d] cache attention output (normalized)
+    lse_c: [n, span, heads] natural-log LSE of the scaled cache logits
+    q:     [n, span, heads, d]
+    kq/vq: [hkv, n*span, d] payload rows (span-major per sequence:
+           row n_i*span + si); ks/vs: [hkv, n*span] fp32 or None
+
+    Returns [n, span, heads, d] in o_c's dtype.
+    """
+    n, span, heads, d = q.shape
+    hkv = cfg.n_kv_heads
+    group = heads // hkv
+    scale = float(cfg.attn_scale if cfg.attn_scale is not None
+                  else cfg.head_dim ** -0.5)
+    cap = float(cfg.attn_softcap or 0.0)
+
+    # payload rows -> [n, span(kv), hkv, d]
+    kr = jnp.transpose(kq.reshape(hkv, n, span, d), (1, 2, 0, 3))
+    vr = jnp.transpose(vq.reshape(hkv, n, span, d), (1, 2, 0, 3))
+    quantized = ks_new is not None
+    qg = q.reshape(n, span, hkv, group, d)
+    # mirror the kernel's compute dtypes: quantized payload contracts in
+    # bf16 (int8/fp8 -> bf16 is exact); unquantized caches keep the
+    # stored dtype (fp32 tests are exact in interpret mode)
+    qc = qg.astype(jnp.bfloat16) if quantized else qg
+    kc = kr.astype(jnp.bfloat16) if quantized else kr
+    s = jnp.einsum("nihgd,njhd->nhgij", qc, kc,
+                   preferred_element_type=jnp.float32)
+    if quantized:
+        ksr = jnp.transpose(ks_new.reshape(hkv, n, span), (1, 0, 2))
+        s = s * ksr[:, :, None, None, :]  # per kv COLUMN j scale
+        vd = (vr.astype(jnp.float32)
+              * jnp.transpose(vs_new.reshape(hkv, n, span),
+                              (1, 2, 0))[..., None])
+    else:
+        vd = vr.astype(jnp.float32)
+    if cap:
+        s = jnp.tanh(s * (scale / cap)) * cap
+    else:
+        s = s * scale
+    if span > 1:
+        tri = (jnp.arange(span)[:, None] >= jnp.arange(span)[None, :])
+        s = jnp.where(tri[None, None, None], s, -jnp.inf)
+    # local logsumexp + weighted V over the span columns
+    m_loc = jnp.max(s, axis=-1)  # [n, hkv, group, span(i)]
+    p = jnp.exp(s - m_loc[..., None])
+    l_loc = jnp.sum(p, axis=-1)
+    o_loc = jnp.einsum("nhgij,njhd->nhgid", p, vd)
+    # merge with the cache part (lse_c may be -inf: empty cache row)
+    lse = jnp.transpose(lse_c.reshape(n, span, hkv, group),
+                        (0, 2, 3, 1))  # [n, hkv, group, span]
+    m = jnp.maximum(lse, m_loc)
+    a = jnp.where(jnp.isneginf(lse), 0.0, jnp.exp(lse - m))
+    b = jnp.exp(m_loc - m) * l_loc
+    oc = jnp.transpose(o_c.reshape(n, span, hkv, group, d),
+                       (0, 2, 3, 1, 4)).astype(jnp.float32)
+    o = (oc * a[..., None] + o_loc * jnp.exp(m_loc - m)[..., None]) / (
+        a + b)[..., None]
+    return jnp.transpose(o, (0, 3, 1, 2, 4)).reshape(
+        n, span, heads, d).astype(o_c.dtype)
 
 
 def _cache_pools(cache):
@@ -1033,6 +1152,81 @@ def _scan_layers_kv(cfg: "LlamaConfig", body, x, layers, pools):
         fn, (x, pools),
         (group(layers), jnp.arange(L // period, dtype=jnp.int32)))
     return x, pools
+
+
+def _scan_layers_deferred(cfg: "LlamaConfig", body, x, layers):
+    """Layer scan for the DEFERRED-APPEND serving path: `body(x, lp, l,
+    window_left, rope) -> (x, ys)` only READS the KV pools (closed over)
+    and emits each layer's new K/V rows as stacked ys; the caller appends
+    all layers with ONE post-scan scatter.
+
+    Why not thread the pools through the carry and scatter per layer
+    (_scan_layers_kv): XLA's copy insertion cannot keep a carried pool
+    buffer in place once the same loop body both scatters it and feeds it
+    to a custom call (the Pallas paged kernel) — every layer then copies
+    the full pools. Measured at the 1B serve shape (16L, 273 MB pools,
+    r5 probe): scatters alone 0.46 ms, attention alone 0.78 ms, combined
+    in one body 15.4 ms; this read-only structure runs the same work in
+    1.8 ms. Returns (x, ys) with each ys leaf stacked [n_layers, ...]."""
+    pattern = cfg.sliding_pattern
+    L = cfg.n_layers
+
+    def _static(li):
+        if pattern is None:
+            return cfg.window_left, (cfg.rope_theta, cfg.rope_scale,
+                                     cfg.rope_scaling)
+        sliding = bool(pattern[li % len(pattern)])
+        return (cfg.window_left if sliding else -1,
+                _sub_rope(cfg, sliding))
+
+    if cfg.moe_hetero:
+        mpat = cfg.moe_layer_pattern
+        moe_i = dense_i = 0
+        ys_list = []
+        for li in range(L):
+            if mpat[li]:
+                grp, pos = layers["moe"], moe_i
+                moe_i += 1
+            else:
+                grp, pos = layers["dense"], dense_i
+                dense_i += 1
+            lp = jax.tree.map(lambda a, p=pos: a[p], grp)
+            wl, rope = _static(li)
+            x, ys = body(x, lp, jnp.int32(li), wl, rope)
+            ys_list.append(ys)
+        return x, jax.tree.map(lambda *a: jnp.stack(a), *ys_list)
+    if pattern is None:
+        wl, rope = _static(0)
+
+        def fn(x, xs):
+            lp, l = xs
+            return body(x, lp, l, wl, rope)
+
+        return jax.lax.scan(fn, x, (layers, jnp.arange(L, dtype=jnp.int32)))
+    period = len(pattern)
+    assert L % period == 0, (
+        f"layer pattern period {period} must divide n_layers")
+
+    def group(t):
+        return jax.tree.map(
+            lambda a: a.reshape(a.shape[0] // period, period,
+                                *a.shape[1:]), t)
+
+    def fn(x, xs):
+        lpg, git = xs
+        subs = []
+        for sub in range(period):
+            lp = jax.tree.map(lambda a: a[sub], lpg)
+            wl, rope = _static(sub)
+            x, ys = body(x, lp, git * period + sub, wl, rope)
+            subs.append(ys)
+        return x, jax.tree.map(lambda *a: jnp.stack(a), *subs)
+
+    x, ys = jax.lax.scan(
+        fn, x, (group(layers), jnp.arange(L // period, dtype=jnp.int32)))
+    # ys leaves are [L//period, period, ...] -> flatten to [L, ...]
+    return x, jax.tree.map(
+        lambda a: a.reshape(L, *a.shape[2:]), ys)
 
 
 def prefill_batch(params, cfg, cache, seq_slots, pages_list, token_lists,
@@ -1372,17 +1566,56 @@ def prefill_chunk(params, cfg, cache, seq_slot: int, pages, tokens_1d,
     return cache, (logits[0] if is_final else None)
 
 
+def _append_all_layers(cache, kq_all, ks_all, vq_all, vs_all,
+                       page_ids, offs):
+    """ONE scatter appending every layer's deferred K/V rows to the merged
+    pools (the deferred-append epilogue of decode_step/verify_step).
+
+    kq_all/vq_all: [L, hkv, R, d] payload rows; ks/vs: [L, hkv, R] or
+    None; page_ids/offs: [R] LOGICAL page + row offset per row (the
+    per-layer physical offset l * num_pages is added here)."""
+    import dataclasses as _dc
+
+    from mfa_tpu.cache.paged_cache import scatter_span_rows
+
+    kp, vp, ksc, vsc = _cache_pools(cache)
+    L, hkv, R, d = kq_all.shape
+    P = cache.num_pages
+    lids = (page_ids[None, :]
+            + jnp.arange(L, dtype=jnp.int32)[:, None] * P).reshape(-1)
+    loffs = jnp.tile(offs, (L,))
+    kq_flat = jnp.swapaxes(kq_all, 0, 1).reshape(hkv, L * R, d)
+    vq_flat = jnp.swapaxes(vq_all, 0, 1).reshape(hkv, L * R, d)
+    # scatter_span_rows: span rows may share an int4 token pair (parity
+    # passes); identical to a plain scatter for every other format
+    kp = scatter_span_rows(kp, lids, loffs, kq_flat, cache.quant_dtype)
+    vp = scatter_span_rows(vp, lids, loffs, vq_flat, cache.quant_dtype)
+    if ksc is not None:
+        ksc = ksc.at[:, lids, loffs].set(
+            jnp.swapaxes(ks_all, 0, 1).reshape(hkv, L * R))
+        vsc = vsc.at[:, lids, loffs].set(
+            jnp.swapaxes(vs_all, 0, 1).reshape(hkv, L * R))
+    return _dc.replace(cache, k_pages=kp, v_pages=vp,
+                       k_scales=ksc, v_scales=vsc)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
                 mesh: Optional[Mesh] = None):
-    """One decode step for the active batch.
+    """One decode step for the active batch (DEFERRED-APPEND design).
 
     seq_slots: [n] int32 cache rows; tokens: [n] int32 current tokens.
-    Returns (cache, logits [n, vocab]). Appends this step's K/V into the
-    cache and attends with the paged kernel, scanning the stacked layer
-    axis. With a mesh carrying a 'model' axis, pages and attention are
-    TP-sharded by kv head (zero communication; GSPMD handles the
-    surrounding matmuls from the param shardings).
+    Returns (cache, logits [n, vocab]). The layer scan only READS the
+    page pools: each layer attends over the stored cache with the paged
+    kernel's pos_offset=1 (the query sits one past the stored length) and
+    the token's own K/V row is folded in with an exact LSE merge
+    (_merge_deferred); all layers' rows are then appended with ONE
+    post-scan scatter (_append_all_layers). Scattering per layer inside
+    the scan forces XLA to copy the full pools every layer (see
+    _scan_layers_deferred) — measured 8x slower at the 1B serve shape.
+    The engine invariant is unchanged: on return, the consumed token's
+    KV is in the cache and lengths include it. With a mesh carrying a
+    'model' axis, pages and attention are TP-sharded by kv head.
     """
     import dataclasses as _dc
 
@@ -1393,47 +1626,44 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     write_pages = cache.block_tables[seq_slots, lens // page]  # [n]
     offs = lens % page
     tables = cache.block_tables[seq_slots]
-    lens_inc = lens + 1
     x = _embed(params, tokens, cfg)[:, None]  # [n, 1, d]
     positions = lens[:, None]
     P = cache.num_pages  # merged-pool per-layer stride
+    kp, vp, ksc, vsc = _cache_pools(cache)
 
-    def body(x, pools, lp, l, wl, rope):
-        kp, vp, ksc, vsc = pools
+    def body(x, lp, l, wl, rope):
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, 1)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
-        wp_l = write_pages + l * P
-        tab_l = tables + l * P
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
                                  jnp.swapaxes(k[:, 0], 0, 1))  # [hkv, n, d]
         vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
                                  jnp.swapaxes(v[:, 0], 0, 1))
-        from mfa_tpu.cache.paged_cache import scatter_token_rows
-
-        kp = scatter_token_rows(kp, wp_l, offs, kq, cache.quant_dtype)
-        vp = scatter_token_rows(vp, wp_l, offs, vq, cache.quant_dtype)
-        if ksc is not None:
-            ksc = ksc.at[:, wp_l, offs].set(ks_new)
-            vsc = vsc.at[:, wp_l, offs].set(vs_new)
-        attn = _paged_attention_sharded(
-            q[:, 0], kp, vp, ksc, vsc, lens_inc, tab_l, mesh, cfg.dtype,
-            cfg, wl, cache.quant_dtype,
-        )  # [n, heads, hd]
+        o_c, lse_c = _paged_attention_sharded(
+            q[:, 0], kp, vp, ksc, vsc, lens, tables + l * P, mesh,
+            cfg.dtype, cfg, wl, cache.quant_dtype,
+            pos_offset=1, return_lse=True,
+        )  # [n, heads, hd], [n, heads]
+        attn = _merge_deferred(o_c[:, None], lse_c[:, None], q, kq, ks_new,
+                               vq, vs_new, cfg)[:, 0]
         x = _attn_residual(x, attn.reshape(n, 1, cfg.n_heads * hd), lp,
                            cfg)
         x = _mlp(x, lp, cfg, mesh)
-        return x, (kp, vp, ksc, vsc)
+        return x, ((kq, ks_new, vq, vs_new) if ksc is not None
+                   else (kq, vq))
 
-    x, (kp, vp, ksc, vsc) = _scan_layers_kv(
-        cfg, body, x, params["layers"], _cache_pools(cache)
-    )
+    x, ys = _scan_layers_deferred(cfg, body, x, params["layers"])
+    if ksc is not None:
+        kq_all, ks_all, vq_all, vs_all = ys
+    else:
+        (kq_all, vq_all), ks_all, vs_all = ys, None, None
+    cache = _append_all_layers(cache, kq_all, ks_all, vq_all, vs_all,
+                               write_pages, offs)
     x = _rms_norm(x, params["final_norm"], cfg)
     logits = _unembed(params, x[:, 0], cfg)
     cache = _dc.replace(
-        cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
-        lengths=cache.lengths.at[seq_slots].set(lens_inc),
+        cache, lengths=cache.lengths.at[seq_slots].set(lens + 1),
     )
     return cache, logits
 
@@ -1442,13 +1672,17 @@ def decode_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
 def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
                 mesh: Optional[Mesh] = None):
     """Score `span` tokens per sequence in ONE forward (speculative
-    verification / multi-token processing).
+    verification / multi-token processing). DEFERRED-APPEND design.
 
     tokens: [n, span] — appended to each sequence in order; returns
     (cache, logits [n, span, vocab]) where logits[:, i] is the model's
     next-token distribution after consuming tokens[:, :i+1]. The paged
-    kernel handles the span with per-row causal alignment (q_span), so
-    verification costs ONE cache stream instead of span decode steps.
+    kernel streams the STORED cache once with pos_offset=span (per-row
+    causal alignment against the old length); the span's intra-span
+    causal attention is computed densely on the tiny [span, span] tile
+    and folded in with an exact LSE merge (_merge_deferred), then all
+    layers' rows are appended with ONE post-scan scatter — the layer
+    scan never writes the pools (see _scan_layers_deferred for why).
     Rollback of rejected tokens is just a lengths reset (page contents
     past `lengths` are dead and get overwritten by later appends).
     """
@@ -1464,48 +1698,44 @@ def verify_step(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     ].reshape(-1)  # [n*span]
     offs = (pos % page).reshape(-1)
     tables = cache.block_tables[seq_slots]
-    lens_inc = lens + span
     x = _embed(params, tokens, cfg)  # [n, span, d]
     P = cache.num_pages  # merged-pool per-layer stride
+    kp, vp, ksc, vsc = _cache_pools(cache)
 
-    def body(x, pools, lp, l, wl, rope):
-        kp, vp, ksc, vsc = pools
+    def body(x, lp, l, wl, rope):
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, span)
         q = _rope(q, pos, *rope)
         k = _rope(k, pos, *rope)
-        wp_l = write_pages + l * P
-        tab_l = tables + l * P
         kq, ks_new = _store_rows(
             cache.quant_dtype, kp.dtype,
             jnp.transpose(k, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
         vq, vs_new = _store_rows(
             cache.quant_dtype, vp.dtype,
             jnp.transpose(v, (2, 0, 1, 3)).reshape(cfg.n_kv_heads, -1, hd))
-        from mfa_tpu.cache.paged_cache import scatter_span_rows
-
-        kp = scatter_span_rows(kp, wp_l, offs, kq, cache.quant_dtype)
-        vp = scatter_span_rows(vp, wp_l, offs, vq, cache.quant_dtype)
-        if ksc is not None:
-            ksc = ksc.at[:, wp_l, offs].set(ks_new)
-            vsc = vsc.at[:, wp_l, offs].set(vs_new)
-        attn = _paged_attention_sharded(
-            q, kp, vp, ksc, vsc, lens_inc, tab_l, mesh, cfg.dtype,
+        o_c, lse_c = _paged_attention_sharded(
+            q, kp, vp, ksc, vsc, lens, tables + l * P, mesh, cfg.dtype,
             cfg, wl, cache.quant_dtype,
-        )  # [n, span, heads, hd]
+            pos_offset=span, return_lse=True,
+        )  # [n, span, heads, hd], [n, span, heads]
+        attn = _merge_deferred(o_c, lse_c, q, kq, ks_new, vq, vs_new, cfg)
         x = _attn_residual(x, attn.reshape(n, span, cfg.n_heads * hd),
                            lp, cfg)
         x = _mlp(x, lp, cfg, mesh)
-        return x, (kp, vp, ksc, vsc)
+        return x, ((kq, ks_new, vq, vs_new) if ksc is not None
+                   else (kq, vq))
 
-    x, (kp, vp, ksc, vsc) = _scan_layers_kv(
-        cfg, body, x, params["layers"], _cache_pools(cache)
-    )
+    x, ys = _scan_layers_deferred(cfg, body, x, params["layers"])
+    if ksc is not None:
+        kq_all, ks_all, vq_all, vs_all = ys
+    else:
+        (kq_all, vq_all), ks_all, vs_all = ys, None, None
+    cache = _append_all_layers(cache, kq_all, ks_all, vq_all, vs_all,
+                               write_pages, offs)
     x = _rms_norm(x, params["final_norm"], cfg)
     logits = _unembed(params, x, cfg)  # [n, span, vocab]
     cache = _dc.replace(
-        cache, k_pages=kp, v_pages=vp, k_scales=ksc, v_scales=vsc,
-        lengths=cache.lengths.at[seq_slots].set(lens_inc),
+        cache, lengths=cache.lengths.at[seq_slots].set(lens + span),
     )
     return cache, logits
 

@@ -136,8 +136,12 @@ def ragged_qmm(x: jax.Array, w: Any, group_sizes: jax.Array) -> jax.Array:
     """lax.ragged_dot for a plain array or QWeight expert bank
     [E, in, out]. The quantized path dequantizes the bank into the
     contraction dtype first — ragged_dot requires matching operand types,
-    so expert weights save HBM *capacity* but not per-step traffic; dense
-    projections (qmm) stay int8 end-to-end."""
+    so through THIS entry point expert weights save HBM *capacity* but
+    not per-step traffic (measured 10.9 ms vs a 1.72 ms int8 stream
+    floor at the Mixtral decode shape). Decode-sized batches take
+    llama._moe_dense_int8 instead: dense per-expert fused-int8 matmuls
+    at 92% of the int8 floor (scripts/probe_moe_int8.py); this ragged
+    path remains for prefill/training token counts."""
     if not isinstance(w, QWeight):
         return jax.lax.ragged_dot(x, w, group_sizes)
     return jax.lax.ragged_dot(x, dequantize_weight(w, x.dtype), group_sizes)
@@ -158,9 +162,11 @@ def quantize_params(params: dict, include_embed: bool = True,
 
     include_embed: also quantize the embedding table per row (saves
     ~1 GB on a 128k-vocab 8B model; lm_head is a matmul and always
-    quantizes). include_experts: quantize MoE expert banks (capacity-only
-    win — see ragged_qmm). Returns a NEW pytree; norms, biases, and the
-    router are untouched. Already-quantized leaves pass through."""
+    quantizes). include_experts: quantize MoE expert banks (decode
+    batches stream them int8 via llama._moe_dense_int8; larger token
+    counts dequantize at entry — see ragged_qmm). Returns a NEW pytree;
+    norms, biases, and the router are untouched. Already-quantized
+    leaves pass through."""
 
     def walk(node):
         if not isinstance(node, dict):

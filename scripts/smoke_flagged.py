@@ -76,6 +76,27 @@ def main():
                         / jnp.maximum(jnp.abs(ref_lse), 1.0)))
     print(f"adversarial lse rel err {rel:.6f}", flush=True)
     ok &= rel < 1e-3
+    # FLAG-RATE readback (bound_softmax="flag_debug" returns raw flags):
+    # benign bench-shaped inputs must flag ZERO blocks on both grids, and
+    # window/ring geometries with structurally empty row bands must not
+    # repair on every call (r5: l == 0 rows with provably empty bands
+    # pass the check instead of poisoning their block forever).
+    q, k, v = mk(jax.random.key(5), 2, 8, 4, 2048, 128, dtype=jnp.bfloat16)
+    for grid, flat in (("flat", True), ("bht", False)):
+        _, flags = prefill_attention(q, k, v, causal=True, flat_grid=flat,
+                                     bound_softmax="flag_debug")
+        nf = int(jnp.sum(flags))
+        print(f"benign flag count ({grid} grid): {nf}", flush=True)
+        ok &= nf == 0
+    qw, kw, vw = mk(jax.random.key(6), 1, 4, 4, 512, 128,
+                    dtype=jnp.bfloat16)
+    _, flags = prefill_attention(qw, kw, vw, window_size=(64, 0),
+                                 kv_position_offset=400,
+                                 bound_softmax="flag_debug")
+    nf = int(jnp.sum(flags))
+    print(f"empty-band (window+kv_off ring edge) flag count: {nf}",
+          flush=True)
+    ok &= nf == 0
     print("SMOKE", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)
 

@@ -137,3 +137,49 @@ def test_narrow_head_dim_falls_back_safely():
     out = prefill_attention(q, k, v, causal=True)
     assert_close(out, _oracle(q, k, v, causal=True), tol=3e-3,
                  msg="narrow-d adversarial fallback")
+
+
+def test_flag_rate_zero_on_benign():
+    # Benign bench-shaped inputs must flag ZERO q blocks: a nonzero rate
+    # here means the serving path silently pays the repair recompute on
+    # every call (bound_softmax="flag_debug" returns the raw flags).
+    q, k, v = _bhsd(jax.random.key(5), 2, 256, 256, 2, 2, 128)
+    out, flags = prefill_attention(q, k, v, causal=True,
+                                   bound_softmax="flag_debug")
+    assert int(jnp.sum(flags)) == 0, (
+        f"benign causal inputs flagged {int(jnp.sum(flags))} blocks")
+    assert_close(out, _oracle(q, k, v, causal=True), tol=2e-5,
+                 msg="flag_debug output == oracle")
+
+
+def test_flag_rate_zero_on_empty_band_geometries():
+    # Window + kv_position_offset edge geometries leave some rows with
+    # STRUCTURALLY empty mask bands (ring attention shards, clamped raw
+    # bands). Those rows legitimately have l == 0 and must NOT flag —
+    # before r5 they sent their block to the repair kernel on every call.
+    q, k, v = _bhsd(jax.random.key(6), 1, 128, 128, 2, 2, 128)
+    # kv_off 100, window 16: rows >= 44 have lo = r + 84 >= 128 = sk
+    out, flags = prefill_attention(
+        q, k, v, window_size=(16, 0), kv_position_offset=100,
+        bound_softmax="flag_debug")
+    assert int(jnp.sum(flags)) == 0, (
+        f"empty-band geometry flagged {int(jnp.sum(flags))} blocks")
+    ref = _oracle(q, k, v, window_size=(16, 0), q_offset=100)
+    assert_close(out, ref, tol=2e-5, msg="empty-band output == oracle")
+    # fully-empty shard: EVERY row's band is past this KV shard
+    out2, flags2 = prefill_attention(
+        q, k, v, window_size=(8, 0), kv_position_offset=4096,
+        bound_softmax="flag_debug")
+    assert int(jnp.sum(flags2)) == 0, "all-dead shard flagged blocks"
+    assert not bool(jnp.any(jnp.isnan(out2))), "all-dead shard NaN"
+
+
+def test_flag_rate_nonzero_on_adversarial():
+    # The structural-empty pass must not swallow REAL poison: overflow
+    # inputs still flag (and the repaired output matches the oracle).
+    q, k, v = _bhsd(jax.random.key(7), 1, 256, 256, 2, 2, 128, std=1e3)
+    out, flags = prefill_attention(q, k, v, causal=True,
+                                   bound_softmax="flag_debug")
+    assert int(jnp.sum(flags)) > 0, "adversarial inputs did not flag"
+    assert_close(out, _oracle(q, k, v, causal=True), tol=3e-3,
+                 msg="flag_debug adversarial == oracle")

@@ -208,3 +208,28 @@ def test_int8_matmul_kernel_parity():
                    - np.asarray(ref, np.float32))
         s = np.abs(np.asarray(ref, np.float32)).max()
         assert d.max() / s < 2e-2, (m, K, N, d.max() / s)
+
+
+def test_moe_dense_int8_matches_ragged():
+    # The decode-path dense-per-expert int8 MoE (llama._moe_dense_int8,
+    # T <= _MOE_DENSE_MAX_T) must match the ragged dequantize-at-entry
+    # path bit-for-bit up to summation order on the SAME quantized bank
+    # (in fp32 both dequants are exact). Forcing the threshold to 0
+    # eagerly reruns _mlp through the ragged branch.
+    cfg, params = _tiny(dtype=jnp.float32, n_experts=4,
+                        n_active_experts=2)
+    qp = quantize_params(params, include_experts=True)
+    lp = jax.tree.map(lambda a: a[0], qp["layers"])
+    x = jax.random.normal(jax.random.key(9), (1, 32, cfg.dim),
+                          jnp.float32) * 0.5
+    assert 32 <= llama._MOE_DENSE_MAX_T
+    out_dense = llama._mlp(x, lp, cfg)
+    old = llama._MOE_DENSE_MAX_T
+    try:
+        llama._MOE_DENSE_MAX_T = 0
+        out_ragged = llama._mlp(x, lp, cfg)
+    finally:
+        llama._MOE_DENSE_MAX_T = old
+    np.testing.assert_allclose(np.asarray(out_dense),
+                               np.asarray(out_ragged),
+                               rtol=1e-4, atol=1e-4)
