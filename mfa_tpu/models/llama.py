@@ -1325,31 +1325,27 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
     flat_ids = page_ids.reshape(-1)  # [n*npg]; duplicates only on null page
     P = cache.num_pages  # logical pages per layer (merged-pool stride)
 
-    def body(x, pools, lp, l, wl, rope):
-        kp, vp, ksc, vsc = pools
+    kp, vp, ksc, vsc = _cache_pools(cache)
+
+    def body(x, lp, l, wl, rope):
         h = _rms_norm(x, lp["attn_norm"], cfg)
         q, k, v = _qkv(h, lp, cfg, n, s)
         q = _rope(q, positions, *rope)
         k = _rope(k, positions, *rope)
-        # page writes: [n, s, hkv, d] -> [hkv, n*npg, page, d], scattered
-        # at layer l's physical ids (token-level traffic only — the
-        # merged pool stays in the scan carry)
-        ids_l = flat_ids + l * P
+        # page payload: [n, s, hkv, d] -> [hkv, n*npg, page(, d)] packed —
+        # emitted as ys; prefill attention reads only the IN-FLIGHT k/v,
+        # so the pools never enter the scan (a body that both scatters a
+        # carried pool and contains a custom call pays pool-size-scaled
+        # copies even when the call doesn't touch the pool — measured
+        # ~1 ms/pass at the 1B shape, r5 probe)
         kq, ks_new = _store_rows(cache.quant_dtype, kp.dtype,
                                  jnp.transpose(k, (2, 0, 1, 3)))
         vq, vs_new = _store_rows(cache.quant_dtype, vp.dtype,
                                  jnp.transpose(v, (2, 0, 1, 3)))
         from mfa_tpu.cache.paged_cache import pack_pages_payload
 
-        kp = kp.at[:, ids_l].set(
-            pack_pages_payload(cache.quant_dtype, kq, n * npg, page))
-        vp = vp.at[:, ids_l].set(
-            pack_pages_payload(cache.quant_dtype, vq, n * npg, page))
-        if ksc is not None:
-            ksc = ksc.at[:, ids_l].set(
-                ks_new.reshape(cfg.n_kv_heads, n * npg, page))
-            vsc = vsc.at[:, ids_l].set(
-                vs_new.reshape(cfg.n_kv_heads, n * npg, page))
+        kq = pack_pages_payload(cache.quant_dtype, kq, n * npg, page)
+        vq = pack_pages_payload(cache.quant_dtype, vq, n * npg, page)
         if image_block_ids is not None:
             attn = _attention_blockmask(q, k, v, cfg, wl,
                                         image_block_ids, pmesh)
@@ -1358,11 +1354,30 @@ def _prefill_jit(params, cfg: LlamaConfig, cache, seq_slots, table_rows,
         x = _attn_residual(x, attn.reshape(n, s, cfg.n_heads * hd), lp,
                            cfg)
         x = _mlp(x, lp, cfg, mesh)
-        return x, (kp, vp, ksc, vsc)
+        if ksc is not None:
+            hkv = cfg.n_kv_heads
+            return x, (kq, ks_new.reshape(hkv, n * npg, page), vq,
+                       vs_new.reshape(hkv, n * npg, page))
+        return x, (kq, vq)
 
-    x, (kp, vp, ksc, vsc) = _scan_layers_kv(
-        cfg, body, x, params["layers"], _cache_pools(cache)
-    )
+    x, ys = _scan_layers_deferred(cfg, body, x, params["layers"])
+    # ONE page-level scatter for every layer's pages
+    lids = (flat_ids[None, :]
+            + jnp.arange(cfg.n_layers, dtype=jnp.int32)[:, None] * P
+            ).reshape(-1)
+
+    def _flat(a):  # [L, hkv, n*npg, ...] -> [hkv, L*n*npg, ...]
+        return jnp.swapaxes(a, 0, 1).reshape(
+            a.shape[1], a.shape[0] * a.shape[2], *a.shape[3:])
+
+    if ksc is not None:
+        kq_all, ks_all, vq_all, vs_all = ys
+        ksc = ksc.at[:, lids].set(_flat(ks_all))
+        vsc = vsc.at[:, lids].set(_flat(vs_all))
+    else:
+        kq_all, vq_all = ys
+    kp = kp.at[:, lids].set(_flat(kq_all))
+    vp = vp.at[:, lids].set(_flat(vq_all))
     x = _rms_norm(x, params["final_norm"], cfg)
     last = jnp.take_along_axis(
         x, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1
@@ -1784,17 +1799,13 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
     from mfa_tpu.serve.sampling import (SamplingParams, sample,
                                         sample_dynamic, token_logprobs)
 
-    if isinstance(params.get("lm_head"), QWeight):
-        # Dequantize the lm_head ONCE per burst, outside the step scan.
-        # Inside the scan, the int8 logits matmul is a measured
-        # pathology: +2.4 ms/step at the 1B shape (vs bf16's 0.7 ms for
-        # the same matmul) even though the identical fused int8 dot runs
-        # 1.7x FASTER than bf16 in isolation (scripts/probe_r4b.py /
-        # /tmp bisect, r4). One up-front bf16 materialization amortized
-        # over n_steps costs ~3% and keeps the int8 residency win
-        # (6.60 vs 8.64 ms/step measured; bf16-head baseline 6.36).
-        params = dict(params, lm_head=dequantize_weight(
-            params["lm_head"], cfg.dtype))
+    # The lm_head stays int8 INSIDE the step scan: the r4 "+2.4 ms int8
+    # logits matmul" pathology that forced a per-burst bf16
+    # materialization here was an artifact of the old per-layer pool
+    # scatters (XLA full-pool copies, see _scan_layers_deferred); with
+    # the deferred-append decode the fused int8 dot streams half the
+    # lm_head bytes and saves 0.49 ms/step at the 1B shape (r5 A/B:
+    # 4.53 dequant-per-burst vs 4.04 int8-in-scan).
     sampling = sampling or SamplingParams()
     if key is None:
         # Greedy (and per-request vecs with all-greedy rows) never consumes
