@@ -1844,3 +1844,70 @@ def decode_burst(params, cfg: LlamaConfig, cache, seq_slots, tokens,
         return (cache, out, lps, logits_all) + extra
     out, lps = ys
     return (cache, out, lps) + extra
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k",
+                                             "n_iters", "mesh"))
+def speculative_burst(params, draft_params, cfg: LlamaConfig,
+                      draft_cfg: LlamaConfig, cache, draft_cache,
+                      seq_slots, tokens, k: int, n_iters: int,
+                      mesh: Optional[Mesh] = None):
+    """n_iters GREEDY speculative iterations fused on device (one host
+    sync for the whole burst; the host-stepped loop pays 2+ tunnel RTTs
+    per ~k tokens — measured 65 ms/iteration vs ~6 ms of compute at the
+    4-layer slice shape).
+
+    Each iteration: the draft proposes k tokens (decode_burst on the
+    draft cache), the target verifies the span in ONE forward
+    (verify_step), greedy acceptance (longest draft==target-argmax
+    prefix, the Leviathan rule's deterministic case) and the rollback
+    lengths reset both run ON DEVICE. Output is bit-identical to plain
+    greedy decoding of the target model.
+
+    Page budget: both caches grow by AT MOST k per iteration (rollback
+    reclaims rejected rows), so the caller must have n_iters * k
+    positions mapped past each row's current length.
+
+    Returns (cache, draft_cache, t_out [n_iters, n, k] emitted tokens,
+    lps [n_iters, n, k] their target logprobs, n_emit [n_iters, n]
+    valid counts per iteration — entries past n_emit are junk — and
+    m [n_iters, n] accepted-draft counts for the acceptance stats).
+    """
+    from mfa_tpu.serve.sampling import token_logprobs
+
+    n = tokens.shape[0]
+
+    def body(carry, _):
+        cache, dcache, toks = carry  # toks: last emitted, KV not stored
+        dcache, d_toks, _ = decode_burst(draft_params, draft_cfg, dcache,
+                                         seq_slots, toks, k, mesh=mesh)
+        d = d_toks.T  # [n, k] proposals d_1..d_k
+        feed = jnp.concatenate([toks[:, None], d[:, :-1]], axis=1)
+        base = cache.lengths[seq_slots]  # L0 (== total_len - 1)
+        cache, logits = verify_step(params, cfg, cache, seq_slots, feed,
+                                    mesh=mesh)  # [n, k, vocab]
+        a = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [n, k]
+        eq = (d == a)
+        m = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
+        n_emit = jnp.where(m < k, m + 1, k)  # [n]
+        pos = jnp.arange(k, dtype=jnp.int32)[None]
+        # emitted stream: accepted draft prefix, then the target's
+        # correction token at index m (entries past n_emit are junk)
+        t_out = jnp.where(pos < m[:, None], d, a)
+        lps = token_logprobs(
+            logits.reshape(n * k, -1), t_out.reshape(-1)
+        ).reshape(n, k)
+        # device rollback: junk rows past the new length are dead and
+        # get overwritten by the next iteration's appends
+        new_lens = base + n_emit
+        cache = dataclasses.replace(
+            cache, lengths=cache.lengths.at[seq_slots].set(new_lens))
+        dcache = dataclasses.replace(
+            dcache, lengths=dcache.lengths.at[seq_slots].set(new_lens))
+        toks_next = jnp.take_along_axis(
+            t_out, (n_emit - 1)[:, None], axis=1)[:, 0]
+        return (cache, dcache, toks_next), (t_out, lps, n_emit, m)
+
+    (cache, draft_cache, _), (t_out, lps, n_emit, m) = jax.lax.scan(
+        body, (cache, draft_cache, tokens), None, length=n_iters)
+    return cache, draft_cache, t_out, lps, n_emit, m
