@@ -615,32 +615,45 @@ def _bound_body(
             # Deferred-repair poison flag (see _L_MIN): any row whose sum
             # left (_L_MIN, finite) or whose output rows are non-finite
             # sends the whole q block to the separate repair kernel
-            # (_repair_poisoned). The check reads only values already in
-            # registers and writes one broadcast (8, LANES) block; the
-            # safety it buys used to cost a serial q+k HBM prepass (~10%
-            # of the kernel at b8/s2048).
+            # (_repair_poisoned). The check reads only the row sums
+            # already in registers and writes one broadcast (8, LANES)
+            # block — measured FREE at b8/s2048 (r5 ladder: 87.2 flagged
+            # == 87.2 flag_presence vs 87.7 unchecked) after dropping the
+            # isfinite(output) sweep (~5%) and gating the empty-band
+            # arithmetic to windowed grids; the safety it buys used to
+            # cost a serial q+k HBM prepass (~10% of the kernel).
             l_ok = jnp.logical_and(l > _L_MIN, l < jnp.inf)
-            # A row whose mask band is STRUCTURALLY empty (window/ring
-            # kv_off edge geometries, clamped raw bands) legitimately has
-            # l == 0: let it pass, or its block repairs on every call
-            # forever while the repair just recomputes the same dead row.
-            # Emptiness is static-geometry arithmetic on the row index —
-            # poisoned underflow rows (l == 0 with a live band) still
-            # flag.
-            rowa = jax.lax.broadcasted_iota(
-                jnp.int32, (l.shape[0], 1), 0) + i * block_q + kv_off
-            hi = (jnp.minimum(seqlen_k, rowa + window_right + 1)
-                  if window_right >= 0
-                  else jnp.full_like(rowa, seqlen_k))
-            lo = (jnp.maximum(0, rowa - window_left)
-                  if window_left >= 0 else jnp.zeros_like(rowa))
-            empty = hi <= lo
-            if sinks > 0:  # sink columns stay visible unless hi <= 0
-                empty = jnp.logical_and(empty, hi <= 0)
-            l_ok = jnp.logical_or(
-                l_ok, jnp.logical_and(empty, l == 0.0))
-            o_ok = jnp.isfinite(o)
-            good = jnp.logical_and(jnp.all(l_ok), jnp.all(o_ok))
+            if window_left >= 0:
+                # A row whose mask band is STRUCTURALLY empty (window/
+                # ring kv_off edge geometries, clamped raw bands)
+                # legitimately has l == 0: let it pass, or its block
+                # repairs on every call forever while the repair just
+                # recomputes the same dead row. Emptiness is static-
+                # geometry arithmetic on the row index — poisoned
+                # underflow rows (l == 0 with a live band) still flag.
+                # An empty band needs a window lower bound, so plain
+                # causal/full grids compile none of this in.
+                rowa = jax.lax.broadcasted_iota(
+                    jnp.int32, (l.shape[0], 1), 0) + i * block_q + kv_off
+                hi = (jnp.minimum(seqlen_k, rowa + window_right + 1)
+                      if window_right >= 0
+                      else jnp.full_like(rowa, seqlen_k))
+                lo = jnp.maximum(0, rowa - window_left)
+                empty = hi <= lo
+                if sinks > 0:  # sink columns stay visible unless hi <= 0
+                    empty = jnp.logical_and(empty, hi <= 0)
+                l_ok = jnp.logical_or(
+                    l_ok, jnp.logical_and(empty, l == 0.0))
+            # The row sums alone detect every zero-shift range violation:
+            # overflow drives l to inf, total underflow drives it to 0 or
+            # below _L_MIN, and a partial flush only loses weight that is
+            # < 2^-126 of the row's winner (below fp32 noise). acc can
+            # only go non-finite with l still in range if V itself
+            # carries inf/NaN — which the classic repair body reproduces,
+            # not fixes. The previous isfinite(output) sweep re-read the
+            # whole [bq, d] block per store and cost ~5% of the kernel
+            # (r5 ladder: flag 82.4 vs flag_presence 87.2 TFLOP/s).
+            good = jnp.all(l_ok)
             flag_ref[0, 0] = jnp.full(flag_ref.shape[2:],
                                       1 - good.astype(jnp.int32))
 

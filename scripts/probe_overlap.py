@@ -29,6 +29,19 @@ Conclusion: at b8/s2048 the realistic ceiling for THIS decomposition is
 kernels combined additively — blocked by ~0.6 ms of fp32 partial HBM
 traffic at this size). Kept: value-acc in _step (simpler, +0-1%).
 
+Round-5 closure of the remaining gap: the flagged DEFAULT now measures
+87.2 TFLOP/s == flag_presence (the flag is free; the old 83-85 readings
+were the isfinite(output) sweep re-reading [bq, d] per store plus
+empty-band iota arithmetic, both now removed/gated — kernels/prefill.py
+store epilogue). The raw-store epilogue is NOT worth lifting into the
+real kernel at this shape, by arithmetic: the clean-room win is
+2.365 ms -> 2.251 ms (~0.11 ms saved in-kernel) but a separate
+normalize pass must re-read the fp32 un-normalized O (402 MB) + row
+sums and write the bf16 result (201 MB) = ~0.74 ms at 819 GB/s — a
+net ~0.6 ms LOSS unless the normalize fuses into the next consumer
+(o-projection), which is a model-level fusion outside a kernel
+benchmark's scope. s8192 already runs at the clean-room full-tile rate.
+
 Usage: python scripts/probe_overlap.py
 """
 import functools
