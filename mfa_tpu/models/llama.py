@@ -1448,6 +1448,21 @@ def _prefill_chunk_jit(params, cfg: LlamaConfig, cache, seq_slots,
     prefill bounds per-step prefill work so long prompts don't stall decode
     latency for the rest of the batch (the reference has no scheduler at
     all, SURVEY.md §2.8).
+
+    This path deliberately KEEPS write-then-attend (per-layer pool
+    scatters in the scan body) even though that structure costs
+    pool-size-scaled XLA copies in decode_step (see
+    _scan_layers_deferred): the deferred alternative — prefix-only
+    kernel pass + dense chunk-self attention + exact LSE merge, with a
+    paged_prefill return_lse output — was built and A/B-measured in r5
+    at 16L/b8/chunk256/prefix256/int8 and LOST: 40.6 vs 30.6 ms at
+    head_dim 64 (the dense kernel's narrow-head prepass re-pays a
+    serial q+k HBM pass per layer) and 31.4 vs 29.5 ms at head_dim 128
+    (two kernel launches + merge overhead exceed the copy savings at
+    prefill-sized chunks, where the fused stream amortizes its fixed
+    costs over chunk*kv work). Parity of the reverted branch was
+    verified on-chip (layer-0 pages bit-identical; deeper layers within
+    activation-propagation quant noise).
     """
     import dataclasses as _dc
 
