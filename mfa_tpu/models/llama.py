@@ -243,7 +243,11 @@ def init_params(key: jax.Array, cfg: LlamaConfig,
 
     def dense(key, shape, scale=None):
         scale = scale if scale is not None else (shape[-2] ** -0.5)
-        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(cfg.dtype)
+        # generate DIRECTLY in the model dtype: an f32 intermediate for a
+        # 128k-vocab embed is a 2.1 GB transient, and the 8B-shaped int8
+        # init runs within ~1-2 GB of the (shared) chip's free memory
+        return jax.random.normal(key, shape, cfg.dtype) * jnp.asarray(
+            scale, cfg.dtype)
 
     keys = jax.random.split(key, cfg.n_layers + 2)
     layers = []
@@ -302,6 +306,17 @@ def init_params(key: jax.Array, cfg: LlamaConfig,
                       k_norm=norm_init((hd,), jnp.float32))
         if quantize:
             lp = _qp(lp, include_experts=True)
+            # THROTTLE: drain the device queue before building the next
+            # layer. Dispatch is async — without this the host races
+            # ahead and every in-flight layer keeps its full bf16
+            # intermediates alive next to the growing int8 tree, which
+            # tips the 8B-shaped init over 16 GB NON-deterministically
+            # (the same init passes or dies by scheduling luck). A
+            # scalar READBACK, not block_until_ready: through the axon
+            # tunnel block_until_ready returns before the device work
+            # completes (CLAUDE.md), so only a device->host value read
+            # actually serializes. ~30 ms/layer of init latency.
+            int(lp["wq"].qw[0, 0])
         layers.append(lp)
     norm_init = jnp.zeros if cfg.norm_offset else jnp.ones
     if cfg.moe_hetero:
@@ -311,13 +326,47 @@ def init_params(key: jax.Array, cfg: LlamaConfig,
         )
     else:
         stacked = _stack_layers(layers)
-    head = dict(
-        embed=dense(keys[-2], (cfg.vocab_size, d), scale=0.02),
-        final_norm=norm_init((cfg.dim,), jnp.float32),
-        lm_head=dense(keys[-1], (d, cfg.vocab_size)),
-    )
     if quantize:
-        head = _qp(head)
+        # The two vocab-sized tables generate AND quantize in row/column
+        # slices: one eager bf16 normal for a 128k-vocab table holds
+        # ~5 GB of RNG transients, and with async dispatch embed and
+        # lm_head are in flight together — the 8B init then passes or
+        # dies by scheduling luck next to the ~7 GB layer tree. Slices
+        # cap the in-flight footprint; the scalar readback per slice
+        # actually serializes (block_until_ready is a no-op through the
+        # tunnel).
+        from mfa_tpu.models.wquant import QWeight, quantize_weight
+
+        def dense_q(key, shape, scale, axis):
+            split = 0 if axis == -1 else 1
+            n = shape[split]
+            step = max(1, (16 * 1024 * 1024) // max(1, shape[1 - split]))
+            qs, ss = [], []
+            for idx, lo in enumerate(range(0, n, step)):
+                m = min(step, n - lo)
+                pshape = (m, shape[1]) if split == 0 else (shape[0], m)
+                piece = jax.random.normal(
+                    jax.random.fold_in(key, idx), pshape, cfg.dtype
+                ) * jnp.asarray(scale, cfg.dtype)
+                qw = quantize_weight(piece, axis=axis)
+                int(qw.qw[0, 0])  # drain the queue (free the slice)
+                qs.append(qw.qw)
+                ss.append(qw.scale)
+            return QWeight(qw=jnp.concatenate(qs, axis=split),
+                           scale=jnp.concatenate(ss, axis=0), axis=axis)
+
+        head = dict(
+            embed=dense_q(keys[-2], (cfg.vocab_size, d), 0.02, axis=-1),
+            final_norm=norm_init((cfg.dim,), jnp.float32),
+            lm_head=dense_q(keys[-1], (d, cfg.vocab_size),
+                            d ** -0.5, axis=-2),
+        )
+    else:
+        head = dict(
+            embed=dense(keys[-2], (cfg.vocab_size, d), scale=0.02),
+            final_norm=norm_init((cfg.dim,), jnp.float32),
+            lm_head=dense(keys[-1], (d, cfg.vocab_size)),
+        )
     return dict(layers=stacked, **head)
 
 

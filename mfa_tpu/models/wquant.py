@@ -33,6 +33,7 @@ training keeps bf16 params.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
@@ -78,18 +79,44 @@ jax.tree_util.register_dataclass(
     QWeight, data_fields=("qw", "scale"), meta_fields=("axis",))
 
 
-def quantize_weight(w: jax.Array, axis: int = -2) -> QWeight:
-    """Symmetric absmax int8 quantization along `axis` (one fp32 scale per
-    remaining index). axis=-2 for [in, out] matmul weights (per output
-    channel); axis=-1 for embedding tables (per vocab row)."""
-    axis = axis if axis < 0 else axis - w.ndim  # normalize to negative
+@functools.partial(jax.jit, static_argnames=("axis",))
+def _quantize_body(w, axis: int):
     wf = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=axis)
     scale = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
     qw = jnp.clip(
         jnp.round(wf / jnp.expand_dims(scale, axis)), -127, 127
     ).astype(jnp.int8)
-    return QWeight(qw=qw, scale=scale.astype(jnp.float32), axis=axis)
+    return qw, scale.astype(jnp.float32)
+
+
+def quantize_weight(w: jax.Array, axis: int = -2) -> QWeight:
+    """Symmetric absmax int8 quantization along `axis` (one fp32 scale per
+    remaining index). axis=-2 for [in, out] matmul weights (per output
+    channel); axis=-1 for embedding tables (per vocab row).
+
+    The body is jitted (fused upcast/reduce/round) and LARGE 2-D tensors
+    quantize in slices along a non-reduced dim: a 128k-vocab embed's
+    fp32 transient is 2.1 GB CONTIGUOUS, and the shared remote heap
+    keeps fragmentation across clients — the 8B-on-16GB init dies or
+    survives by allocator history without the chunking (r5)."""
+    axis = axis if axis < 0 else axis - w.ndim  # normalize to negative
+    chunk_elems = 64 * 1024 * 1024  # 256 MB fp32 transient cap
+    if w.ndim == 2 and w.size > chunk_elems:
+        split = 0 if axis == -1 else 1  # slice a NON-reduced dim
+        n = w.shape[split]
+        step = max(1, chunk_elems // max(1, w.size // n))
+        qs, ss = [], []
+        for lo in range(0, n, step):
+            piece = (w[lo:lo + step] if split == 0
+                     else w[:, lo:lo + step])
+            qw_c, sc_c = _quantize_body(piece, axis)
+            qs.append(qw_c)
+            ss.append(sc_c)
+        return QWeight(qw=jnp.concatenate(qs, axis=split),
+                       scale=jnp.concatenate(ss, axis=0), axis=axis)
+    qw, scale = _quantize_body(w, axis)
+    return QWeight(qw=qw, scale=scale, axis=axis)
 
 
 def dequantize_weight(w: QWeight, dtype=jnp.bfloat16) -> jax.Array:
