@@ -490,15 +490,16 @@ def main():
         try:
             # session-health canary: the shared chip/tunnel slows by
             # 2x+ between sessions (CLAUDE.md drift note) — a fixed
-            # matmul reading lets captures be read against chip health
-            a = jax.random.normal(jax.random.key(0), (2048, 2048),
+            # matmul reading lets captures be read against chip health.
+            # 4096^3 with auto iteration count: a 2048^3 run at fixed
+            # iters was differencing noise (read >peak).
+            a = jax.random.normal(jax.random.key(0), (4096, 4096),
                                   jnp.bfloat16)
             from mfa_tpu.utils.timing import chain as _ch, scan_timeit \
                 as _st
-            dtc = _st(lambda c, b: _ch(c, c @ b), a, args=(a,), rtt=rtt,
-                      iters=64)
-            _log(f"sub[{name}] canary 2048^3 bf16 matmul: "
-                 f"{2 * 2048**3 / dtc / 1e12:.0f} TFLOP/s (peak 197)")
+            dtc = _st(lambda c, b: _ch(c, c @ b), a, args=(a,), rtt=rtt)
+            _log(f"sub[{name}] canary 4096^3 bf16 matmul: "
+                 f"{2 * 4096**3 / dtc / 1e12:.0f} TFLOP/s (peak 197)")
         except Exception as e:
             _log(f"sub[{name}] canary failed: {e}")
         if name == "headline":
