@@ -139,6 +139,14 @@ class Engine:
         from collections import deque
 
         self._pending_bursts = deque()
+        # Finished slots awaiting their device-metadata clear: releasing
+        # per request queues 2 eager RPCs each through the tunnel (~140 ms
+        # of backlog absorbed by the next wave's first sync when a batch
+        # finishes together); _flush_released folds them into ONE batched
+        # scatter pair at the next step entry. Deferral is sound: a new
+        # request's prefill overwrites its slot's row wholesale, and a
+        # stale scratch row only wastes discarded-row compute.
+        self._to_release: list = []
         self._next_uid = 0
         self._stream_pos: Dict[int, int] = {}  # uid -> tokens consumed
         self._all_reqs: Dict[int, Request] = {}  # uid -> request (streaming)
@@ -536,7 +544,6 @@ class Engine:
     def _decode_active(self, active) -> None:
         """One batched decode step + bookkeeping for `active` requests
         (pages for the next position must already be mapped)."""
-        from mfa_tpu.cache.paged_cache import release_slot
 
         n = len(active)
         slots, tokens, scratch = self._pad_batch(active)
@@ -546,7 +553,8 @@ class Engine:
         )
         if scratch is not None:
             # roll back the scratch slot the padded rows appended into
-            self.cache = release_slot(self.cache, scratch)
+            # (deferred: one batched scatter at the next step entry)
+            self._to_release.append(scratch)
 
         ids, lps = self._sample(
             logits[:n], self._pres_rows([r.slot for r in active]),
@@ -564,6 +572,7 @@ class Engine:
     def step(self) -> None:
         """One engine iteration: admit, prefill, batched decode step."""
         self._drain_pipeline()
+        self._flush_released()
         self._prefill_admitted(self.sched.admit())
         self._advance_chunked_prefill()
 
@@ -581,9 +590,9 @@ class Engine:
         mid-burst (eos) have their outputs truncated at eos; the spare
         positions' KV appends land in the slot that is released right
         after, so no live state is corrupted."""
-        from mfa_tpu.cache.paged_cache import release_slot
 
         self._drain_pipeline()
+        self._flush_released()
         self._prefill_admitted(self.sched.admit())
         self._advance_chunked_prefill()
 
@@ -613,7 +622,7 @@ class Engine:
             sampling_vecs=self._sampling_vecs(active, len(slots)),
         )
         if scratch is not None:
-            self.cache = release_slot(self.cache, scratch)
+            self._to_release.append(scratch)
         toks_np = np.asarray(toks)  # [n_eff, nb]
         lps_np = np.asarray(burst_lps)
         self.stats.steps += n_eff
@@ -742,7 +751,6 @@ class Engine:
     def _process_burst_result(self, d) -> None:
         """Read back one in-flight burst (overlaps later bursts' compute)
         and do the host bookkeeping step_burst would have done."""
-        from mfa_tpu.cache.paged_cache import release_slot
 
         toks_np = np.asarray(d["toks"])
         lps_np = np.asarray(d["lps"])
@@ -765,7 +773,7 @@ class Engine:
         # still free — an admission may have legitimately claimed it (its
         # prefill SET the row/lengths after the in-flight junk appends).
         if d["scratch"] is not None and d["scratch"] not in self.sched.active:
-            self.cache = release_slot(self.cache, d["scratch"])
+            self._to_release.append(d["scratch"])
         self._pres_mark(mark_slots, mark_toks)
 
     def _drain_pipeline(self) -> None:
@@ -784,6 +792,7 @@ class Engine:
         step_burst when nothing can be dispatched pipelined (page
         pressure, presence row change)."""
         pending = self._pending_bursts
+        self._flush_released()
         self._prefill_admitted(self.sched.admit())
         self._advance_chunked_prefill()
         while len(pending) < self.PIPELINE_DEPTH:
@@ -815,8 +824,8 @@ class Engine:
         spec_tokens of them), accepted tokens are emitted and rejected
         ones rolled back with a lengths reset. Output is bit-identical to
         plain greedy decoding of the target model."""
-        from mfa_tpu.cache.paged_cache import release_slot
 
+        self._flush_released()
         self._prefill_admitted(self.sched.admit())
         self._advance_chunked_prefill()
         active = self._decode_ready()
@@ -885,8 +894,7 @@ class Engine:
                     # the slot wholesale so the junk rows are dead
                     self._finish(req)
             if scratch is not None:
-                self.cache = release_slot(self.cache, scratch)
-                self.draft_cache = release_slot(self.draft_cache, scratch)
+                self._to_release.append(scratch)
             return
         self._map_new_pages(k)
 
@@ -936,8 +944,7 @@ class Engine:
         self.cache = llama.rollback(self.cache, slots, new_lens)
         self.draft_cache = llama.rollback(self.draft_cache, slots, new_lens)
         if scratch is not None:
-            self.cache = release_slot(self.cache, scratch)
-            self.draft_cache = release_slot(self.draft_cache, scratch)
+            self._to_release.append(scratch)
 
         self.stats.steps += 1
         for req, (toks_out, lps_out) in zip(active, emitted):
@@ -951,13 +958,23 @@ class Engine:
                 self._finish(req)
 
     def _finish(self, req: Request) -> None:
-        from mfa_tpu.cache.paged_cache import release_slot
-
         slot = req.slot
         self.sched.finish(req)
-        self.cache = release_slot(self.cache, slot)
+        self._to_release.append(slot)
+
+    def _flush_released(self) -> None:
+        """Batched device-metadata clear of finished slots (see
+        _to_release). One scatter pair regardless of how many requests
+        finished since the last flush; a no-op when none did."""
+        if not self._to_release:
+            return
+        from mfa_tpu.cache.paged_cache import release_slots
+
+        slots = self._to_release
+        self._to_release = []
+        self.cache = release_slots(self.cache, slots)
         if self.draft_cache is not None:
-            self.draft_cache = release_slot(self.draft_cache, slot)
+            self.draft_cache = release_slots(self.draft_cache, slots)
 
     def recover(self) -> int:
         """Reset device state after a failed step and requeue in-flight
@@ -966,6 +983,7 @@ class Engine:
         is rebuilt by re-prefilling on re-admission. Returns the number of
         requeued requests."""
         self._prefilling.clear()
+        self._to_release.clear()  # the rebuilt caches start zeroed
         if self._pres_dev is not None:
             self._pres_dev = jnp.zeros_like(self._pres_dev)
         self._pending_bursts.clear()  # stale futures die with the state
