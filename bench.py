@@ -441,10 +441,19 @@ SUB_TIMEOUT_S = {"serve_8b": 3600.0}
 DEFAULT_SUB_TIMEOUT_S = 2400.0
 
 
+_TUNNEL_SUSPECT = False  # set when a group TIMES OUT (vs erroring)
+
+
 def run_sub(name):
     """Run one bench group in a subprocess; return its parsed JSON records.
     stderr streams through live; stdout is parsed line-by-line (non-JSON
-    lines are demoted to stderr). Any failure returns what was captured."""
+    lines are demoted to stderr). Any failure returns what was captured.
+
+    A group hitting its TIMEOUT (as opposed to erroring) usually means
+    the TPU tunnel is wedged — every later group would hang too, so the
+    remaining timeouts collapse to 300 s and the total run stays bounded
+    instead of burning hours against a dead link."""
+    global _TUNNEL_SUSPECT
     import os
     import subprocess
 
@@ -453,6 +462,8 @@ def run_sub(name):
         "PYTHONPATH", "")
     cmd = [sys.executable, os.path.abspath(__file__), "--sub", name]
     timeout = SUB_TIMEOUT_S.get(name, DEFAULT_SUB_TIMEOUT_S)
+    if _TUNNEL_SUSPECT:
+        timeout = min(timeout, 300.0)
     _log(f"--- sub[{name}] start (timeout {timeout:.0f}s) ---")
     try:
         proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
@@ -462,6 +473,7 @@ def run_sub(name):
         out = e.stdout.decode() if isinstance(e.stdout, bytes) else (
             e.stdout or "")
         rc = "timeout"
+        _TUNNEL_SUSPECT = True
     records = []
     for line in out.splitlines():
         line = line.strip()
@@ -518,13 +530,14 @@ def main():
     for name in SUB_ORDER:
         try:
             recs = run_sub(name)
-            if not recs:
+            if not recs and not _TUNNEL_SUSPECT:
                 # One retry after letting the remote heap settle: the
                 # previous subprocess's multi-GB allocations release
                 # LAZILY after exit, and the 8B init (which needs ~9 GB
                 # of a 16 GB chip) can race that release — measured: the
                 # same init fails inside the bench sequence and passes
-                # standalone seconds later on an empty chip.
+                # standalone seconds later on an empty chip. (Skipped
+                # when a timeout marked the tunnel suspect.)
                 _log(f"sub[{name}] produced no metrics — retrying once "
                      f"after a 30 s heap-settle pause")
                 time.sleep(30.0)

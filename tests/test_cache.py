@@ -1,5 +1,7 @@
 """Paged KV-cache manager tests (mfa_tpu.cache.paged_cache)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,3 +101,23 @@ def test_release_slot():
     cache = release_slot(cache, 1)
     assert int(cache.lengths[1]) == 0
     assert np.all(np.asarray(cache.block_tables[1]) == 0)
+
+
+def test_release_slots_batched():
+    # release_slots == N release_slot calls, in one scatter pair (the
+    # engine defers finished slots into one flush — r5 serving fix)
+    from mfa_tpu.cache.paged_cache import (create_stacked_cache,
+                                           release_slot, release_slots)
+
+    c = create_stacked_cache(2, 8, 4, 4, 16, 4, 4)
+    c = dataclasses.replace(
+        c,
+        block_tables=jnp.arange(4 * 4, dtype=jnp.int32).reshape(4, 4) % 7,
+        lengths=jnp.asarray([5, 9, 3, 7], jnp.int32),
+    )
+    a = release_slots(c, [1, 3])
+    b = release_slot(release_slot(c, 1), 3)
+    np.testing.assert_array_equal(np.asarray(a.block_tables),
+                                  np.asarray(b.block_tables))
+    np.testing.assert_array_equal(np.asarray(a.lengths),
+                                  np.asarray(b.lengths))
