@@ -463,7 +463,7 @@ def run_sub(name):
     cmd = [sys.executable, os.path.abspath(__file__), "--sub", name]
     timeout = SUB_TIMEOUT_S.get(name, DEFAULT_SUB_TIMEOUT_S)
     if _TUNNEL_SUSPECT:
-        timeout = min(timeout, 300.0)
+        timeout = min(timeout, 180.0)
     _log(f"--- sub[{name}] start (timeout {timeout:.0f}s) ---")
     try:
         proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
@@ -524,7 +524,29 @@ def main():
     # PARENT = pure orchestrator: no jax backend init, no device state.
     # Every group runs in its own subprocess (its exit is the heap reset);
     # the headline's JSON line is held back and printed LAST.
+    import os
+    import subprocess
     import time
+
+    global _TUNNEL_SUSPECT
+    try:
+        # Upfront tunnel probe: a trivial readback in a subprocess. The
+        # tunnel goes down for HOURS at a time (r5 observed a 5h+
+        # outage); without this the first group would burn its full
+        # timeout before the suspect flag kicks in.
+        env = dict(os.environ)
+        env["PYTHONPATH"] = "/root/.axon_site:/root/repo:" + env.get(
+            "PYTHONPATH", "")
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jnp.ones((8, 8)).sum()))"],
+            env=env, timeout=150.0, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, check=True)
+    except Exception as e:
+        _TUNNEL_SUSPECT = True
+        _log(f"tunnel probe failed ({type(e).__name__}) — TPU link is "
+             f"down or wedged; all group timeouts capped at 180 s")
 
     headline = None
     for name in SUB_ORDER:
