@@ -10,10 +10,13 @@ RUNTIME value, so one compiled program serves every chunk position.
 
 Semantics: query row r of sequence b sits at absolute position
 q_start[b] + r and sees columns c with
-    c <= q_start[b] + r                      (causal, offset-aligned)
+    c <= q_start[b] + r + window_right       (band end; causal == right 0)
     c >= q_start[b] + r - window_left        (optional sliding window)
     c <  lengths[b]                          (cache bound)
-which generalizes prefill causal masking (offset 0) and decode (q_len 1).
+which generalizes prefill causal masking (offset 0), decode (q_len 1),
+and the non-paged varlen kernel's full (left, right) band — including
+non-causal local attention (reference window semantics,
+flash_api.cpp window_size_left/right).
 
 Quantized KV (INT8/FP8) is handled exactly like the decode kernel: raw
 payload through the MXU, per-row scales applied to score columns (K) and
@@ -83,24 +86,27 @@ def _body(
     head_dim: int,
     sinks: int,
     window_left: int,
-    causal: bool,
+    window_right: int,
 ):
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     bt = page_size * pages_per_block
+    # causal is the window_right == 0 band (the wrapper normalizes);
+    # window_right < 0 means unbounded right visibility (non-causal).
+    banded = window_right >= 0
 
     def _row_hi(bb, ii):
         """One past the last visible column of q block ii of sequence bb
-        (its newest row under causal alignment; everything under
-        non-causal)."""
-        if not causal:
+        (its newest row's band end under right-bounded alignment;
+        everything under unbounded right visibility)."""
+        if not banded:
             return lens_ref[bb]
         return jnp.minimum(
-            qstart_ref[bb] + (ii + 1) * block_q, lens_ref[bb]
+            qstart_ref[bb] + (ii + 1) * block_q + window_right, lens_ref[bb]
         )
 
     def _row_lo(bb, ii):
         """First visible column (oldest row's window start)."""
-        if window_left < 0 or not causal:
+        if window_left < 0:
             return jnp.int32(0)
         return jnp.maximum(0, qstart_ref[bb] + ii * block_q - window_left)
 
@@ -252,13 +258,13 @@ def _body(
             col = jax.lax.broadcasted_iota(
                 jnp.int32, (rows_p, bt), 1) + j * bt
         vis = col < lens_ref[b]
-        if causal:
-            vis = jnp.logical_and(vis, col <= pos)
-            if window_left >= 0:
-                in_win = col >= pos - window_left
-                if sinks > 0:
-                    in_win = jnp.logical_or(in_win, col < sinks)
-                vis = jnp.logical_and(vis, in_win)
+        if banded:
+            vis = jnp.logical_and(vis, col <= pos + window_right)
+        if window_left >= 0:
+            in_win = col >= pos - window_left
+            if sinks > 0:
+                in_win = jnp.logical_or(in_win, col < sinks)
+            vis = jnp.logical_and(vis, in_win)
 
         for h in range(num_kv_heads):
             q = q_ref[0, 0, h]  # [group*bq, d]
@@ -336,6 +342,7 @@ def paged_prefill_attention(
     softmax_scale: Optional[float] = None,
     causal: bool = True,
     window_left: int = -1,
+    window_right: int = -1,
     block_q: int = 256,
     pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -350,13 +357,14 @@ def paged_prefill_attention(
     Rows past q_lens[b] are garbage (callers slice by true chunk length).
     The chunk's own K/V must already be written to the pages
     (write-then-attend, like the serving decode path). causal=False gives
-    full visibility to lengths[b] (varlen non-causal semantics).
+    full visibility to lengths[b] (varlen non-causal semantics) unless a
+    window bounds it: row at absolute position p = q_start[b] + r sees
+    columns c with p - window_left <= c <= p + window_right (either side
+    -1 = unbounded), the same top-left band alignment as the non-paged
+    varlen kernel. causal=True is exactly the window_right == 0 band.
     """
-    if window_left >= 0 and not causal:
-        raise ValueError(
-            "window_left requires causal=True (non-causal windows have no "
-            "defined alignment here)"
-        )
+    if causal:
+        window_right = 0
     batch, sq, num_heads, head_dim = q.shape
     num_kv_heads, num_pages, page_rows, pwidth = k_pages.shape
     group = num_heads // num_kv_heads
@@ -484,9 +492,9 @@ def paged_prefill_attention(
         pack2=pack2,
         fp8=fp8,
         head_dim=head_dim,
-        sinks=int(sink_tokens) if (window_left >= 0 and causal) else 0,
+        sinks=int(sink_tokens) if window_left >= 0 else 0,
         window_left=window_left,
-        causal=causal,
+        window_right=window_right,
     )
     alibi = alibi_slopes is not None
 

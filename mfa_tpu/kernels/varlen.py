@@ -294,9 +294,6 @@ def varlen_attention(
         # prefill kernel (kernels/paged_prefill.py) — pages stream straight
         # from HBM, no materialized gather of the pool. Reference causal is
         # top-left per sequence (prefill.cuh:393-421) == q_start 0 here.
-        if window_right > 0:
-            raise NotImplementedError(
-                "right windows are not supported on the paged varlen route")
         from mfa_tpu.kernels.paged_prefill import paged_prefill_attention
 
         cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
@@ -326,15 +323,15 @@ def varlen_attention(
         out4 = paged_prefill_attention(
             q_pad, pool, pool_v, lens_k,
             jnp.zeros((batch,), jnp.int32), dense_table,
-            # window_right == 0 (set by causal=True above, or passed
-            # explicitly with causal=False) means "each row sees columns
-            # <= its own position" — exactly the paged kernel's causal
-            # mask, mirroring the non-paged kernel's
-            # `causal or window_right == 0` handling.
-            q_lens=lens_q, causal=causal or window_right == 0,
+            # The paged kernel shares the non-paged band semantics: row r
+            # (q_start 0 -> absolute position r) sees columns in
+            # [r - window_left, r + window_right]; causal == the
+            # window_right 0 band (normalized inside).
+            q_lens=lens_q, causal=causal,
             softmax_scale=softmax_scale,
             interpret=interpret, logit_softcap=logit_softcap,
-            window_left=window_left, sink_tokens=sink_tokens,
+            window_left=window_left, window_right=window_right,
+            sink_tokens=sink_tokens,
             alibi_slopes=alibi_slopes,
         )
         return out4[seg, pos]

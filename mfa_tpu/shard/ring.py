@@ -59,8 +59,86 @@ def _ring_live_steps(n_ring: int, chunk: int, window_left: int) -> int:
     return min(n_ring, (window_left + chunk - 1) // chunk + 1)
 
 
+def _band_hops(n_ring: int, chunk: int, w: int) -> int:
+    """Ring hops in ONE direction whose visiting chunk can contain a
+    visible column under band half-width w: hop t's nearest column is
+    (t-1)*chunk + 1 positions away, so t is live iff (t-1)*chunk < w.
+    Unbounded (w < 0) -> all n_ring - 1 other chunks."""
+    if w < 0:
+        return n_ring - 1
+    return min(n_ring - 1, (w - 1) // chunk + 1)
+
+
+def _ring_forward_banded(q, k, v, n_ring: int, ctx_axis: str,
+                         softmax_scale, window_left: int,
+                         window_right: int):
+    """NON-CAUSAL bidirectional band (window_left, window_right) across
+    the ring (local attention, either side -1 = unbounded). Behind chunks
+    rotate in the causal direction; ahead chunks ride a SECOND stream
+    rotating the other way, so a band spanning a chunks ahead / b behind
+    costs max(a, b) neighbor hops — with one stream the ahead chunks
+    would arrive LAST (n_ring - 1 hops for the nearest one). An ahead
+    pair is the mirror of a behind pair: flipping q rows and kv columns
+    and swapping the window sides maps "kv h hops ahead" onto the
+    positive-kv_position_offset geometry the kernel already handles
+    (col - pos = d becomes -d under the flip), so both directions use
+    the same kernel with a static offset."""
+    my = jax.lax.axis_index(ctx_axis)
+    chunk = q.shape[2]
+    fwd_perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+    rev_perm = [(i, (i - 1) % n_ring) for i in range(n_ring)]
+    q_rev = q[:, :, ::-1]
+
+    def masked(_):
+        return (jnp.zeros(q.shape, jnp.float32),
+                jnp.full(q.shape[:-1], -jnp.inf, jnp.float32))
+
+    def behind(kv, t):
+        def pair(_):
+            o, lse = prefill_attention(
+                q, kv[0], kv[1], causal=False,
+                window_size=(window_left, window_right),
+                kv_position_offset=t * chunk,
+                softmax_scale=softmax_scale, return_lse=True)
+            return o.astype(jnp.float32), lse
+
+        if t == 0:
+            return pair(None)
+        # wrapped sources (my - t < 0) are out of the linear sequence
+        return jax.lax.cond(my >= t, pair, masked, None)
+
+    def ahead(kv, h):
+        def pair(_):
+            o, lse = prefill_attention(
+                q_rev, kv[0][:, :, ::-1], kv[1][:, :, ::-1],
+                causal=False,
+                window_size=(window_right, window_left),
+                kv_position_offset=h * chunk,
+                softmax_scale=softmax_scale, return_lse=True)
+            return o[:, :, ::-1].astype(jnp.float32), lse[:, :, ::-1]
+
+        return jax.lax.cond(my + h < n_ring, pair, masked, None)
+
+    back_hops = _band_hops(n_ring, chunk, window_left)
+    fwd_hops = _band_hops(n_ring, chunk, window_right)
+    o_acc, lse_acc = behind((k, v), 0)
+    kv_b = (k, v)
+    kv_f = (k, v)
+    for t in range(1, max(back_hops, fwd_hops) + 1):
+        if t <= back_hops:
+            kv_b = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, ctx_axis, fwd_perm), kv_b)
+            o_acc, lse_acc = _merge(o_acc, lse_acc, *behind(kv_b, t))
+        if t <= fwd_hops:
+            kv_f = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, ctx_axis, rev_perm), kv_f)
+            o_acc, lse_acc = _merge(o_acc, lse_acc, *ahead(kv_f, t))
+    return o_acc.astype(q.dtype), lse_acc
+
+
 def _ring_forward(q, k, v, n_ring: int, ctx_axis: str, causal: bool,
-                  softmax_scale: Optional[float], window_left: int = -1):
+                  softmax_scale: Optional[float], window_left: int = -1,
+                  window_right: int = -1):
     """Rotating-KV forward on LOCAL [b, h, s/n, d] blocks (must run inside
     a shard_map over `ctx_axis`): each chip folds every visiting KV shard
     into its running (O fp32, global LSE) pair. Shared by the inference
@@ -72,9 +150,13 @@ def _ring_forward(q, k, v, n_ring: int, ctx_axis: str, causal: bool,
     t's pair is the plain kernel with kv_position_offset = t*chunk (the q
     chunk leads the visiting kv chunk by t hops), and the rotation STOPS
     after the last step whose pair can still contain a visible column —
-    a window spanning w chunks costs w rotations, not n_ring."""
-    if window_left >= 0 and not causal:
-        raise NotImplementedError("windowed ring attention is causal-only")
+    a window spanning w chunks costs w rotations, not n_ring. Non-causal
+    windows (bidirectional local attention) take the two-stream banded
+    schedule (_ring_forward_banded)."""
+    if not causal and (window_left >= 0 or window_right >= 0):
+        return _ring_forward_banded(q, k, v, n_ring, ctx_axis,
+                                    softmax_scale, window_left,
+                                    window_right)
     my = jax.lax.axis_index(ctx_axis)
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
     chunk = q.shape[2]
@@ -130,11 +212,15 @@ def ring_attention_prefill(
     softmax_scale: Optional[float] = None,
     ctx_axis: str = CTX_AXIS,
     window_left: int = -1,
+    window_right: int = -1,
 ):
     """Build f(q, k, v) on [batch, heads, seq, head_dim] with `seq` sharded
     on `ctx_axis` for q, k and v. Returns the same sharding. window_left
-    (causal only) slides a window across the ring — rotation stops after
-    the window's last reachable chunk (see _ring_forward)."""
+    (causal) slides a window across the ring — rotation stops after the
+    window's last reachable chunk (see _ring_forward). With causal=False
+    a (window_left, window_right) band gives bidirectional local
+    attention over the ring (two-stream schedule, either side -1 =
+    unbounded); causal ignores window_right (== the right-0 band)."""
     n_ring = mesh.shape[ctx_axis]
     spec = P(None, None, ctx_axis, None)
 
@@ -144,7 +230,7 @@ def ring_attention_prefill(
     )
     def _fn(q, k, v):
         return _ring_forward(q, k, v, n_ring, ctx_axis, causal,
-                             softmax_scale, window_left)[0]
+                             softmax_scale, window_left, window_right)[0]
 
     return jax.jit(_fn)
 
@@ -170,6 +256,11 @@ def _ring_grad_local(n_ring: int, ctx_axis: str, causal: bool,
     integrations (sequence_parallel_loss_fn) without re-tracing.
     """
     from mfa_tpu.kernels.backward import flash_attention_bwd
+
+    if not causal and window_left >= 0:
+        raise NotImplementedError(
+            "non-causal windowed ring attention is inference-only "
+            "(ring_attention_prefill); the VJP ring schedule is causal")
 
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
 

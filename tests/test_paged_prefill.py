@@ -14,8 +14,10 @@ from mfa_tpu.kernels.paged_prefill import paged_prefill_attention
 from tests.utils import assert_close
 
 
-def _oracle(q, pool_k, pool_v, lens, q_start, table, window_left=-1):
-    """q [b, sq, h, d]; pool [hkv, pages, page, d]."""
+def _oracle(q, pool_k, pool_v, lens, q_start, table, window_left=-1,
+            window_right=0):
+    """q [b, sq, h, d]; pool [hkv, pages, page, d]. window_right 0 is the
+    causal band; -1 unbounded (non-causal)."""
     b, sq, h, d = q.shape
     hkv, _, page, _ = pool_k.shape
     group = h // hkv
@@ -29,8 +31,9 @@ def _oracle(q, pool_k, pool_v, lens, q_start, table, window_left=-1):
     scores *= d ** -0.5
     pos = q_start[:, None] + jnp.arange(sq)[None]  # [b, sq]
     col = jnp.arange(pps * page)
-    vis = (col[None, None] <= pos[..., None]) & (
-        col[None, None] < lens[:, None, None])
+    vis = col[None, None] < lens[:, None, None]
+    if window_right >= 0:
+        vis &= col[None, None] <= pos[..., None] + window_right
     if window_left >= 0:
         vis &= col[None, None] >= pos[..., None] - window_left
     scores = jnp.where(vis[:, None], scores, -jnp.inf)
@@ -87,6 +90,34 @@ def test_paged_prefill_windowed():
                                   window_left=window)
     ref = _oracle(q, pool_k, pool_v, lens, q_start, table, window_left=window)
     assert_close(out[0], ref[0], tol=2e-5, msg="windowed paged prefill")
+
+
+@pytest.mark.parametrize("wl,wr", [
+    (63, 40),    # bidirectional local band
+    (-1, 40),    # right bound only
+    (63, -1),    # left bound only, unbounded right (non-causal)
+])
+def test_paged_prefill_noncausal_band(wl, wr):
+    """Non-causal (left, right) bands: row at q_start+r sees columns in
+    [pos-wl, pos+wr] (either side unbounded at -1) — reference window
+    semantics on the paged route. The chunk sits mid-cache so both band
+    edges cross page boundaries."""
+    batch, hkv, group, d, page, pps = 2, 2, 2, 64, 64, 6
+    h = hkv * group
+    pool_k, pool_v, table = _setup(batch, hkv, pps, page, d, key=7)
+    chunk = 128
+    q = jax.random.normal(jax.random.key(4), (batch, chunk, h, d), jnp.float32)
+    q_start = jnp.asarray([128, 0], jnp.int32)
+    lens = jnp.asarray([128 + chunk + 96, chunk], jnp.int32)  # kv past q
+    out = paged_prefill_attention(
+        q, pool_k, pool_v, lens, q_start, table, causal=False,
+        q_lens=jnp.asarray([chunk, chunk], jnp.int32),
+        window_left=wl, window_right=wr)
+    ref = _oracle(q, pool_k, pool_v, lens, q_start, table,
+                  window_left=wl, window_right=wr)
+    for b in range(batch):
+        assert_close(out[b], ref[b], tol=2e-5,
+                     msg=f"noncausal band wl={wl} wr={wr} seq {b}")
 
 
 def test_paged_prefill_quantized():

@@ -282,6 +282,33 @@ def test_ring_prefill_sliding_window(wl):
     assert diff < 2e-5, f"wl={wl}: {diff}"
 
 
+@pytest.mark.parametrize("wl,wr", [
+    (10, 20),     # narrow band inside one chunk hop each way
+    (40, 10),     # asymmetric, left spans 2 hops
+    (-1, 20),     # unbounded left, bounded right
+    (40, -1),     # bounded left, unbounded right
+    (100, 100),   # band spans the whole ring both ways
+])
+def test_ring_prefill_noncausal_band(wl, wr):
+    """Non-causal bidirectional local attention over the ring: the
+    two-stream banded schedule (behind chunks rotate forward, ahead
+    chunks rotate backward, ahead pairs computed mirrored) must equal the
+    single-device non-causal windowed kernel."""
+    from mfa_tpu.kernels.prefill import prefill_attention
+    from mfa_tpu.shard.ring import ring_attention_prefill
+
+    mesh = make_mesh({"ctx": 4})
+    b, h, s, d = 1, 2, 128, 64  # chunk 32
+    q = jax.random.normal(jax.random.key(7), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(8), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(9), (b, h, s, d), jnp.float32)
+    got = ring_attention_prefill(mesh, causal=False, window_left=wl,
+                                 window_right=wr)(q, k, v)
+    want = prefill_attention(q, k, v, causal=False, window_size=(wl, wr))
+    diff = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert diff < 2e-5, f"wl={wl} wr={wr}: {diff}"
+
+
 def test_ring_grad_sliding_window():
     """Windowed ring VJP (early-stopped rotation + direct homing permute)
     == dense flash VJP grads."""

@@ -230,6 +230,23 @@ def test_varlen_paged_noncausal_window_right0():
     assert_close(out, ref, msg="varlen paged noncausal wr=0")
 
 
+@pytest.mark.parametrize("wl,wr", [(30, 20), (-1, 20), (40, -1)])
+def test_varlen_paged_noncausal_band(wl, wr):
+    """Right windows and non-causal bands on the paged route: row i of a
+    sequence sees columns in [i - wl, i + wr] (either side unbounded at
+    -1), matching the non-paged kernel's band semantics."""
+    seqlens_q = [100, 256]
+    seqlens_k = [160, 256]  # kv extends past q: band end is kv-bounded
+    q, kp, vp, table, cu_q, cu_k, k_packed, v_packed = _paged_varlen(
+        jax.random.key(14), seqlens_q, seqlens_k, 4, 2, 64, 64
+    )
+    out = flash_attn_varlen_func(
+        q, kp, vp, cu_q, cu_k, 256, 256,
+        causal=False, block_table=jnp.asarray(table), window_size=(wl, wr))
+    ref = _win_oracle(q, k_packed, v_packed, cu_q, cu_k, wl, wr, 0)
+    assert_close(out, ref, msg=f"varlen paged band wl={wl} wr={wr}")
+
+
 def test_varlen_paged_window_short_kv_dead_rows():
     """Paged-route analog of the short-kv dead-row regression: rows whose
     window lies entirely past a shorter kv sequence must output zeros."""
