@@ -451,8 +451,9 @@ def run_sub(name):
 
     A group hitting its TIMEOUT (as opposed to erroring) usually means
     the TPU tunnel is wedged — every later group would hang too, so the
-    remaining timeouts collapse to 300 s and the total run stays bounded
-    instead of burning hours against a dead link."""
+    remaining timeouts collapse to 180 s (until an inter-group probe
+    passes and lifts the cap) and a dead-link run stays bounded to
+    ~45 min instead of burning hours."""
     global _TUNNEL_SUSPECT
     import os
     import subprocess
@@ -529,28 +530,47 @@ def main():
     import time
 
     global _TUNNEL_SUSPECT
-    try:
-        # Upfront tunnel probe: a trivial readback in a subprocess. The
-        # tunnel goes down for HOURS at a time (r5 observed a 5h+
-        # outage); without this the first group would burn its full
-        # timeout before the suspect flag kicks in.
+
+    def _tunnel_probe(timeout_s):
+        """A trivial readback in a subprocess; True iff the tunnel answers.
+        A healthy handshake alone takes ~40 s (backend init + tunnel
+        session), so sub-minute timeouts false-positive."""
         env = dict(os.environ)
         env["PYTHONPATH"] = "/root/.axon_site:/root/repo:" + env.get(
             "PYTHONPATH", "")
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; "
-             "print(float(jnp.ones((8, 8)).sum()))"],
-            env=env, timeout=150.0, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL, check=True)
-    except Exception as e:
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jnp.ones((8, 8)).sum()))"],
+                env=env, timeout=timeout_s, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL, check=True)
+            return True
+        except Exception as e:
+            _log(f"tunnel probe failed ({type(e).__name__}, "
+                 f"{timeout_s:.0f}s budget)")
+            return False
+
+    # Upfront tunnel probe: the tunnel goes down for HOURS at a time (r5
+    # observed a 5h+ outage); without this the first group would burn its
+    # full timeout before the suspect flag kicks in. ONE slow probe is
+    # NOT a dead tunnel (a healthy-chip handshake was measured blowing a
+    # 150 s budget once while every canary read 190+ TFLOP/s — and the
+    # resulting 180 s caps killed every serve metric of the run), so only
+    # two consecutive failures mark the link suspect.
+    if not _tunnel_probe(150.0) and not _tunnel_probe(120.0):
         _TUNNEL_SUSPECT = True
-        _log(f"tunnel probe failed ({type(e).__name__}) — TPU link is "
-             f"down or wedged; all group timeouts capped at 180 s")
+        _log("tunnel probe failed twice — TPU link is down or wedged; "
+             "group timeouts capped at 180 s until a probe passes")
 
     headline = None
     for name in SUB_ORDER:
         try:
+            if _TUNNEL_SUSPECT and _tunnel_probe(90.0):
+                # the link came back (or the earlier timeout was a
+                # transient): restore full group timeouts
+                _TUNNEL_SUSPECT = False
+                _log("tunnel probe recovered — full group timeouts restored")
             recs = run_sub(name)
             if not recs and not _TUNNEL_SUSPECT:
                 # One retry after letting the remote heap settle: the
