@@ -15,7 +15,7 @@ from tests.utils import assert_close
 
 
 def _oracle(q, pool_k, pool_v, lens, q_start, table, window_left=-1,
-            window_right=0):
+            window_right=0, sinks=0):
     """q [b, sq, h, d]; pool [hkv, pages, page, d]. window_right 0 is the
     causal band; -1 unbounded (non-causal)."""
     b, sq, h, d = q.shape
@@ -35,7 +35,10 @@ def _oracle(q, pool_k, pool_v, lens, q_start, table, window_left=-1,
     if window_right >= 0:
         vis &= col[None, None] <= pos[..., None] + window_right
     if window_left >= 0:
-        vis &= col[None, None] >= pos[..., None] - window_left
+        in_win = col[None, None] >= pos[..., None] - window_left
+        if sinks:
+            in_win |= col[None, None] < sinks
+        vis &= in_win
     scores = jnp.where(vis[:, None], scores, -jnp.inf)
     p = jax.nn.softmax(scores, axis=-1)
     p = jnp.where(jnp.isnan(p), 0.0, p)
@@ -118,6 +121,26 @@ def test_paged_prefill_noncausal_band(wl, wr):
     for b in range(batch):
         assert_close(out[b], ref[b], tol=2e-5,
                      msg=f"noncausal band wl={wl} wr={wr} seq {b}")
+
+
+def test_paged_prefill_noncausal_band_sinks():
+    """Sinks with a non-causal band (newly reachable: sinks gate on the
+    left window only): the first `sinks` columns stay visible to every
+    row alongside the [pos-wl, pos+wr] band."""
+    batch, hkv, group, d, page, pps = 1, 2, 2, 64, 64, 6
+    h = hkv * group
+    pool_k, pool_v, table = _setup(batch, hkv, pps, page, d, key=9)
+    chunk, wl, wr, sinks = 128, 63, 40, 16
+    q = jax.random.normal(jax.random.key(6), (batch, chunk, h, d), jnp.float32)
+    q_start = jnp.asarray([192], jnp.int32)
+    lens = jnp.asarray([192 + chunk + 40], jnp.int32)
+    out = paged_prefill_attention(
+        q, pool_k, pool_v, lens, q_start, table, causal=False,
+        q_lens=jnp.asarray([chunk], jnp.int32),
+        window_left=wl, window_right=wr, sink_tokens=sinks)
+    ref = _oracle(q, pool_k, pool_v, lens, q_start, table,
+                  window_left=wl, window_right=wr, sinks=sinks)
+    assert_close(out[0], ref[0], tol=2e-5, msg="noncausal band + sinks")
 
 
 def test_paged_prefill_quantized():
