@@ -42,6 +42,7 @@ from mfa_tpu.kernels.paged import (_page_copy, _pair_permute_iota,
                                    _unpack_int4, gather_page_scales)
 
 _LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
 _MASK = -1e30
 _LANES = 128
 
@@ -58,6 +59,10 @@ def _body(
     k_pages,  # HBM [hkv, P, page, d]
     v_pages,
     o_ref,  # [1, 1, hkv, group*bq, d] fp32
+    lse_ref,  # [1, 1, hkv, group*bq, LANES] fp32 natural-log row LSE,
+    #           or None (the output block only exists under return_lse —
+    #           an unconditional one would DOUBLE the kernel's output
+    #           bytes on the serving chunked-prefill hot path)
     m_scr,  # [hkv, group*bq, LANES]
     l_scr,
     acc_scr,  # [hkv, group*bq, d]
@@ -221,6 +226,8 @@ def _body(
     @pl.when(jnp.logical_and(jnp.logical_not(live), j == 0))
     def _dead_out():
         o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        if lse_ref is not None:
+            lse_ref[0, 0] = jnp.full_like(lse_ref[0, 0], -jnp.inf)
 
     @pl.when(run)
     def _compute():
@@ -326,6 +333,13 @@ def _body(
             bad = jnp.logical_or(dead, jnp.logical_or(l == 0.0, jnp.isnan(l)))
             l_safe = jnp.where(bad, 1.0, l)
             o_ref[0, 0] = jnp.where(dead, 0.0, acc_scr[...] / l_safe)
+            if lse_ref is not None:
+                # natural-log LSE (m is in the scaled log2 domain); -inf
+                # on rows with no visible column — the cross-chip /
+                # deferred merge convention of kernels/paged.py:395
+                lse = m_scr[...][:, :, :1] * _LN2 + jnp.log(l_safe)
+                lse = jnp.where(bad, -jnp.inf, lse)
+                lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def paged_prefill_attention(
@@ -350,8 +364,11 @@ def paged_prefill_attention(
     quant_dtype: Optional[str] = None,
     sink_tokens: int = 0,
     alibi_slopes: Optional[jax.Array] = None,
+    return_lse: bool = False,
 ) -> jax.Array:
-    """Chunk prefill against a paged KV cache. Returns [b, sq, h, d].
+    """Chunk prefill against a paged KV cache. Returns [b, sq, h, d]
+    (with return_lse, also the natural-log row LSE [b, h, sq] fp32,
+    -inf on rows with no visible column — for cross-chip combines).
 
     q_lens defaults to lengths - q_start (the chunk covers the cache tail).
     Rows past q_lens[b] are garbage (callers slice by true chunk length).
@@ -503,7 +520,11 @@ def paged_prefill_attention(
         slopes = rest.pop(0) if alibi else None
         ks = rest.pop(0) if quantized else None
         vs = rest.pop(0) if quantized else None
-        return body(lens, qst, qlns, table, q_ref, slopes, ks, vs, *rest)
+        kp, vp, o_ref = rest[:3]
+        rest = rest[3:]
+        lse_ref = rest.pop(0) if return_lse else None
+        return body(lens, qst, qlns, table, q_ref, slopes, ks, vs,
+                    kp, vp, o_ref, lse_ref, *rest)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -512,7 +533,9 @@ def paged_prefill_attention(
         out_specs=[
             pl.BlockSpec((1, 1, num_kv_heads, rows_p, hd_p),
                          lambda b, i, j, *refs: (b, i, 0, 0, 0)),
-        ],
+        ] + ([pl.BlockSpec((1, 1, num_kv_heads, rows_p, _LANES),
+                           lambda b, i, j, *refs: (b, i, 0, 0, 0))]
+             if return_lse else []),
         scratch_shapes=[
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
             pltpu.VMEM((num_kv_heads, rows_p, _LANES), jnp.float32),
@@ -527,7 +550,7 @@ def paged_prefill_attention(
         ],
     )
 
-    (o_parts,) = pl.pallas_call(
+    o_parts, *lse_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -535,7 +558,9 @@ def paged_prefill_attention(
                 (batch, num_q_blocks, num_kv_heads, rows_p, hd_p),
                 jnp.float32,
             ),
-        ],
+        ] + ([jax.ShapeDtypeStruct(
+                (batch, num_q_blocks, num_kv_heads, rows_p, _LANES),
+                jnp.float32)] if return_lse else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -560,4 +585,12 @@ def paged_prefill_attention(
     out = jnp.transpose(out, (0, 1, 4, 2, 3, 5)).reshape(
         batch, sq_p, num_heads, head_dim
     )
-    return out[:, :sq].astype(q.dtype)
+    out = out[:, :sq].astype(q.dtype)
+    if not return_lse:
+        return out
+    # [b, nq, hkv, rows, 1] rows=[group, bq] -> [b, h, sq]
+    lse = lse_out[0][:, :, :, :rows, 0].reshape(
+        batch, num_q_blocks, num_kv_heads, group, bq)
+    lse = jnp.transpose(lse, (0, 2, 3, 1, 4)).reshape(
+        batch, num_heads, sq_p)[:, :, :sq]
+    return out, lse

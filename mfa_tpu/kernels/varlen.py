@@ -272,7 +272,7 @@ def varlen_attention(
          [num_pages, page_size, num_kv_heads, head_dim].
     Returns [total_q, num_heads, head_dim] (and, with return_lse, the
     natural-log softmax LSE [num_heads, total_q] fp32 — flash-attn's varlen
-    softmax_lse convention; non-paged route only).
+    softmax_lse convention, on both the paged and non-paged routes).
     """
     total_q, num_heads, head_dim = q.shape
     if softmax_scale is None:
@@ -286,9 +286,6 @@ def varlen_attention(
     if sink_tokens and window_left < 0:
         sink_tokens = 0  # without a left window, sinks are a no-op
 
-    if return_lse and block_table is not None:
-        raise NotImplementedError(
-            "return_lse is only supported on the non-paged varlen route")
     if block_table is not None:
         # Paged path: unpack q per sequence and run the in-kernel-DMA paged
         # prefill kernel (kernels/paged_prefill.py) — pages stream straight
@@ -333,7 +330,12 @@ def varlen_attention(
             window_left=window_left, window_right=window_right,
             sink_tokens=sink_tokens,
             alibi_slopes=alibi_slopes,
+            return_lse=return_lse,
         )
+        if return_lse:
+            out4, lse4 = out4  # lse4 [b, h, max_sq]
+            # -> flash-attn varlen convention [num_heads, total_q]
+            return out4[seg, pos], jnp.transpose(lse4[seg, :, pos])
         return out4[seg, pos]
 
     total_k, num_kv_heads, _ = k.shape

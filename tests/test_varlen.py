@@ -230,6 +230,42 @@ def test_varlen_paged_noncausal_window_right0():
     assert_close(out, ref, msg="varlen paged noncausal wr=0")
 
 
+@pytest.mark.parametrize("causal,window,dead_rows", [
+    (True, (-1, -1), False),   # plain causal, all rows live
+    (False, (40, 20), False),  # non-causal band
+    (True, (4, 0), True),      # narrow window past a shorter kv -> -inf
+])
+def test_varlen_paged_return_lse(causal, window, dead_rows):
+    """return_lse on the PAGED route (kernel LSE output): out AND the
+    natural-log LSE [h, total_q] must match the non-paged route on the
+    packed equivalent, including the -inf dead-row convention (a left
+    window pushed entirely past a shorter kv sequence)."""
+    from mfa_tpu.kernels.varlen import varlen_attention
+
+    seqlens_q = [100, 256]
+    seqlens_k = [60, 256]
+    q, kp, vp, table, cu_q, cu_k, k_packed, v_packed = _paged_varlen(
+        jax.random.key(15), seqlens_q, seqlens_k, 4, 2, 64, 64
+    )
+    kwargs = dict(
+        cu_seqlens_q=jnp.asarray(cu_q), cu_seqlens_k=jnp.asarray(cu_k),
+        max_seqlen_q=256, max_seqlen_k=256, causal=causal,
+        window_size=window, return_lse=True)
+    out_p, lse_p = varlen_attention(
+        q, kp, vp, block_table=jnp.asarray(table), **kwargs)
+    out_r, lse_r = varlen_attention(q, k_packed, v_packed, **kwargs)
+    assert_close(out_p, out_r, msg=f"paged lse-route out causal={causal}")
+    assert lse_p.shape == lse_r.shape == (4, sum(seqlens_q))
+    inf_p, inf_r = np.isinf(np.asarray(lse_p)), np.isinf(np.asarray(lse_r))
+    assert (inf_p == inf_r).all(), "dead-row -inf pattern differs"
+    # seq 0 rows r >= 65: window [r-4, r] lies entirely past kv len 60
+    assert inf_p[:, 65:100].all() == dead_rows
+    assert not inf_p[:, 100:].any()
+    np.testing.assert_allclose(
+        np.asarray(lse_p)[~inf_p], np.asarray(lse_r)[~inf_r],
+        atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.parametrize("wl,wr", [(30, 20), (-1, 20), (40, -1)])
 def test_varlen_paged_noncausal_band(wl, wr):
     """Right windows and non-causal bands on the paged route: row i of a
